@@ -1,0 +1,56 @@
+"""spark-submit entry point for the KG pipeline (SURVEY.md §3.3 analog of
+bin/feedparser.js: stdin->JSON-lines CLI becomes spark-submit job).
+
+Usage:
+    spark-submit --py-files pipeline.zip jobs/build_kg.py \
+        --input /path/transcripts.parquet --output /path/kg \
+        [--buckets 32] [--master local[8]] [--no-resume]
+
+Prints a single JSON summary line (run id, snapshot, counts, wall seconds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from node_feedparser_spark.plans.pipeline import build_kg
+    from node_feedparser_spark.session import get_spark
+
+    spark = get_spark(
+        app="build_kg",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    t0 = time.monotonic()
+    summary = build_kg(
+        spark,
+        args.input,
+        args.output,
+        n_buckets=args.buckets,
+        resume=not args.no_resume,
+    )
+    summary["wall_s"] = round(time.monotonic() - t0, 3)
+    summary["master"] = spark.sparkContext.master
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

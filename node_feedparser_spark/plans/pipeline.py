@@ -1,0 +1,232 @@
+"""build_kg — the flagship end-to-end plan.
+
+transcripts -> dedupe(first-wins) -> extract(mapInPandas) -> canonicalize
+(broadcast alias join + MinHash-LSH + connected components) -> triples /
+vertices / edges / metrics, with per-bucket lineage and resume.
+
+The four outputs are the analogs of the reference's item records, meta
+record, and errors side channel (SURVEY.md §1.3); 'meta before items'
+ordering (lib/feedparser.js:351-357) becomes 'vertices/metrics written in
+the same run as triples/edges'.
+
+Scale design:
+- conv_id is bucketed (pmod of xxhash64) purely for LINEAGE granularity —
+  extraction itself never groups by conversation, so mega-thread skew
+  cannot stall a task (FIXTURES.md `mega-`).
+- resume: committed (snapshot_id, bucket) pairs read from the metrics table
+  are anti-joined away from the input — a restart recomputes only missing
+  buckets (reference analog: checkpointed incremental emission).
+- triples/metrics are written partitionBy('bucket') append so resumed runs
+  compose; vertices/edges are global aggregates recomputed per run (at true
+  100 TB scale these become incremental MERGEs into Iceberg; the plan shape
+  is identical).
+- the score histogram per bucket uses a fixed-width bucketing groupBy —
+  a map-side-combinable aggregation, not a sketch, so it is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import canonicalize
+from ..operators.extract import ERROR_PRED, dedupe_first_wins, extract_triples
+from ..sources.transcripts import read_transcripts, snapshot_id
+from ..schemas import METRICS
+
+DEFAULT_BUCKETS = 32
+
+
+def _bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def partition_hash(snap: str, n_buckets: int, bucket: int) -> str:
+    """Lineage identity of one partition of one snapshot under one bucketing.
+    Including n_buckets means a re-run with different bucketing does NOT
+    treat old commits as valid (they cover different conv_id subsets)."""
+    import hashlib
+
+    return hashlib.sha1(f"{snap}:{n_buckets}:{bucket}".encode()).hexdigest()
+
+
+def committed_buckets(
+    spark: SparkSession, metrics_path: str, snap: str, n_buckets: int
+) -> list[int]:
+    if not os.path.isdir(metrics_path):
+        return []
+    expected = {partition_hash(snap, n_buckets, b): b for b in range(n_buckets)}
+    try:
+        rows = (
+            spark.read.parquet(metrics_path)
+            .filter(F.col("snapshot_id") == snap)
+            .select("partition_hash")
+            .distinct()
+            .collect()
+        )
+        return sorted(
+            expected[r["partition_hash"]]
+            for r in rows
+            if r["partition_hash"] in expected
+        )
+    except Exception:
+        return []
+
+
+def build_kg(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    resume: bool = True,
+) -> dict:
+    """Run the full pipeline.  Returns a summary dict (counts, snapshot)."""
+    snap = snapshot_id(input_path)
+    run_id = f"run-{uuid.uuid4().hex[:12]}"
+    triples_path = os.path.join(output_dir, "triples")
+    vertices_path = os.path.join(output_dir, "vertices")
+    edges_path = os.path.join(output_dir, "edges")
+    metrics_path = os.path.join(output_dir, "metrics")
+
+    raw = _bucketed(read_transcripts(spark, input_path), n_buckets)
+
+    skipped: list[int] = []
+    if resume and os.path.isdir(metrics_path):
+        skipped = committed_buckets(spark, metrics_path, snap, n_buckets)
+        prior = (
+            spark.read.parquet(metrics_path)
+            .filter(F.col("snapshot_id") == snap)
+            .select("partition_hash")
+            .distinct()
+            .count()
+        )
+        if prior > len(skipped):
+            # same input committed under a different bucketing: recomputing
+            # would append duplicates. Refuse instead of corrupting output.
+            raise ValueError(
+                f"{metrics_path} holds commits for snapshot {snap} under a "
+                f"different n_buckets; rerun with the original n_buckets or "
+                f"a fresh output dir"
+            )
+        if skipped:
+            raw = raw.filter(~F.col("bucket").isin(skipped))
+
+    turns = dedupe_first_wins(raw)
+    turn_counts = turns.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_turns"))
+
+    extracted = _bucketed(extract_triples(turns), n_buckets)
+    extracted.cache()
+
+    triples_ok = extracted.filter(F.col("pred") != ERROR_PRED)
+    errors = extracted.filter(F.col("pred") == ERROR_PRED)
+
+    # --- canonicalization over surface forms (distinct + counted first:
+    # mentions >> distinct surfaces, so the expensive stages see small input)
+    surfaces = (
+        triples_ok.select(F.explode(F.array("subj", "obj")).alias("surface"))
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    mapping, vertices = canonicalize(spark, surfaces)
+    mapping.cache()
+
+    m_subj = mapping.withColumnRenamed("surface", "subj").withColumnRenamed(
+        "entity_id", "subj_id"
+    )
+    m_obj = mapping.withColumnRenamed("surface", "obj").withColumnRenamed(
+        "entity_id", "obj_id"
+    )
+    triples = (
+        triples_ok.join(m_subj, "subj")
+        .join(m_obj, "obj")
+        .withColumn(
+            "lineage",
+            F.struct(
+                F.sha1(
+                    F.concat_ws(":", F.lit(snap), F.lit(n_buckets), F.col("bucket"))
+                ).alias("partition_hash"),
+                F.lit(snap).alias("snapshot_id"),
+            ),
+        )
+        .select(
+            "conv_id", "turn_idx", "subj", "pred", "obj", "score",
+            "subj_id", "obj_id", "lineage", "bucket",
+        )
+    )
+    triples.cache()
+
+    edges = (
+        triples.groupBy("subj_id", "pred", "obj_id")
+        .agg(F.round(F.sum("score"), 6).alias("weight"))
+        .select(
+            F.col("subj_id").alias("src_id"), "pred",
+            F.col("obj_id").alias("dst_id"), "weight",
+        )
+    )
+
+    # --- metrics: per-bucket lineage + fixed-width link-score histogram
+    hist = (
+        triples.withColumn("score_bucket", F.round(F.floor(F.col("score") * 10) / 10.0, 1))
+        .groupBy("bucket", "score_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("score_bucket").alias("bucket"),
+                        F.col("cnt").alias("count"),
+                    )
+                )
+            ).alias("link_score_hist"),
+            F.sum("cnt").alias("n_triples"),
+        )
+    )
+    err_counts = errors.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_errors"))
+    metrics = (
+        turn_counts.join(hist, "bucket", "left")
+        .join(err_counts, "bucket", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.sha1(
+                F.concat_ws(":", F.lit(snap), F.lit(n_buckets), F.col("bucket"))
+            ).alias("partition_hash"),
+            F.lit(snap).alias("snapshot_id"),
+            F.col("bucket"),
+            F.col("n_turns"),
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+            F.coalesce(
+                "link_score_hist",
+                F.array().cast(METRICS["link_score_hist"].dataType),
+            ).alias("link_score_hist"),
+        )
+    )
+
+    # --- materialize: data first, metrics (the commit marker) last, so a
+    # crash mid-write is re-done on resume rather than falsely committed.
+    triples.write.partitionBy("bucket").mode("append").parquet(triples_path)
+    vertices.write.mode("overwrite").parquet(vertices_path)
+    edges.write.mode("overwrite").parquet(edges_path)
+    metrics.write.mode("append").parquet(metrics_path)
+
+    n_triples = triples.count()
+    n_vertices = vertices.count()
+    n_edges = edges.count()
+    extracted.unpersist()
+    mapping.unpersist()
+    triples.unpersist()
+    return {
+        "run_id": run_id,
+        "snapshot_id": snap,
+        "n_triples": n_triples,
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "skipped_buckets": skipped,
+        "output_dir": output_dir,
+    }
