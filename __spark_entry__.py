@@ -244,6 +244,300 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedupe / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup join: token-3-gram Jaccard >= 0.8 via MinHash-LSH banding +
+    exact verification (operators/dedupe.py). Result equals brute force."""
+    from node_feedparser_spark.operators.dedupe import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (operators/dedupe.py)."""
+    from node_feedparser_spark.operators.dedupe import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs within hamming distance 3 of SimHash, via exact pigeonhole
+    block-join (no cross product)."""
+    from node_feedparser_spark.operators.dedupe import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<10 — broadcast
+    query matrix, one numpy matmul per Arrow batch, tiny top-k shuffle."""
+    from node_feedparser_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tk = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return tk.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4 (broadcast matmul)."""
+    from node_feedparser_spark.operators.similarity import cosine_threshold_pairs
+
+    return cosine_threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN: deterministic centroids (vec_id<16), probe 4 of
+    16 cells, top-5 — the scale path whose plan partitions by cell."""
+    from node_feedparser_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tk = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4
+    )
+    return tk.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-dictionary language ID: broadcast dim join + argmax."""
+    from node_feedparser_spark.operators.text_analysis import language_id
+
+    return language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score, single projection."""
+    from node_feedparser_spark.operators.text_analysis import quality_features
+
+    qf = quality_features(_t(spark, sf_dir, "documents"))
+    return qf.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "upper_ratio",
+        "quality_score",
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    from node_feedparser_spark.operators.text_analysis import token_counts
+
+    tc = token_counts(_t(spark, sf_dir, "documents"))
+    return tc.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min + bottom-4 of token-5-gram hashes."""
+    from node_feedparser_spark.operators.text_analysis import fingerprints
+
+    fp = fingerprints(_t(spark, sf_dir, "documents"), k=5, n_keep=4)
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.array_join(F.col("bottom_k").cast("array<string>"), ",").alias("bottom_k"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata: binary payload length, content key, modality
+    dispatch (operators/multimodal.py — the oracle-checkable face)."""
+    from node_feedparser_spark.operators.multimodal import attach_payload, media_meta
+
+    mm = media_meta(attach_payload(_t(spark, sf_dir, "documents")))
+    return mm.select(
+        "doc_id", "media_type",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "content_md5", "modality",
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the (stubbed, deterministic) decode stage:
+    mapInPandas decode -> JVM sequence+explode every 8th frame."""
+    from node_feedparser_spark.operators.multimodal import (
+        attach_payload,
+        decode_media,
+        frame_sample,
+    )
+
+    decoded = decode_media(attach_payload(_t(spark, sf_dir, "documents")))
+    fs = frame_sample(decoded, every_n=8)
+    return fs.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
+def q_payload_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-enclosure analog: dedupe binary payloads on (content key,
+    media type), keep-first (J2)."""
+    from node_feedparser_spark.operators.multimodal import (
+        attach_payload,
+        exact_payload_dedupe,
+    )
+
+    return exact_payload_dedupe(attach_payload(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY.md §2 operator shapes over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 meta/item child skip as anti-join: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_author_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 author address parse: 'Name <email>' -> (name, address) via
+    regexp_extract (reference addressparser, lib/feedparser.js:606-619)."""
+    cust = _t(spark, sf_dir, "customer")
+    author = F.concat(
+        F.col("c_name"), F.lit(" <user"), F.col("c_custkey"), F.lit("@example.com>")
+    )
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(author, r"^([^<]+?) <", 1).alias("author_name"),
+        F.regexp_extract(author, r"<([^>]+)>", 1).alias("author_address"),
+    )
+
+
+def q_precedence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F11 tolerant multi-format date parse: serialize o_orderdate into
+    one of three formats, recover it with a try_to_timestamp coalesce chain
+    (the reference's lenient `new Date()` discipline)."""
+    orders = _t(spark, sf_dir, "orders")
+    date_str = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM-dd-yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd.MM.yyyy"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(date_str, F.lit("yyyy/MM/dd")),
+        F.try_to_timestamp(date_str, F.lit("MM-dd-yyyy")),
+        F.try_to_timestamp(date_str, F.lit("dd.MM.yyyy")),
+    )
+    return orders.select(
+        "o_orderkey", date_str.alias("date_str"), parsed.alias("pubdate")
+    )
+
+
+def q_scalar_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F15/F16 scalar chains: generator assembly (concat_ws), guid
+    synthesis, guid->link inference (rlike '^https?:')."""
+    part = _t(spark, sf_dir, "part")
+    guid = F.when(
+        F.col("p_partkey") % 5 == 0,
+        F.concat(F.lit("https://parts.example/"), F.col("p_partkey")),
+    ).otherwise(F.concat(F.lit("urn:part:"), F.col("p_partkey")))
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            " ",
+            F.col("p_brand"),
+            F.concat(F.lit("v"), F.col("p_size")),
+            F.concat(F.lit("("), F.col("p_type"), F.lit(")")),
+        ).alias("generator"),
+        guid.alias("guid"),
+        F.when(guid.rlike("^https?:"), guid).alias("link"),
+    )
+
+
+def q_explode_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/D1 category accumulate: split two sources, flatten, uniq, stable
+    sort — emitted as a joined string for engine-portable comparison."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(F.split("p_name", " "), F.split("p_type", " "))
+                )
+            ),
+            ",",
+        ).alias("categories"),
+    )
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 scoped context as window state: carry the last purchase value
+    forward per user (last ignorenulls over unbounded-preceding frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: users who clicked but never purchased (EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers)
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: customer account balance by (region, nation)
+    with ROLLUP subtotals (broadcast dims, partial aggs)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )
+
+
+def q_whitespace_hoist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 whitespace-only drop + hoist: trim, then NULL out empty strings
+    (the reference deletes all-whitespace text nodes)."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.when(F.col("doc_id") % 7 == 0, F.lit("   ")).otherwise(
+        F.concat(F.lit("  "), F.col("lang"), F.lit(" "))
+    )
+    return docs.select(
+        "doc_id",
+        F.nullif(F.trim(padded), F.lit("")).alias("hoisted_lang"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -258,7 +552,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_meta_enrich": q_late_meta_enrich,
         "exact_dedupe": q_exact_dedupe,
         "token_stats": q_token_stats,
+        # training-data pipeline operators
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_meta": q_media_meta,
+        "frame_sample": q_frame_sample,
+        "payload_dedupe": q_payload_dedupe,
+        # remaining SURVEY.md §2 shapes
+        "anti_join": q_anti_join,
+        "author_parse": q_author_parse,
+        "precedence_dates": q_precedence_dates,
+        "scalar_chains": q_scalar_chains,
+        "explode_distinct": q_explode_distinct,
+        "forward_fill": q_forward_fill,
+        "set_except": q_set_except,
+        "rollup_revenue": q_rollup_revenue,
+        "whitespace_hoist": q_whitespace_hoist,
     }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB twins of the hash/shingle/simhash plans)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_builders():
+    from node_feedparser_spark.functions.hashing import (
+        portable_hash60_sql,
+        token_shingles_sql,
+    )
+    from node_feedparser_spark.operators.dedupe import SIMHASH_BITS
+    from node_feedparser_spark.operators.text_analysis import LANG_STOPWORDS
+
+    return portable_hash60_sql, token_shingles_sql, SIMHASH_BITS, LANG_STOPWORDS
+
+
+def _simhash_cte() -> str:
+    """DuckDB CTE body computing (doc_id, simhash) exactly as
+    operators/dedupe.py simhash does."""
+    h_sql, _, bits, _ = _oracle_builders()
+    sums = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+        th AS (SELECT doc_id, {h_sql('token')} AS th FROM toks),
+        votes AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id, ({assemble}) AS simhash FROM votes)
+    """
+
+
+def _stopword_values() -> str:
+    _, _, _, stopwords = _oracle_builders()
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(stopwords.items())
+        for w in words
+    )
+    return f"(VALUES {rows}) sw(lang, word)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -346,6 +711,243 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
                    length(text) AS n_chars_computed
+            FROM documents
+        """,
+    } | _extra_oracles()
+
+
+def _extra_oracles() -> dict[str, str]:
+    h_sql, shingles_sql, _, stopwords = _oracle_builders()
+    en_stop = ", ".join(f"'{w}'" for w in stopwords["en"])
+    cosine_cte = (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    )
+    mtype_case = """CASE source WHEN 'src0' THEN 'image/png'
+                        WHEN 'src1' THEN 'image/jpeg'
+                        WHEN 'src2' THEN 'audio/wav'
+                        WHEN 'src3' THEN 'video/mp4'
+                        ELSE 'application/octet-stream' END"""
+    return {
+        "minhash_near_dup": f"""
+            WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles
+                        FROM documents),
+            j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                               / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                               6) AS jaccard
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        "simhash": f"""
+            WITH {_simhash_cte()}
+            SELECT doc_id, simhash FROM sh
+        """,
+        "simhash_near_dup": f"""
+            WITH {_simhash_cte()}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "embedding_topk": f"""
+            WITH {cosine_cte},
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                         ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+                  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 10),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rnk FROM s)
+            SELECT query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 5
+        """,
+        "embedding_near_dup": f"""
+            WITH {cosine_cte}
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "ivf_ann_topk": f"""
+            WITH {cosine_cte},
+            cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                  c.cell ASC) AS rn
+                FROM e CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                                  c.cell ASC) AS pr
+                FROM e q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE pr <= 4),
+            cand AS (SELECT p.query_id, a.vec_id
+                     FROM probes p JOIN assign a ON p.cell = a.cell
+                     WHERE a.vec_id <> p.query_id),
+            scored AS (SELECT cand.query_id, cand.vec_id,
+                              ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+                       FROM cand
+                       JOIN e q ON q.vec_id = cand.query_id
+                       JOIN e c ON c.vec_id = cand.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
+            SELECT query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 5
+        """,
+        "language_id": f"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+                          FROM documents),
+            hits AS (SELECT doc_id, lang, COUNT(*) AS n_hits
+                     FROM toks JOIN {_stopword_values()} USING (word)
+                     GROUP BY doc_id, lang),
+            best AS (SELECT doc_id, lang, n_hits FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY n_hits DESC, lang ASC) AS rn FROM hits)
+                WHERE rn = 1)
+            SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang,
+                   COALESCE(b.n_hits, 0) AS n_hits
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        """,
+        "quality_score": f"""
+            WITH f AS (SELECT doc_id,
+                length(text) AS n_chars,
+                len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS n_tokens,
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x IN ({en_stop}))) AS n_stop,
+                length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct,
+                length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper
+                FROM documents),
+            r AS (SELECT doc_id, n_chars, n_tokens,
+                ROUND((n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)::DOUBLE, 6) AS mean_token_len,
+                ROUND(punct / GREATEST(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                ROUND(n_stop / GREATEST(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
+                ROUND(upper / GREATEST(n_chars, 1)::DOUBLE, 6) AS upper_ratio
+                FROM f)
+            SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+                   stopword_ratio, upper_ratio,
+                   ROUND(GREATEST(LEAST(0.5 + 0.9 * stopword_ratio
+                         - 0.8 * punct_ratio - 0.5 * upper_ratio
+                         + 0.1 * LEAST(n_tokens / 100.0, 1.0), 1.0), 0.0), 6)
+                       AS quality_score
+            FROM r
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            WITH sh AS (SELECT doc_id, {shingles_sql('text', 5)} AS shingles
+                        FROM documents),
+            h AS (SELECT doc_id, list_transform(shingles, s -> {h_sql('s')}) AS hs
+                  FROM sh)
+            SELECT doc_id, list_min(hs) AS fingerprint,
+                   array_to_string(list_transform(list_sort(hs)[1:4],
+                       x -> CAST(x AS VARCHAR)), ',') AS bottom_k
+            FROM h
+        """,
+        "media_meta": f"""
+            SELECT doc_id,
+                   {mtype_case} AS media_type,
+                   strlen(text) AS byte_len,
+                   md5(text) AS content_md5,
+                   CASE WHEN source IN ('src0', 'src1') THEN 'image'
+                        WHEN source = 'src2' THEN 'audio'
+                        WHEN source = 'src3' THEN 'video'
+                        ELSE 'other' END AS modality
+            FROM documents
+        """,
+        "frame_sample": """
+            WITH m AS (SELECT doc_id,
+                              1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 64
+                                  AS n_frames
+                       FROM documents WHERE source = 'src3')
+            SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+                   unnest(range(0, n_frames, 8)) AS frame_idx
+            FROM m
+        """,
+        "payload_dedupe": f"""
+            SELECT md5(text) AS content_md5,
+                   {mtype_case} AS media_type,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1, 2
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "author_parse": """
+            SELECT c_custkey,
+                   regexp_extract(c_name || ' <user' || c_custkey || '@example.com>',
+                                  '^([^<]+?) <', 1) AS author_name,
+                   regexp_extract(c_name || ' <user' || c_custkey || '@example.com>',
+                                  '<([^>]+)>', 1) AS author_address
+            FROM customer
+        """,
+        "precedence_dates": """
+            WITH s AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                     WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
+                     ELSE strftime(o_orderdate, '%d.%m.%Y') END AS date_str
+                FROM orders)
+            SELECT o_orderkey, date_str,
+                   COALESCE(try_strptime(date_str, '%Y/%m/%d'),
+                            try_strptime(date_str, '%m-%d-%Y'),
+                            try_strptime(date_str, '%d.%m.%Y')) AS pubdate
+            FROM s
+        """,
+        "scalar_chains": """
+            WITH g AS (SELECT p_partkey, p_brand, p_size, p_type,
+                CASE WHEN p_partkey % 5 = 0
+                     THEN 'https://parts.example/' || p_partkey
+                     ELSE 'urn:part:' || p_partkey END AS guid
+                FROM part)
+            SELECT p_partkey,
+                   concat_ws(' ', p_brand, 'v' || p_size, '(' || p_type || ')')
+                       AS generator,
+                   guid,
+                   CASE WHEN regexp_matches(guid, '^https?:') THEN guid END AS link
+            FROM g
+        """,
+        "explode_distinct": """
+            SELECT p_partkey,
+                   array_to_string(list_sort(list_distinct(list_concat(
+                       string_split(p_name, ' '), string_split(p_type, ' ')))),
+                       ',') AS categories
+            FROM part
+        """,
+        "forward_fill": """
+            SELECT event_id, user_id,
+                   ROUND(last_value(CASE WHEN event_type = 'purchase'
+                                         THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         4) AS last_purchase_value
+            FROM events
+        """,
+        "set_except": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "whitespace_hoist": """
+            SELECT doc_id,
+                   NULLIF(TRIM(CASE WHEN doc_id % 7 = 0 THEN '   '
+                               ELSE '  ' || lang || ' ' END), '') AS hoisted_lang
             FROM documents
         """,
     }

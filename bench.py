@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""bench.py — headline benchmark (driver contract).
+
+Runs (a) the flagship KG pipeline (datagen -> dedupe -> mapInPandas extract
+-> LSH + connected-components canonicalize -> materialize) on a
+deterministic synthetic transcript corpus sized to the SF, and (b) every
+`__spark_entry__.queries()` operator at `$SPARK_GRAFT_SF_DIR`, each forced
+end-to-end with a noop write (computes everything, collects nothing).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Scaling evidence (BASELINE.md protocol) lives in jobs/bench_scaling.py; this
+file is the single-process per-round feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    import __spark_entry__ as entrymod
+    from node_feedparser_spark.datagen import write_transcripts
+    from node_feedparser_spark.plans.pipeline import build_kg
+    from node_feedparser_spark.session import get_spark
+
+    spark = get_spark(
+        app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    # --- flagship KG pipeline, corpus sized to the SF (seeded, deterministic)
+    scale = max(2.0, sf * 100)
+    corpus = f"/tmp/bench_corpus_s{scale:g}/transcripts.parquet"
+    out_dir = f"/tmp/bench_kg_{os.getpid()}"
+    if not os.path.exists(corpus):
+        write_transcripts(corpus, seed=42, scale=scale)
+    t0 = time.monotonic()
+    summary = build_kg(spark, corpus, out_dir, n_buckets=cpus, resume=False)
+    timings["kg_pipeline"] = round(time.monotonic() - t0, 3)
+    kg_triples_per_sec = round(summary["n_triples"] / timings["kg_pipeline"], 1)
+
+    # --- operator suite over the driver testdata
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "kg_triples": summary["n_triples"],
+                "kg_triples_per_sec": kg_triples_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

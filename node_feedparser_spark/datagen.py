@@ -242,9 +242,13 @@ def generate_transcripts(seed: int = 42, scale: float = 1.0) -> pd.DataFrame:
 def write_transcripts(path: str, seed: int = 42, scale: float = 1.0) -> int:
     """Write the corpus as parquet (several row groups so Spark gets multiple
     input splits).  Returns row count."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     df = generate_transcripts(seed=seed, scale=scale)
     # microsecond timestamps: Spark's vectorized parquet reader rejects the
     # nanosecond INT64 physical type pandas defaults to

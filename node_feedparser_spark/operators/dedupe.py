@@ -1,0 +1,251 @@
+"""Document deduplication — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The training-data-pipeline face of the reference's dedupe discipline:
+feedparser dedupes enclosures by key `(url, type)` with keep-first/merge
+semantics (/root/reference/lib/feedparser.js:900-908, 1007-1011;
+test/duplicate-enclosures.js) and guids first-wins
+(/root/reference/lib/feedparser.js:939; test/bad.js:26-46).  At corpus scale
+the same discipline becomes content-hash dedupe (exact) and
+similarity-join dedupe (near-dup), built so that:
+
+- every hash is the *portable* 60-bit md5 hash (functions/hashing.py), so
+  the DuckDB oracle reproduces signatures bit-for-bit;
+- LSH is an ACCELERATOR, not the definition: candidates are always verified
+  with exact Jaccard, so the result set equals the brute-force similarity
+  join (up to the analytically-bounded LSH miss probability, ~3e-7 at the
+  default threshold — see lsh_near_dup_pairs docstring);
+- everything before the candidate self-join is map-side (shingle explode +
+  min-aggregation = partial/final hash agg); the only wide shuffle is the
+  band-bucket join, which AQE skew-splits if a band hash is hot.
+
+Scale notes (100 TB): the shingle explode is bounded by total text size; the
+63 min-aggregations run as one partial-agg pass (map-side combine), so the
+shuffle carries one 63-long row per document, not per shingle.  The band
+self-join shuffles 21 rows/doc.  Pair verification rejoins each candidate to
+its two shingle arrays — at 10^12 docs that join is the cost center, which
+is exactly why bands*rows is tuned to keep candidate volume ~linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60, token_shingles
+
+# 63 hashes = 21 bands x 3 rows.  P[miss a pair at Jaccard j] = (1-j^3)^21:
+#   j=0.98 -> 1e-25   j=0.9 -> 2e-6   j=0.8 -> 2.9e-7? no: (1-0.512)^21=3e-7
+#   j=0.7  -> 2e-4 (below default threshold; irrelevant)
+# P[candidate at j=0.1] ~ 21*j^3 = 2% -> candidate volume stays near-linear.
+N_MINHASH = 63
+N_BANDS = 21
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+DEFAULT_JACCARD = 0.8
+SIMHASH_BITS = 60  # 60 (not 64) so 2^bit sums never overflow signed int64
+
+
+def exact_dedupe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedupe groups via content hash; keeper = lowest id (first-wins,
+    the reference's guid rule).  One shuffle on the 60-bit hash."""
+    return (
+        docs.withColumn("text_hash", portable_hash60(text_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingled(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) with >= 1 shingle per non-null doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_shingles(text_col, k).alias("shingles"),
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, h0..h{n-1}): minhash_i = min over shingles of hash(i, s).
+
+    Explode + n simultaneous min-aggregations: Spark executes this as one
+    partial/final hash agg (map-side combine), so the shuffle after the
+    explode carries one row per doc_id."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(portable_hash60("shingle", seed=i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_buckets(sigs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Signature -> (doc_id, band_idx, band_hash); docs sharing a bucket in
+    any band become candidates."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        portable_hash60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                            seed=1000 + b,
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def lsh_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = DEFAULT_JACCARD,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate similarity join: pairs (doc_a < doc_b) whose distinct
+    token-k-gram Jaccard >= threshold, found via MinHash banding and then
+    verified EXACTLY (JVM array_intersect/array_union sizes).
+
+    The output therefore equals the brute-force O(n^2) similarity join; LSH
+    only prunes the candidate space (miss probability (1-t^3)^21 ~= 3e-7 at
+    t=0.8, vanishing for the ~0.98-Jaccard duplicates real corpora plant).
+    Never materializes the cross product: candidate volume is ~linear.
+    """
+    sh = shingled(docs, id_col, text_col, k).cache()
+    bands = lsh_band_buckets(minhash_signatures(sh))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over whitespace tokens.
+
+    bit b of the fingerprint is the majority vote of bit b across the
+    portable hashes of every token OCCURRENCE (multiplicity counts, like the
+    classic Charikar construction).  Computed as 60 signed sums in ONE
+    partial/final agg pass, then assembled with 2^b weights — all JVM, all
+    map-side-combinable, and reproducible in DuckDB SQL.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).withColumn("th", portable_hash60("token"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Pairs within `max_hamming` SimHash bits, via the pigeonhole block
+    trick: split the 60-bit fingerprint into `n_blocks` 15-bit blocks; any
+    pair within hamming distance n_blocks-1 must agree exactly on >= 1
+    block, so an equi-join per block finds ALL such pairs (exact, not
+    probabilistic), then bit_count(xor) verifies.  Requires
+    max_hamming < n_blocks."""
+    assert max_hamming < n_blocks
+    block_bits = SIMHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    sh = simhash(docs, id_col, text_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dup_keepers(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-dup pairs into keep/drop decisions: every doc that
+    appears as the greater side of a pair with a smaller doc is dropped
+    (min-id-wins, transitively applied via min over the pair group — the
+    corpus analog of first-guid-wins)."""
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return (
+        docs.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .withColumn("keep", F.coalesce(~F.col("_drop"), F.lit(True)))
+        .drop("_drop")
+    )

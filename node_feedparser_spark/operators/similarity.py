@@ -1,0 +1,263 @@
+"""Similarity search over an embedding column — brute-force cosine top-k
+(the exact baseline) and a deterministic IVF cell-probe variant (the scale
+path).
+
+Design for 100 TB:
+- the query set is SMALL (10s-1000s of vectors); the corpus is huge.  So the
+  query matrix is broadcast (a few MB of numpy) and scoring is a single
+  mapInPandas pass over the corpus: one Arrow-batched numpy matmul per
+  batch, NO shuffle of the corpus, and each batch emits only its LOCAL
+  top-k per query.  The global top-k then reduces q*k*n_batches rows — a
+  shuffle measured in kilobytes regardless of corpus size.
+- IVF: centroids are a deterministic function of the data (the first
+  n_cells vec_ids), every vector is assigned to its argmax-cosine cell, and
+  a query probes only its own top-n_probe cells.  Deterministic => the
+  DuckDB oracle reproduces it exactly; at scale the cell assignment becomes
+  the partitioning key, so a probe touches n_probe/n_cells of the data.
+- all floating-point scoring is float64 numpy; scores are rounded to 6 dp
+  and tie-broken by vec_id so results are stable across engines and
+  parallelism levels.
+
+Reference analog: the reference has no vector ops; this belongs to the
+"operations a large-scale training-data pipeline needs" mandate.  Its
+keep-first/deterministic-tie-break discipline IS the reference's
+(first-wins, /root/reference/lib/feedparser.js:939).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOPK_SCHEMA = "query_id long, vec_id long, score double"
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    pdf = df.select(id_col, vec_col).toPandas().sort_values(id_col)
+    ids = pdf[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, mat
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k corpus vectors with
+    the highest cosine similarity (excluding self-matches by id).
+
+    queries must be small (collected to the driver, broadcast to executors).
+    Returns (query_id, vec_id, score, rank) with score rounded to 6 dp and
+    rank tie-broken ascending by vec_id.
+    """
+    spark = corpus.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
+    q_norm = _normalize_rows(q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy()
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sims = _normalize_rows(mat) @ qn.T  # (batch, n_queries)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                keep = vids != qid  # exclude self
+                cv, cs = vids[keep], col[keep]
+                if len(cv) > k:  # local prune: only batch-local top-k survive
+                    idx = np.argpartition(-cs, k)[:k]
+                    cv, cs = cv[idx], cs[idx]
+                out_q.extend([qid] * len(cv))
+                out_v.extend(cv.tolist())
+                out_s.extend(np.round(cs, 6).tolist())
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score_batches, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def cosine_threshold_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_side: int = 100_000,
+) -> DataFrame:
+    """Embedding near-duplicate join: all pairs (a < b) with cosine >=
+    threshold.  The smaller representation of the corpus is broadcast as one
+    numpy matrix and each Arrow batch matmuls against it — an O(n^2) score
+    computation with O(matches) output and no corpus shuffle.  Guarded by
+    max_side: beyond that, block the corpus through ivf_assign first."""
+    spark = corpus.sparkSession
+    ids, mat = _collect_matrix(corpus, id_col, vec_col)
+    if len(ids) > max_side:
+        raise ValueError(
+            f"cosine_threshold_pairs broadcast side {len(ids)} > {max_side}; "
+            "pre-block with ivf_assign for corpora this large"
+        )
+    bc = spark.sparkContext.broadcast((ids, _normalize_rows(mat)))
+
+    def pair_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_norm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy()
+            mat_b = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sims = _normalize_rows(mat_b) @ all_norm.T
+            rows_i, cols_j = np.where(np.round(sims, 6) >= threshold)
+            va = vids[rows_i]
+            vb = all_ids[cols_j]
+            keep = va < vb  # each unordered pair exactly once
+            yield pd.DataFrame(
+                {
+                    "doc_a": va[keep],
+                    "doc_b": vb[keep],
+                    "score": np.round(sims[rows_i, cols_j][keep], 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        pair_batches, "doc_a long, doc_b long, score double"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine cell among deterministic
+    centroids (the vectors with the n_cells smallest ids — a seed-free,
+    oracle-reproducible choice; swap in k-means offline at real scale, the
+    plan is identical).  Ties break to the lowest cell id.  Output:
+    (vec_id, cell)."""
+    spark = corpus.sparkSession
+    cents = corpus.filter(F.col(id_col) < n_cells)
+    c_ids, c_mat = _collect_matrix(cents, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((c_ids, _normalize_rows(c_mat)))
+
+    def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy()
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sims = np.round(_normalize_rows(mat) @ cn.T, 6)
+            # argmax with lowest-id tie-break: argmax returns first max, and
+            # columns are sorted ascending by centroid id already.
+            cell = ids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame({"vec_id": vids, "cell": cell})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign_batches, "vec_id long, cell long"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell-probe ANN: score only vectors living in the query's
+    n_probe closest cells.  Exactly reproducible (deterministic centroids,
+    rounded scores, id tie-breaks) — the DuckDB oracle runs the same
+    algorithm in SQL.  Recall < 1 by design; the brute-force twin
+    cosine_topk is the correctness baseline."""
+    assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    # queries' probe cells: rank centroids per query by the same rounded
+    # cosine, keep n_probe (cell ties -> lowest cell id, same as assignment).
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    probes = (
+        _score_cross(queries.select(F.col(id_col).alias("query_id"), vec_col), cents)
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cscore").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    member = corpus.join(assigned, id_col).select(id_col, vec_col, "cell")
+    cand = F.broadcast(probes).join(member, "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qvec), "query_id")
+        .withColumn("score", _cosine_col(F.col(vec_col), F.col("qvec")))
+        .select("query_id", F.col(id_col).alias("vec_id"), "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def _cosine_col(a, b):
+    """JVM-side cosine of two array<float|double> columns (zip_with dot,
+    aggregate norms) — sequential left-fold, deterministic, rounded to 6.
+    Kept for small candidate sets where a Python exchange isn't worth it."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
+    return F.round(dot / (na * nb), 6)
+
+
+def _score_cross(queries: DataFrame, cents: DataFrame) -> DataFrame:
+    """Tiny cross join (queries x centroids), JVM-side cosine."""
+    return queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cell",
+        _cosine_col(F.col("embedding"), F.col("cvec")).alias("cscore"),
+    )

@@ -1,0 +1,160 @@
+"""Text analysis for training-data pipelines — language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything here is JVM-side (split / explode / regexp / broadcast join /
+window): no Python in the hot path, so each operator whole-stage-codegens
+and its cost at 100 TB is the one aggregation shuffle it declares.
+
+Reference analogs: stripHtml's whitelist discipline — classify by a known
+dictionary, never a blanket regex (/root/reference/lib/utils.js:367-382,
+lib/constants.js:54-78) — becomes the stopword-table language classifier;
+the namespace dictionary broadcast (lib/constants.js:7-38) is literally the
+same plan shape as `lang_stopword_dim`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60, token_shingles
+
+# Tiny per-language function-word lists (public knowledge).  A dimension
+# table, not a model: language = argmax over languages of stopword hits.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "une", "que"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ist", "für", "nicht"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_stopword_dim(spark: SparkSession) -> DataFrame:
+    rows = [
+        (lang, w) for lang, words in sorted(LANG_STOPWORDS.items()) for w in words
+    ]
+    return spark.createDataFrame(rows, "lang string, word string")
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Predict language as argmax stopword hits via a broadcast dimension
+    join (ties -> lexicographically first language; no hits -> 'und').
+
+    Plan: explode tokens -> broadcast-hash join (no shuffle of the fact
+    side) -> partial/final count agg on (doc, lang) -> row_number window.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    hits = (
+        toks.join(F.broadcast(lang_stopword_dim(spark)), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("lang").asc()
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "n_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features + composite score, all in one
+    projection (no shuffle at all):
+
+    n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio (en),
+    upper_ratio, and quality_score = clamped linear blend.  Rounded to 6 dp
+    for engine-portable comparison.
+    """
+    c = F.col(text_col)
+    toks = F.split(c, r"\s+")
+    n_chars = F.length(c)
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    en_stop = [F.lit(wd) for wd in LANG_STOPWORDS["en"]]
+    n_stop = F.size(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda t: t.isin(*en_stop))
+    )
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", ""))
+    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(n_tokens, F.lit(1))
+    mean_tok = F.round((n_chars - (n_tokens - 1)) / safe_toks.cast("double"), 6)
+    punct_ratio = F.round(punct / safe_chars.cast("double"), 6)
+    stop_ratio = F.round(n_stop / safe_toks.cast("double"), 6)
+    upper_ratio = F.round(upper / safe_chars.cast("double"), 6)
+    score = (
+        F.lit(0.5)
+        + F.lit(0.9) * stop_ratio
+        - F.lit(0.8) * punct_ratio
+        - F.lit(0.5) * upper_ratio
+        + F.lit(0.1) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document (the two
+    standard 'how big is this corpus in tokens' measures)."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(c, r"\s+"), lambda t: t != "")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_keep: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprint: portable 60-bit hash of every
+    token k-gram, keep the n_keep smallest (a bottom-k sketch — the same
+    family as MinHash, usable for containment estimates), plus the single
+    min hash as the scalar fingerprint.  One projection, no shuffle."""
+    # NB: explicit 1-arg lambda — F.transform would otherwise feed the array
+    # index into portable_hash60's `seed` parameter.
+    hashes = F.transform(token_shingles(text_col, k), lambda s: portable_hash60(s))
+    bottom = F.slice(F.array_sort(hashes), 1, n_keep)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(hashes).alias("fingerprint"),
+        bottom.alias("bottom_k"),
+    )

@@ -1,0 +1,218 @@
+"""Unit tests for the training-data pipeline operators (dedupe, similarity,
+text analysis, multimodal) — semantics the DuckDB oracle harness does not
+cover: LSH == brute force, pigeonhole completeness, keeper selection, decode
+plumbing/error paths, language ID on real multilingual text."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from node_feedparser_spark.operators import dedupe as dd
+from node_feedparser_spark.operators import multimodal as mm
+from node_feedparser_spark.operators import similarity as sim
+from node_feedparser_spark.operators import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base + " today"),                      # near-dup of 0
+        (2, base.replace("quick", "slow")),        # near-dup of 0
+        (3, "completely different text about spark shuffles and joins here"),
+        (4, base),                                 # exact dup of 0
+        (5, "tiny"),                               # < k tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def brute_force_jaccard_pairs(rows, threshold, k=3):
+    def sh(t):
+        toks = t.split(" ")
+        if len(toks) < k:
+            return {t}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    out = []
+    for i, (ida, ta_) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            a, b = sh(ta_), sh(tb)
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= threshold:
+                out.append((ida, idb, round(j, 6)))
+    return sorted(out)
+
+
+def test_lsh_equals_brute_force(spark, docs):
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.lsh_near_dup_pairs(docs, threshold=0.5).collect()
+    )
+    assert got == brute_force_jaccard_pairs(rows, 0.5)
+    assert (0, 4, 1.0) in got  # the exact dup pair
+
+
+def test_exact_dedupe_first_wins(spark, docs):
+    res = {r["keeper_doc_id"]: r["n_copies"] for r in dd.exact_dedupe(docs).collect()}
+    assert res[0] == 2  # docs 0 and 4 identical, keeper = min id
+    assert sum(res.values()) == 6
+
+
+def test_near_dup_keepers(spark, docs):
+    pairs = dd.lsh_near_dup_pairs(docs, threshold=0.5)
+    kept = dd.near_dup_keepers(pairs, docs)
+    keep_map = {r["doc_id"]: r["keep"] for r in kept.collect()}
+    assert keep_map[0] is True
+    assert keep_map[4] is False  # dup of 0 dropped (min-id-wins)
+    assert keep_map[3] is True and keep_map[5] is True
+
+
+def test_simhash_blockjoin_complete(spark, docs):
+    """The 4-block pigeonhole join must find EXACTLY the brute-force pairs
+    with hamming <= 3 (it is exact, not probabilistic)."""
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    want = sorted(
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    )
+    assert got == want
+
+
+def test_simhash_near_dups_are_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    # near-dups differ in few bits; unrelated docs differ in many
+    assert bin(sh[0] ^ sh[4]).count("1") == 0
+    assert bin(sh[0] ^ sh[1]).count("1") <= 8
+    assert bin(sh[0] ^ sh[3]).count("1") > 10
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 8)
+    mat[13] = mat[3] + 0.01 * rng.randn(8)  # planted near-dup of 3
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), mat
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    df, mat = vectors
+    got = sim.cosine_topk(df, df.filter(F.col("vec_id") < 5), k=3).collect()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(5):
+        order = sorted(
+            ((round(sims[q, v], 6), -v) for v in range(40) if v != q), reverse=True
+        )[:3]
+        want = [(-v, s) for s, v in order]
+        rows = sorted(
+            (r["rank"], r["vec_id"], r["score"])
+            for r in got
+            if r["query_id"] == q
+        )
+        assert [(v, s) for _, v, s in rows] == want
+
+
+def test_cosine_threshold_pairs_finds_planted(spark, vectors):
+    df, _ = vectors
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in sim.cosine_threshold_pairs(df, 0.99).collect()
+    }
+    assert pairs == {(3, 13)}
+
+
+def test_ivf_recall_vs_brute_force(spark, vectors):
+    df, _ = vectors
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(df, df.filter(F.col("vec_id") < 5), k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(
+            df, df.filter(F.col("vec_id") < 5), k=3, n_cells=8, n_probe=4
+        ).collect()
+    }
+    # cell-probe ANN: recall below 1 is expected, but probing half the cells
+    # on 40 vectors should recover most of the exact top-3
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_language_id_real_text(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy for a while"),
+        (1, "el perro corre por la calle y los gatos del barrio"),
+        (2, "le chat est sur le toit et les oiseaux du jardin"),
+        (3, "der hund und die katze sind mit den kindern"),
+        (4, "xyzzy plugh qwerty"),  # no stopword hits anywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in ta.language_id(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_quality_score_orders_sensibly(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog was in the house for a while"),
+        (1, "!!! ??? ,,, ;;; :: !!!! ???? .... ,,,, ;;;;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["quality_score"] for r in ta.quality_features(df).collect()}
+    assert got[0] > got[1]
+    assert 0.0 <= got[1] <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (0, "some png bytes here", "en", "src0", 19),
+        (1, "a video payload!", "en", "src3", 16),
+        (2, "audio-ish", "de", "src2", 9),
+        (3, "unknown source", "fr", "src9", 14),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    media = mm.attach_payload(docs)
+    meta = {r["doc_id"]: r for r in mm.media_meta(media).collect()}
+    assert meta[0]["modality"] == "image" and meta[0]["media_type"] == "image/png"
+    assert meta[3]["modality"] == "other"
+    assert meta[1]["byte_len"] == 16
+
+    decoded = mm.decode_media(media)
+    rows_d = {r["doc_id"]: r for r in decoded.collect()}
+    assert all(r["decoder"] == "fake-md5" for r in rows_d.values())
+    assert rows_d[1]["n_frames"] >= 1
+    # deterministic: same payload -> same fake dims
+    again = {r["doc_id"]: r for r in mm.decode_media(media).collect()}
+    assert rows_d[1]["width"] == again[1]["width"]
+
+    frames = mm.frame_sample(decoded, every_n=4).collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
+    assert {r["doc_id"] for r in frames} == {1}  # only the video row
+    n1 = rows_d[1]["n_frames"]
+    assert len(frames) == (n1 + 3) // 4
+
+
+def test_payload_dedupe_keeps_first(spark):
+    rows = [
+        (0, "same bytes", "en", "src0", 10),
+        (5, "same bytes", "en", "src0", 10),
+        (2, "same bytes", "en", "src3", 10),  # same content, different type
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    res = {
+        (r["media_type"], r["keeper_doc_id"]): r["n_copies"]
+        for r in mm.exact_payload_dedupe(mm.attach_payload(docs)).collect()
+    }
+    assert res[("image/png", 0)] == 2
+    assert res[("video/mp4", 2)] == 1
