@@ -70,11 +70,14 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 
     Explode + n simultaneous min-aggregations: Spark executes this as one
     partial/final hash agg (map-side combine), so the shuffle after the
-    explode carries one row per doc_id."""
+    explode carries one row per doc_id.  Hashes are native `xxhash64(seed,
+    shingle)` — fast and independent per seed; they never appear in the
+    output (candidates are verified with exact Jaccard), so no DuckDB
+    portability constraint applies, unlike simhash/fingerprints."""
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     return exploded.groupBy("doc_id").agg(
         *[
-            F.min(portable_hash60("shingle", seed=i)).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
@@ -90,15 +93,12 @@ def lsh_band_buckets(sigs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        portable_hash60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
-                            seed=1000 + b,
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("band_hash"),
                     )
                     for b in range(n_bands)

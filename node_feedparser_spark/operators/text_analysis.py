@@ -150,11 +150,17 @@ def fingerprints(
     family as MinHash, usable for containment estimates), plus the single
     min hash as the scalar fingerprint.  One projection, no shuffle."""
     # NB: explicit 1-arg lambda — F.transform would otherwise feed the array
-    # index into portable_hash60's `seed` parameter.
-    hashes = F.transform(token_shingles(text_col, k), lambda s: portable_hash60(s))
-    bottom = F.slice(F.array_sort(hashes), 1, n_keep)
-    return docs.select(
+    # index into portable_hash60's `seed` parameter.  Two-step select so the
+    # hash array is computed ONCE and the sorted copy reused (Catalyst does
+    # not CSE across output aliases in a single project).
+    hashed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_min(hashes).alias("fingerprint"),
-        bottom.alias("bottom_k"),
+        F.array_sort(
+            F.transform(token_shingles(text_col, k), lambda s: portable_hash60(s))
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.element_at("hs", 1).alias("fingerprint"),
+        F.slice("hs", 1, n_keep).alias("bottom_k"),
     )
