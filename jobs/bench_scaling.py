@@ -1,0 +1,154 @@
+"""Two-parallelism scaling bench — the sandbox substitute for the N vs 4N
+executor criterion (BASELINE.md measurement protocol).
+
+Runs the FULL pipeline (dedupe -> extract -> canonicalize -> materialize)
+via cold spark-submit at --master local[8] (N) and local[32] (4N) on the
+same deterministic corpus, and reports throughput at both plus
+efficiency = (thr_32 / thr_8) / 4.
+
+The corpus is the seed-42 datagen corpus replicated REPLICAS x with
+distinct conv_id suffixes (same data distribution, fixture prefixes and
+mega-thread skew preserved), sized so parallel work dominates fixed stage
+overheads — the regime a 1000-executor 100 TB run actually lives in.
+Replication happens Spark-side in seconds; pandas generation of the same
+row count would take tens of minutes.
+
+Usage:
+    python jobs/bench_scaling.py [--replicas 16] [--scale 150] \
+        [--out BENCH/scaling.json]
+
+Writes one JSON file and prints it.  Wall time measured is the pipeline
+wall (jobs/build_kg.py wall_s — session creation excluded on both sides,
+JVM cold each run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_corpus(scale: float, replicas: int, out_path: str) -> int:
+    """Seed corpus via datagen, replicated Spark-side with remapped
+    conv_ids.  Deterministic: same (seed, scale, replicas) -> same rows."""
+    from node_feedparser_spark.datagen import write_transcripts
+    from node_feedparser_spark.session import get_spark
+
+    base = os.path.join(os.path.dirname(out_path), f"base_s{scale:g}.parquet")
+    if not os.path.exists(base):
+        write_transcripts(base, seed=42, scale=scale)
+    spark = get_spark(app="bench_corpus", master="local[32]", shuffle_partitions=32)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(base)
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    out = (
+        df.crossJoin(F.broadcast(reps))
+        .select(
+            F.concat_ws("#", "conv_id", "rep").alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    out.repartition(64).write.mode("overwrite").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+    spark.stop()
+    return n
+
+
+def run_once(corpus: str, out_dir: str, cores: int) -> dict:
+    """Cold spark-submit run; returns the build_kg JSON summary."""
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        # driver memory must be on the submit line: in-session
+        # spark.driver.memory is ignored once the JVM is up, and the
+        # pipeline caches the extracted triples
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        os.path.join(REPO, "jobs", "build_kg.py"),
+        "--input", corpus, "--output", out_dir,
+        "--buckets", "32", "--shuffle-partitions", str(cores),
+        "--no-resume",
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"no JSON summary from local[{cores}] run:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
+
+
+def run_best(corpus: str, workdir: str, cores: int, trials: int) -> dict:
+    """Best-of-N cold runs: this sandbox is a microVM with visible
+    neighbor/steal noise (identical runs vary 2x), so the minimum wall is
+    the faithful estimate of the job's cost at each parallelism."""
+    best = None
+    for t in range(trials):
+        out_dir = os.path.join(workdir, f"kg_{cores}_t{t}")
+        summary = run_once(corpus, out_dir, cores)
+        if best is None or summary["wall_s"] < best["wall_s"]:
+            best = summary
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=64)
+    ap.add_argument("--scale", type=float, default=150)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/bench_scaling")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    corpus = os.path.join(args.workdir, "corpus")
+    n_rows = build_corpus(args.scale, args.replicas, corpus)
+
+    results = {}
+    for cores in (args.low, args.high):
+        summary = run_best(corpus, args.workdir, cores, args.trials)
+        results[cores] = {
+            "wall_s": summary["wall_s"],
+            "n_triples": summary["n_triples"],
+            "triples_per_sec": round(summary["n_triples"] / summary["wall_s"], 1),
+            "phases": summary.get("phases", {}),
+        }
+
+    thr_lo = results[args.low]["triples_per_sec"]
+    thr_hi = results[args.high]["triples_per_sec"]
+    ratio = args.high / args.low
+    eff = round((thr_hi / thr_lo) / ratio, 3)
+    assert (
+        results[args.low]["n_triples"] == results[args.high]["n_triples"]
+    ), "parallelism changed the result — determinism broken"
+
+    report = {
+        "corpus_rows": n_rows,
+        "replicas": args.replicas,
+        "trials": args.trials,
+        "seed_scale": args.scale,
+        "low_cores": args.low,
+        "high_cores": args.high,
+        "low": results[args.low],
+        "high": results[args.high],
+        "scaling_efficiency": eff,
+        "criterion": "efficiency >= 0.8 from N to 4N (BASELINE.json north_rule)",
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,12 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..constants import ALIAS_TABLE
-from ..functions.normalize import (
-    char_shingles,
-    entity_hash,
-    jaccard,
-    normalize_entity_key,
-)
+from ..functions.normalize import normalize_entity_key
 from ..reference_extract import FUZZY_JACCARD
 from .components import connected_components
 
@@ -53,25 +48,43 @@ N_BANDS = 32  # rows per band = N_MINHASH // N_BANDS = 2
 
 @pandas_udf(T.StringType())
 def norm_key_udf(surfaces: pd.Series) -> pd.Series:
+    """The only Python exchange in canonicalization: NFKC casefold has no
+    JVM-side equivalent expression.  Everything downstream is JVM columns."""
     return surfaces.map(normalize_entity_key)
 
 
-@pandas_udf(T.LongType())
-def entity_hash_udf(keys: pd.Series) -> pd.Series:
-    return keys.map(entity_hash).astype("int64")
+def entity_hash_col(key) -> "F.Column":
+    """JVM twin of functions.normalize.entity_hash: first 8 bytes of
+    sha1(key) as big-endian signed int64.  shiftleft/bitwiseOR reassemble
+    the two 32-bit halves with two's-complement wrap (bitwise ops don't
+    ANSI-overflow); parity with the oracle is pinned by tests."""
+    c = F.col(key) if isinstance(key, str) else key
+    d = F.sha1(c)
+    hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
-@pandas_udf(T.ArrayType(T.StringType()))
-def shingles_udf(keys: pd.Series) -> pd.Series:
-    return keys.map(lambda k: sorted(char_shingles(k)))
-
-
-@pandas_udf(T.DoubleType())
-def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaccard(char_shingles(x), char_shingles(y)) for x, y in zip(a, b)],
-        dtype="float64",
+def char_shingles_col(key, k: int = 3) -> "F.Column":
+    """JVM twin of functions.normalize.char_shingles: distinct character
+    k-grams of the space-padded key (whole padded string when shorter than
+    k)."""
+    c = F.col(key) if isinstance(key, str) else key
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    n = F.length(padded)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)), lambda i: padded.substr(i, F.lit(k))
     )
+    return F.array_distinct(
+        F.when(n <= k, F.array(padded)).otherwise(grams)
+    )
+
+
+def jaccard_col(a, b, k: int = 3) -> "F.Column":
+    """JVM twin of functions.normalize.jaccard over char shingle sets."""
+    sa, sb = char_shingles_col(a, k), char_shingles_col(b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    return inter / (F.size(sa) + F.size(sb) - inter)
 
 
 def alias_dim(spark: SparkSession) -> DataFrame:
@@ -115,7 +128,7 @@ def lsh_candidate_pairs(keys: DataFrame) -> DataFrame:
     bucket become a candidate pair.  Bucket join uses a conditional self-join
     on (band_idx, band_hash) with key_a < key_b to halve the pair space.
     """
-    exploded = keys.select("key", F.explode(shingles_udf("key")).alias("shingle"))
+    exploded = keys.select("key", F.explode(char_shingles_col("key")).alias("shingle"))
     minhashes = exploded.groupBy("key").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -165,11 +178,11 @@ def canonicalize(spark: SparkSession, surfaces: DataFrame):
     keyed.cache()
 
     distinct_keys = keyed.select("key", "is_pseudo").distinct()
-    node_ids = distinct_keys.withColumn("node_id", entity_hash_udf("key")).cache()
+    node_ids = distinct_keys.withColumn("node_id", entity_hash_col("key")).cache()
 
     fuzzy_keys = node_ids.filter(~F.col("is_pseudo")).select("key")
     pairs = lsh_candidate_pairs(fuzzy_keys)
-    verified = pairs.filter(jaccard_udf("key_a", "key_b") >= F.lit(FUZZY_JACCARD))
+    verified = pairs.filter(jaccard_col("key_a", "key_b") >= F.lit(FUZZY_JACCARD))
 
     ids = node_ids.select("key", "node_id")
     edge_ids = (

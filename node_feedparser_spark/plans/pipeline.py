@@ -27,6 +27,7 @@ Scale design:
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -210,14 +211,30 @@ def build_kg(
 
     # --- materialize: data first, metrics (the commit marker) last, so a
     # crash mid-write is re-done on resume rather than falsely committed.
-    triples.write.partitionBy("bucket").mode("append").parquet(triples_path)
+    phases: dict[str, float] = {}
+    t0 = time.monotonic()
+    # co-locate each bucket into one task before the partitioned write:
+    # without this every task writes a file per bucket (tasks x buckets
+    # small files — a metadata storm at cluster scale)
+    triples.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(triples_path)
+    phases["write_triples"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
     vertices.write.mode("overwrite").parquet(vertices_path)
+    phases["write_vertices"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
     edges.write.mode("overwrite").parquet(edges_path)
+    phases["write_edges"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
     metrics.write.mode("append").parquet(metrics_path)
+    phases["write_metrics"] = round(time.monotonic() - t0, 2)
 
+    t0 = time.monotonic()
     n_triples = triples.count()
     n_vertices = vertices.count()
     n_edges = edges.count()
+    phases["counts"] = round(time.monotonic() - t0, 2)
     extracted.unpersist()
     mapping.unpersist()
     triples.unpersist()
@@ -229,4 +246,5 @@ def build_kg(
         "n_edges": n_edges,
         "skipped_buckets": skipped,
         "output_dir": output_dir,
+        "phases": phases,
     }

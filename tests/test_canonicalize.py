@@ -30,6 +30,61 @@ def test_connected_components_chain(spark):
     assert set(labels.keys()) == set(range(10))
 
 
+def test_cc_local_and_distributed_agree(spark):
+    """The driver-side union-find fast path and the large-star/small-star
+    loop must assign identical labels on a random-ish graph."""
+    import random
+
+    rng = random.Random(1234)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=10**6).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist and local
+
+
+def test_jvm_columns_match_python_spec(spark):
+    """entity_hash_col / char_shingles_col / jaccard_col are JVM-side
+    re-expressions of the pure-Python spec functions — parity must be exact
+    (the oracle is defined by the Python versions)."""
+    from node_feedparser_spark.functions.normalize import (
+        char_shingles,
+        entity_hash,
+        jaccard,
+    )
+    from node_feedparser_spark.operators.canonicalize import (
+        char_shingles_col,
+        entity_hash_col,
+        jaccard_col,
+    )
+
+    keys = [
+        "kubernetes", "a", "ab", "abc", "postgres 12", "café über",
+        "кубернетес", "x" * 50, "with  double  spaces",
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows = df.select(
+        "key",
+        entity_hash_col("key").alias("h"),
+        char_shingles_col("key").alias("sh"),
+    ).collect()
+    for r in rows:
+        assert r["h"] == entity_hash(r["key"]), r["key"]
+        assert set(r["sh"]) == char_shingles(r["key"]), r["key"]
+
+    pairs = [(a, b) for a in keys[:5] for b in keys[:5]]
+    pdf = spark.createDataFrame(pairs, "a string, b string")
+    for r in pdf.select("a", "b", jaccard_col("a", "b").alias("j")).collect():
+        want = jaccard(char_shingles(r["a"]), char_shingles(r["b"]))
+        assert abs(r["j"] - want) < 1e-12, (r["a"], r["b"])
+
+
 def test_lsh_finds_fuzzy_pairs(spark):
     keys = spark.createDataFrame(
         [("kubernetes",), ("kuberrnetes",), ("javascript",), ("typescript",)],

@@ -1,0 +1,128 @@
+"""Physical-plan assertions — the 'is this the plan you'd want at 100 TB'
+gate.  Each test pins a plan property that actually matters at scale:
+broadcast instead of shuffle join, filter pushdown into the parquet scan,
+column pruning, whole-stage codegen, and no shuffle ahead of stateless
+extraction.  If a refactor regresses one of these, correctness tests stay
+green but THESE fail — by design."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dim_joins_are_broadcast(spark):
+    """J1: tiny dims must broadcast — a shuffle join of customer vs nation
+    would shuffle the whole fact side."""
+    p = plan_of(entrymod.q_broadcast_dim_join(spark, SF_DIR), "simple")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_alias_dim_join_is_broadcast(spark):
+    from node_feedparser_spark.operators.canonicalize import surface_keys
+
+    surfaces = spark.createDataFrame(
+        [("K8s", 3), ("conv:x", 1)], "surface string, n_mentions long"
+    )
+    p = plan_of(surface_keys(spark, surfaces))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(entrymod.q_agg_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1].split("]", 1)[0]
+
+
+def test_column_pruning(spark):
+    """token_stats projects 2 of 5 document columns; the scan must read
+    only those (ReadSchema), not the full row."""
+    p = plan_of(entrymod.q_token_stats(spark, SF_DIR))
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_aggregation_is_partial_final(spark):
+    """A1: groupBy aggregates must map-side combine (two HashAggregate
+    nodes around the exchange), not ship raw rows."""
+    p = plan_of(entrymod.q_agg_pricing_summary(spark, SF_DIR), "simple")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    """Scalar CASE dispatch + agg must codegen end-to-end ('*'-starred
+    nodes in simple mode).  NB: queries built on higher-order array
+    functions (transform/filter/aggregate) legitimately fall back to
+    non-codegen Project — that's a Spark limitation, not a plan bug."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # (with AQE on, codegen subtrees only appear in the executed plan)
+        p = plan_of(entrymod.q_case_dispatch(spark, SF_DIR), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in p
+    assert not p.startswith("Found 0 ")
+
+
+def test_extraction_has_no_shuffle(spark, corpus_path):
+    """Stateless mapInPandas extraction must run on scan partitions as-is:
+    any Exchange before it would shuffle the full corpus for nothing (and
+    reintroduce mega-thread skew sensitivity)."""
+    from node_feedparser_spark.operators.extract import extract_triples
+    from node_feedparser_spark.sources.transcripts import read_transcripts
+
+    p = plan_of(extract_triples(read_transcripts(spark, corpus_path)), "simple")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+
+
+def test_dedupe_shuffles_composite_key(spark, corpus_path):
+    """A2 first-wins dedupe partitions by the near-unique composite
+    (conv_id, turn_idx) — one hash exchange, skew-free even for
+    mega-threads."""
+    from node_feedparser_spark.operators.extract import dedupe_first_wins
+    from node_feedparser_spark.sources.transcripts import read_transcripts
+
+    p = plan_of(dedupe_first_wins(read_transcripts(spark, corpus_path)), "simple")
+    assert p.count("Exchange hashpartitioning(conv_id") == 1
+    assert "turn_idx" in p.split("Exchange hashpartitioning", 1)[1].split(")", 1)[0]
+
+
+def test_minhash_agg_is_partial_final(spark):
+    """A7: the 63 min-aggregations after the shingle explode must map-side
+    combine so the exchange carries one row per doc, not per shingle."""
+    from node_feedparser_spark.operators.dedupe import minhash_signatures, shingled
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "c d e f g")], "doc_id long, text string"
+    )
+    p = plan_of(minhash_signatures(shingled(docs)), "simple")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ann_topk_shuffle_is_tiny(spark):
+    """Similarity search: the corpus must NOT be shuffled — only the
+    batch-local top-k rows move (one exchange on query_id for the final
+    window)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from node_feedparser_spark.operators.similarity import cosine_topk
+
+    p = plan_of(cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3), "simple")
+    # exactly one exchange: hashpartitioning(query_id) for the global top-k
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "query_id" in p
