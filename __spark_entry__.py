@@ -538,6 +538,61 @@ def q_whitespace_hoist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parent-child collect, order-sensitive: per user, the first 5
+    event types in (ts, event_id) order as one array.  collect_list is
+    order-nondeterministic under parallelism, so the struct-sort_array
+    idiom pins document order (SURVEY.md A1 'always carry turn_idx')."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+                ",",
+            ).alias("first_events")
+        )
+    )
+
+
+def q_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 attribute simplification on a MapType column: build an attr map,
+    lowercase the keys, drop the 'version' key (reference excludes the
+    version attr from meta '@', lib/feedparser.js:209-215), emit sorted
+    k=v pairs for engine-portable comparison."""
+    part = _t(spark, sf_dir, "part")
+    attrs = F.create_map(
+        F.lit("Brand"), F.col("p_brand"),
+        F.lit("TYPE"), F.col("p_type"),
+        F.lit("version"), F.col("p_size").cast("string"),
+    )
+    lowered = F.transform_keys(attrs, lambda k, _: F.lower(k))
+    cleaned = F.map_filter(lowered, lambda k, _: k != "version")
+    return part.select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(cleaned),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                )
+            ),
+            ";",
+        ).alias("attrs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -576,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "rollup_revenue": q_rollup_revenue,
         "whitespace_hoist": q_whitespace_hoist,
+        "ordered_collect": q_ordered_collect,
+        "map_normalize": q_map_normalize,
     }
 
 
@@ -949,5 +1006,20 @@ def _extra_oracles() -> dict[str, str]:
                    NULLIF(TRIM(CASE WHEN doc_id % 7 = 0 THEN '   '
                                ELSE '  ' || lang || ' ' END), '') AS hoisted_lang
             FROM documents
+        """,
+        "ordered_collect": """
+            SELECT user_id,
+                   array_to_string(
+                       list(event_type ORDER BY ts ASC, event_id ASC)[1:5],
+                       ',') AS first_events
+            FROM events GROUP BY user_id
+        """,
+        "map_normalize": """
+            SELECT p_partkey,
+                   array_to_string(list_sort([
+                       'brand=' || p_brand,
+                       'type=' || p_type
+                   ]), ';') AS attrs
+            FROM part
         """,
     }
