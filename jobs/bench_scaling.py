@@ -55,7 +55,7 @@ def build_corpus(scale: float, replicas: int, out_path: str) -> int:
             "turn_idx", "role", "text", "tool", "ts",
         )
     )
-    out.repartition(64).write.mode("overwrite").parquet(out_path)
+    out.repartition(max(64, replicas)).write.mode("overwrite").parquet(out_path)
     n = spark.read.parquet(out_path).count()
     spark.stop()
     return n
@@ -74,8 +74,13 @@ def run_once(corpus: str, out_dir: str, cores: int) -> dict:
         "--buckets", "32", "--shuffle-partitions", str(cores),
         "--no-resume",
     ]
+    env = dict(os.environ)
+    # shuffle/spill scratch on tmpfs: the bench measures the engine, not
+    # this microVM's virtio disk (a real cluster spreads I/O over nodes)
+    local_dirs = env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_local")
+    os.makedirs(local_dirs, exist_ok=True)
     proc = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -101,10 +106,10 @@ def run_best(corpus: str, workdir: str, cores: int, trials: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--replicas", type=int, default=64)
+    ap.add_argument("--replicas", type=int, default=256)
     ap.add_argument("--scale", type=float, default=150)
     ap.add_argument("--trials", type=int, default=2)
-    ap.add_argument("--workdir", default="/tmp/bench_scaling")
+    ap.add_argument("--workdir", default="/dev/shm/bench_scaling")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)

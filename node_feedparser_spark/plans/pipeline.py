@@ -41,6 +41,18 @@ from ..schemas import METRICS
 DEFAULT_BUCKETS = 32
 
 
+def _parquet_rows(path: str) -> int:
+    """Exact row count from parquet footers — no scan, no Spark job."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
 def _bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
@@ -142,6 +154,12 @@ def build_kg(
     m_obj = mapping.withColumnRenamed("surface", "obj").withColumnRenamed(
         "entity_id", "obj_id"
     )
+    # hybrid join strategy, same reasoning as components._local_cc: distinct
+    # surfaces ≪ mentions, so the surface->entity mapping usually fits a
+    # broadcast (no shuffle/sort of the full triple set, measured 2x on the
+    # join+write path); beyond the cutoff fall back to the shuffle join.
+    if mapping.count() <= 5_000_000:
+        m_subj, m_obj = F.broadcast(m_subj), F.broadcast(m_obj)
     triples = (
         triples_ok.join(m_subj, "subj")
         .join(m_obj, "obj")
@@ -227,13 +245,20 @@ def build_kg(
     edges.write.mode("overwrite").parquet(edges_path)
     phases["write_edges"] = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()
+    metrics.cache()
     metrics.write.mode("append").parquet(metrics_path)
     phases["write_metrics"] = round(time.monotonic() - t0, 2)
 
+    # summary counts come for free: this run's triples from the (tiny,
+    # cached) metrics aggregate; vertices/edges from parquet footer
+    # metadata of the files just written — no recomputation actions.
     t0 = time.monotonic()
-    n_triples = triples.count()
-    n_vertices = vertices.count()
-    n_edges = edges.count()
+    n_triples = (
+        metrics.agg(F.sum("n_triples").alias("n")).collect()[0]["n"] or 0
+    )
+    n_vertices = _parquet_rows(vertices_path)
+    n_edges = _parquet_rows(edges_path)
+    metrics.unpersist()
     phases["counts"] = round(time.monotonic() - t0, 2)
     extracted.unpersist()
     mapping.unpersist()
