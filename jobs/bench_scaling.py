@@ -61,9 +61,17 @@ def build_corpus(scale: float, replicas: int, out_path: str) -> int:
     return n
 
 
-def run_once(corpus: str, out_dir: str, cores: int) -> dict:
-    """Cold spark-submit run; returns the build_kg JSON summary."""
-    cmd = [
+def run_once(corpus: str, out_dir: str, cores: int, bind: bool = True) -> dict:
+    """Cold spark-submit run; returns the build_kg JSON summary.
+
+    bind=True pins the process tree to exactly `cores` CPUs (taskset).
+    Without it, local[N] caps only TASK slots: GC, parquet compression,
+    shuffle threads and Python workers of the 'N-core' run would silently
+    use all host CPUs, inflating the small configuration and corrupting the
+    N-vs-4N comparison.  Real clusters bind executor cpusets (YARN/k8s),
+    so the bound measurement is the faithful model.
+    """
+    cmd = ([f"taskset", "-c", f"0-{cores - 1}"] if bind else []) + [
         "spark-submit", "--master", f"local[{cores}]",
         # driver memory must be on the submit line: in-session
         # spark.driver.memory is ignored once the JVM is up, and the
@@ -91,14 +99,16 @@ def run_once(corpus: str, out_dir: str, cores: int) -> dict:
     )
 
 
-def run_best(corpus: str, workdir: str, cores: int, trials: int) -> dict:
+def run_best(
+    corpus: str, workdir: str, cores: int, trials: int, bind: bool = True
+) -> dict:
     """Best-of-N cold runs: this sandbox is a microVM with visible
     neighbor/steal noise (identical runs vary 2x), so the minimum wall is
     the faithful estimate of the job's cost at each parallelism."""
     best = None
     for t in range(trials):
         out_dir = os.path.join(workdir, f"kg_{cores}_t{t}")
-        summary = run_once(corpus, out_dir, cores)
+        summary = run_once(corpus, out_dir, cores, bind=bind)
         if best is None or summary["wall_s"] < best["wall_s"]:
             best = summary
     return best
@@ -113,6 +123,8 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--no-bind", action="store_true",
+                    help="skip taskset cpuset binding (not recommended)")
     args = ap.parse_args()
 
     corpus = os.path.join(args.workdir, "corpus")
@@ -120,7 +132,9 @@ def main() -> None:
 
     results = {}
     for cores in (args.low, args.high):
-        summary = run_best(corpus, args.workdir, cores, args.trials)
+        summary = run_best(
+            corpus, args.workdir, cores, args.trials, bind=not args.no_bind
+        )
         results[cores] = {
             "wall_s": summary["wall_s"],
             "n_triples": summary["n_triples"],

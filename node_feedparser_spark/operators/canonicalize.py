@@ -173,10 +173,66 @@ def canonicalize(spark: SparkSession, surfaces: DataFrame):
     vertices: (entity_id, canonical_name, aliases, n_mentions) — canonical
               name = most-mentioned surface, ties lexicographic
               (matches the pure-Python spec).
+
+    Execution split: pseudo-entities ('conv:', 'tool:') merge by EXACT key
+    only, so they take a fast path — one groupBy(key), entity_id =
+    hash(key), no LSH / CC / label joins.  At corpus scale pseudo surfaces
+    outnumber mention surfaces ~1000:1 (one per conversation), so this
+    removes almost all data from the expensive path without changing one
+    label.  The single subtlety: a pseudo surface whose key COLLIDES with a
+    mention key could be pulled into a fuzzy-merged component, so colliding
+    keys are routed to the full path (the overlap is computed exactly and
+    is ~always empty).
     """
     keyed = surface_keys(spark, surfaces)  # surface, key, n_mentions, is_pseudo
     keyed.cache()
 
+    mention_keyed = keyed.filter(~F.col("is_pseudo"))
+    pseudo_keyed = keyed.filter(F.col("is_pseudo"))
+    overlap = (
+        pseudo_keyed.select("key")
+        .distinct()
+        .join(mention_keyed.select("key").distinct(), "key")
+    )
+    full_keyed = mention_keyed.unionByName(
+        pseudo_keyed.join(F.broadcast(overlap), "key")
+    )
+    fast_keyed = pseudo_keyed.join(F.broadcast(overlap), "key", "left_anti")
+
+    fast_mapping = fast_keyed.select(
+        "surface", entity_hash_col("key").alias("entity_id")
+    )
+    # canonical_name via one ordered-struct min: (-n_mentions asc, surface
+    # asc) == (count desc, name asc) — no window, map-side combinable
+    fast_vertices = (
+        fast_keyed.groupBy("key")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_mentions")).alias("neg"),
+                    F.col("surface").alias("s"),
+                )
+            ).alias("best"),
+            F.sort_array(F.collect_set("surface")).alias("aliases"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+        .select(
+            entity_hash_col("key").alias("entity_id"),
+            F.col("best.s").alias("canonical_name"),
+            "aliases",
+            "n_mentions",
+        )
+    )
+
+    full_mapping, full_vertices = _canonicalize_full(full_keyed)
+    mapping = full_mapping.unionByName(fast_mapping)
+    vertices = full_vertices.unionByName(fast_vertices)
+    return mapping, vertices
+
+
+def _canonicalize_full(keyed: DataFrame):
+    """The LSH + connected-components path (mention surfaces + colliding
+    pseudo keys): see module docstring steps 3-5."""
     distinct_keys = keyed.select("key", "is_pseudo").distinct()
     node_ids = distinct_keys.withColumn("node_id", entity_hash_col("key")).cache()
 

@@ -230,32 +230,51 @@ def build_kg(
     # --- materialize: data first, metrics (the commit marker) last, so a
     # crash mid-write is re-done on resume rather than falsely committed.
     phases: dict[str, float] = {}
+
+    def _write_triples() -> None:
+        # co-locate each bucket into one task before the partitioned write:
+        # without this every task writes a file per bucket (tasks x buckets
+        # small files — a metadata storm at cluster scale)
+        triples.repartition(n_buckets, "bucket").write.partitionBy(
+            "bucket"
+        ).mode("append").parquet(triples_path)
+
+    def _write_vertices() -> None:
+        vertices.write.mode("overwrite").parquet(vertices_path)
+
+    def _write_edges() -> None:
+        edges.write.mode("overwrite").parquet(edges_path)
+
+    # materialize the triples cache with one action first — otherwise the
+    # concurrent writes below would race to compute it
     t0 = time.monotonic()
-    # co-locate each bucket into one task before the partitioned write:
-    # without this every task writes a file per bucket (tasks x buckets
-    # small files — a metadata storm at cluster scale)
-    triples.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
-        "append"
-    ).parquet(triples_path)
-    phases["write_triples"] = round(time.monotonic() - t0, 2)
+    n_triples = triples.count()
+    phases["materialize"] = round(time.monotonic() - t0, 2)
+
+    # the three data sinks are independent — submit them as concurrent
+    # Spark jobs so their stage scheduling overlaps (metrics, the commit
+    # marker, is still written strictly last)
+    import concurrent.futures as cf
+
     t0 = time.monotonic()
-    vertices.write.mode("overwrite").parquet(vertices_path)
-    phases["write_vertices"] = round(time.monotonic() - t0, 2)
-    t0 = time.monotonic()
-    edges.write.mode("overwrite").parquet(edges_path)
-    phases["write_edges"] = round(time.monotonic() - t0, 2)
+    with cf.ThreadPoolExecutor(max_workers=3) as pool:
+        futures = {
+            "write_triples": pool.submit(_write_triples),
+            "write_vertices": pool.submit(_write_vertices),
+            "write_edges": pool.submit(_write_edges),
+        }
+        for name, fut in futures.items():
+            fut.result()
+    phases["write_data"] = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()
     metrics.cache()
     metrics.write.mode("append").parquet(metrics_path)
     phases["write_metrics"] = round(time.monotonic() - t0, 2)
 
-    # summary counts come for free: this run's triples from the (tiny,
-    # cached) metrics aggregate; vertices/edges from parquet footer
-    # metadata of the files just written — no recomputation actions.
+    # summary counts come for free: n_triples from the materialize action
+    # above; vertices/edges from parquet footer metadata of the files just
+    # written — no recomputation actions.
     t0 = time.monotonic()
-    n_triples = (
-        metrics.agg(F.sum("n_triples").alias("n")).collect()[0]["n"] or 0
-    )
     n_vertices = _parquet_rows(vertices_path)
     n_edges = _parquet_rows(edges_path)
     metrics.unpersist()
