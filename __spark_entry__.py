@@ -197,7 +197,7 @@ def q_window_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "rn")
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -239,8 +239,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.length("text").alias("n_chars_computed"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
     )
 
 
@@ -669,7 +669,7 @@ def _simhash_cte() -> str:
                  FROM documents),
         th AS (SELECT doc_id, {h_sql('token')} AS th FROM toks),
         votes AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
-        sh AS (SELECT doc_id, ({assemble}) AS simhash FROM votes)
+        sh AS (SELECT doc_id, CAST(({assemble}) AS BIGINT) AS simhash FROM votes)
     """
 
 
