@@ -48,12 +48,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.monotonic()
 
-    # --- flagship KG pipeline, corpus sized to the SF (seeded, deterministic)
+    # --- flagship KG pipeline on a corpus big enough that data, not stage
+    # scheduling, dominates: seed-42 datagen base replicated Spark-side
+    # (same construction as jobs/bench_scaling.py, deterministic)
     scale = max(2.0, sf * 100)
-    corpus = f"/tmp/bench_corpus_s{scale:g}/transcripts.parquet"
+    replicas = max(1, int(sf * 1600))  # sf0.1 -> 160 replicas ≈ 1.1 M turns
+    corpus = f"/tmp/bench_corpus_s{scale:g}_r{replicas}"
     out_dir = f"/tmp/bench_kg_{os.getpid()}"
-    if not os.path.exists(corpus):
-        write_transcripts(corpus, seed=42, scale=scale)
+    if not os.path.isdir(corpus):
+        base = f"/tmp/bench_corpus_s{scale:g}/transcripts.parquet"
+        if not os.path.exists(base):
+            write_transcripts(base, seed=42, scale=scale)
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(base)
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        (
+            df.crossJoin(F.broadcast(reps))
+            .select(
+                F.concat_ws("#", "conv_id", "rep").alias("conv_id"),
+                "turn_idx", "role", "text", "tool", "ts",
+            )
+            .repartition(max(64, replicas))
+            .write.mode("overwrite")
+            .parquet(corpus)
+        )
     t0 = time.monotonic()
     summary = build_kg(spark, corpus, out_dir, n_buckets=cpus, resume=False)
     timings["kg_pipeline"] = round(time.monotonic() - t0, 3)
