@@ -61,12 +61,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for conv_id, turn_idx, role, text, tool in zip(
             pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"]
         ):
+            # schema-violating keys (null turn_idx) must not kill the task
+            # — and must not kill the ERROR handler either, so the safe
+            # index is computed before the try (error-resume discipline,
+            # /root/reference/lib/feedparser.js:140-154)
+            ti = None if pd.isna(turn_idx) else int(turn_idx)
             try:
-                triples, _ = extract_turn(conv_id, int(turn_idx), role, text, tool)
+                if ti is None:
+                    raise ValueError("null turn_idx")
+                triples, _ = extract_turn(conv_id, ti, role, text, tool)
             except Exception:
                 triples = [
                     {
-                        "conv_id": conv_id, "turn_idx": int(turn_idx),
+                        "conv_id": conv_id, "turn_idx": -1 if ti is None else ti,
                         "subj": None, "pred": ERROR_PRED, "obj": None,
                         "score": 0.0,
                     }

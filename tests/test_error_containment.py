@@ -1,0 +1,53 @@
+"""Positive exercise of the error-containment path: a poison row (null
+turn_idx — a schema violation parquet can carry despite the declared
+non-null field) must become an ERROR_PRED row routed to metrics, never a
+task failure (reference error-resume, lib/feedparser.js:140-154;
+test/bad.js:71-121)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from node_feedparser_spark.operators.extract import ERROR_PRED, extract_triples
+from node_feedparser_spark.plans.pipeline import build_kg
+from node_feedparser_spark.sources.transcripts import read_transcripts
+
+
+@pytest.fixture(scope="module")
+def poisoned_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("poison")
+    path = str(root / "transcripts.parquet")
+    table = pa.table(
+        {
+            "conv_id": ["ok-1", "ok-1", "poison-1"],
+            "turn_idx": pa.array([0, 1, None], type=pa.int32()),
+            "role": ["user", "assistant", "user"],
+            "text": ["Spark uses Arrow", "Kafka is a Broker", "fine text"],
+            "tool": pa.array([None, None, None], type=pa.string()),
+            "ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
+def test_poison_row_becomes_error_row(spark, poisoned_corpus):
+    turns = read_transcripts(spark, poisoned_corpus)
+    out = extract_triples(turns)
+    errors = out.filter(F.col("pred") == ERROR_PRED).collect()
+    ok = out.filter(F.col("pred") != ERROR_PRED)
+    assert len(errors) == 1
+    assert errors[0]["conv_id"] == "poison-1" and errors[0]["turn_idx"] == -1
+    # healthy rows still extracted
+    assert ok.filter(F.col("conv_id") == "ok-1").count() >= 2
+
+
+def test_pipeline_routes_error_to_metrics(spark, poisoned_corpus, tmp_path):
+    out_dir = str(tmp_path / "kg")
+    summary = build_kg(spark, poisoned_corpus, out_dir, n_buckets=4, resume=False)
+    assert summary["n_triples"] >= 2
+    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    assert metrics.agg(F.sum("n_errors")).collect()[0][0] == 1
