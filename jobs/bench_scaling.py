@@ -116,13 +116,15 @@ def run_best(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--replicas", type=int, default=256)
+    # defaults reproduce BENCH/scaling_2_8.json — the clean N-vs-4N pair on
+    # this host (see BASELINE.md for why 8->32 saturates the microVM)
+    ap.add_argument("--replicas", type=int, default=128)
     ap.add_argument("--scale", type=float, default=150)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--workdir", default="/dev/shm/bench_scaling")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--no-bind", action="store_true",
                     help="skip taskset cpuset binding (not recommended)")
     args = ap.parse_args()
