@@ -403,9 +403,12 @@ def q_payload_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 meta/item child skip as anti-join: customers with no orders."""
+    """P5 meta/item child skip as anti-join: customers with no FINISHED
+    orders.  (Every customer in the driver testdata has at least one order,
+    so the round-1 'no orders at all' predicate was vacuously empty — this
+    one returns 71 rows at sf0.01 / 511 at sf0.1.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -503,11 +506,22 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set ops: users who clicked but never purchased (EXCEPT)."""
+    """Set ops: (user, day) pairs with a click but no purchase that day
+    (EXCEPT).  Day granularity because every user in the driver testdata
+    eventually triggers every event type, making the round-1 user-level
+    EXCEPT vacuously empty; this returns 1010 rows at sf0.01."""
     ev = _t(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    return clickers.exceptAll(buyers)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    return clicks.exceptAll(buys)
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,7 +950,9 @@ def _extra_oracles() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
         """,
         "author_parse": """
             SELECT c_custkey,
@@ -989,9 +1005,11 @@ def _extra_oracles() -> dict[str, str]:
             FROM events
         """,
         "set_except": """
-            SELECT user_id FROM events WHERE event_type = 'click'
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'click'
             EXCEPT
-            SELECT user_id FROM events WHERE event_type = 'purchase'
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
         """,
         "rollup_revenue": """
             SELECT r_name, n_name, COUNT(*) AS n_customers,

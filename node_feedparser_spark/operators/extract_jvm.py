@@ -121,7 +121,12 @@ def extract_triples_jvm(turns: DataFrame) -> DataFrame:
         )
 
     conv_ent = F.concat(F.lit("conv:"), F.col("conv_id"))
-    tool_trim = F.trim(F.col("tool"))
+    # the spec is Python str(tool).strip(); F.trim strips ONLY spaces, so a
+    # tool padded with \t/\n/\r would keep its padding (and a whitespace-only
+    # tool would emit a spurious triple).  Java \s = [ \t\n\x0B\f\r] covers
+    # exactly the whitespace a clean row can contain (\x0b/\x0c and all
+    # exotic unicode spaces are screened to the Python path by _is_dirty).
+    tool_trim = F.regexp_replace(F.col("tool"), r"^\s+|\s+$", "")
     # singleton array filtered by a row-level predicate: avoids typing an
     # empty-array literal in the otherwise branch
     tool_part = F.filter(

@@ -83,13 +83,19 @@ def cosine_topk(
             for j, qid in enumerate(ids):
                 col = sims[:, j]
                 keep = vids != qid  # exclude self
-                cv, cs = vids[keep], col[keep]
-                if len(cv) > k:  # local prune: only batch-local top-k survive
-                    idx = np.argpartition(-cs, k)[:k]
-                    cv, cs = cv[idx], cs[idx]
+                # round BEFORE the local prune: the global tie-break is
+                # (rounded score desc, vec_id asc), so pruning on raw floats
+                # could drop a row that ties at the k-th rounded score and
+                # would have won the vec_id tie-break.  Keep every row whose
+                # rounded score >= the k-th largest rounded score (>= k rows).
+                cv, cs = vids[keep], np.round(col[keep], 6)
+                if len(cv) > k:
+                    kth = np.partition(cs, len(cs) - k)[len(cs) - k]
+                    sel = cs >= kth
+                    cv, cs = cv[sel], cs[sel]
                 out_q.extend([qid] * len(cv))
                 out_v.extend(cv.tolist())
-                out_s.extend(np.round(cs, 6).tolist())
+                out_s.extend(cs.tolist())
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
 
     local = corpus.select(id_col, vec_col).mapInPandas(score_batches, TOPK_SCHEMA)

@@ -157,8 +157,22 @@ def build_kg(
     # hybrid join strategy, same reasoning as components._local_cc: distinct
     # surfaces ≪ mentions, so the surface->entity mapping usually fits a
     # broadcast (no shuffle/sort of the full triple set, measured 2x on the
-    # join+write path); beyond the cutoff fall back to the shuffle join.
-    if mapping.count() <= 5_000_000:
+    # join+write path).  The gate is an ESTIMATED BYTE size, not a row
+    # count: one agg job over the cached mapping yields (rows, total
+    # surface bytes); the in-memory hash relation costs roughly
+    # string bytes + ~48 B/row of object+hash overhead.  Broadcasting is
+    # forced only under 64 MB estimated — far below executor budgets even
+    # with the 2x hint (subj + obj).  Past the gate we do NOT hint and let
+    # AQE convert the join at runtime if the post-shuffle size qualifies;
+    # the worst case is a sort-merge join that shuffles the triple set
+    # twice (subj then obj) — correct, just ~2x slower on the join+write
+    # path at fixture scale.
+    stats = mapping.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.length("surface")), F.lit(0)).alias("surface_bytes"),
+    ).collect()[0]
+    est_bytes = int(stats["surface_bytes"]) + 48 * int(stats["rows"])
+    if est_bytes <= 64 * 1024 * 1024:
         m_subj, m_obj = F.broadcast(m_subj), F.broadcast(m_obj)
     triples = (
         triples_ok.join(m_subj, "subj")

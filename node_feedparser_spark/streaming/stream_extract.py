@@ -11,20 +11,32 @@ continuously-arriving transcript files:
   never infer);
 - the SAME `extract_triples` mapInPandas stage (stateless per-turn, so it
   lifts to streaming unchanged — extraction has no window/shuffle);
-- `dropDuplicates` on (conv_id, turn_idx) as the streaming first-wins:
-  state-store-backed keep-first-SEEN.  Batch first-wins orders by (ts,
-  text); a stream cannot sort the unbounded past, so the streaming
-  guarantee is weaker (arrival order) — documented, and the batch job
-  remains the source of truth for re-derivation;
+- keep-first-SEEN dedupe on (conv_id, turn_idx) as the streaming
+  first-wins, with an explicit state/lateness trade-off the caller picks:
+    bounded_state=False (default, for availableNow drains): plain
+      `dropDuplicates` with NO watermark — state grows with distinct keys
+      but arbitrarily-late files (the normal case for batch-file arrival,
+      where event time has nothing to do with arrival time) are never
+      dropped.  Only drain-style deployments should use this.
+    bounded_state=True (for continuous deployments with roughly
+      event-time-ordered input): `dropDuplicatesWithinWatermark`, which
+      EVICTS dedupe state once the watermark passes an entry's event time
+      — and therefore also DROPS rows arriving later than the watermark
+      delay.  (A plain dropDuplicates after withWatermark would never
+      evict state when the event-time column is not part of the key.)
+  Batch first-wins orders by (ts, text); a stream cannot sort the
+  unbounded past, so both streaming modes are weaker (arrival order) —
+  documented, and the batch job remains the source of truth;
 - `trigger(availableNow)` + checkpoint: each invocation drains exactly the
   files not yet committed to the checkpoint — the streaming twin of the
   batch job's committed-buckets resume;
 - watermarked per-conversation tumbling counts as the metrics side channel
   (the 'meta event enrichable until end' analog, SURVEY.md W4).
 
-At scale: maxFilesPerTrigger bounds each micro-batch; state store size is
-O(distinct (conv_id, turn_idx) in the retention window) — with event-time
-watermarking on ts, expired state is dropped.
+At scale: maxFilesPerTrigger bounds each micro-batch; with
+bounded_state=True the state store is O(distinct (conv_id, turn_idx)
+within the watermark delay), with the default it is O(all distinct keys)
+— acceptable for periodic drains, not for an always-on stream.
 """
 
 from __future__ import annotations
@@ -46,12 +58,25 @@ def stream_transcripts(
     return reader.parquet(input_dir)
 
 
-def stream_triples(transcripts: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming extraction: watermark -> stateful first-seen dedupe ->
-    stateless mapInPandas extraction (identical code path to batch)."""
-    deduped = transcripts.withWatermark("ts", watermark).dropDuplicates(
-        ["conv_id", "turn_idx"]
-    )
+def stream_triples(
+    transcripts: DataFrame,
+    watermark: str = "1 hour",
+    bounded_state: bool = False,
+) -> DataFrame:
+    """Streaming extraction: stateful first-seen dedupe -> stateless
+    mapInPandas extraction (identical code path to batch).
+
+    bounded_state picks the dedupe state policy (module docstring): False =
+    unbounded state, no late drops (availableNow drains); True = state
+    evicted past the watermark, rows later than the watermark dropped
+    (continuous, event-time-ordered input).
+    """
+    if bounded_state:
+        deduped = transcripts.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    else:
+        deduped = transcripts.dropDuplicates(["conv_id", "turn_idx"])
     return extract_triples(deduped)
 
 

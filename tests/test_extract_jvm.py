@@ -48,6 +48,10 @@ ADVERSARIAL = [
     ("X.Y uses C++ and C# runs on .NET", None),        # symbol-heavy entities
     ("line\nbreak Spark uses Arrow", None),            # interior newline
     ("ends with Tool", "\x0bweird"),                   # dirty tool routes row
+    ("plain text here", "bash\t"),                     # tab-padded tool (clean)
+    ("plain text here", " \t "),                       # whitespace-only tool
+    ("plain text here", "\nkubectl\r"),                # newline/CR-padded tool
+    ("plain text here", "two words "),                 # interior space kept
 ]
 
 

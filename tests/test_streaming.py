@@ -89,6 +89,38 @@ def test_incremental_resume_and_batch_parity(spark, split_corpus):
     assert stream_dupkeys == batch_dupkeys
 
 
+def test_bounded_state_dedupe_mode(spark, split_corpus, tmp_path):
+    """bounded_state=True uses dropDuplicatesWithinWatermark: duplicates
+    within the watermark delay are suppressed, and (the price of state
+    eviction) rows older than the watermark are dropped.  Pin both: the
+    in-window duplicate-key fixtures (`nest-`) still collapse to one row
+    per key within a drain."""
+    from node_feedparser_spark.streaming.stream_extract import stream_triples
+
+    root, in_dir, _ = split_corpus
+    q = (
+        stream_triples(stream_transcripts(spark, in_dir), bounded_state=True)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(str(tmp_path / "out"))
+    assert df.count() > 0
+    # one surviving extraction per duplicate key: no (conv_id, turn_idx)
+    # appears with two distinct normalized texts' triples.  The fixture's
+    # duplicate keys are seconds apart — well inside the 1h watermark.
+    per_key = (
+        df.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
+        .count()
+        .filter("count > 1")
+    )
+    assert per_key.count() == 0
+
+
 def test_stream_conv_metrics(spark, split_corpus):
     root, in_dir, _ = split_corpus
     out = str(root / "metrics_out")
@@ -104,10 +136,35 @@ def test_stream_conv_metrics(spark, split_corpus):
     )
     q.awaitTermination()
     rows = spark.sql("SELECT * FROM conv_metrics").collect()
-    # append mode emits only watermark-expired windows; with availableNow
-    # over a finite corpus the final watermark closes all but the latest
-    # window — presence of schema-correct rows is the contract here
+    # append mode emits only watermark-expired windows; the corpus spans
+    # ~115 days (datagen ts = epoch + U[0, 10^7) seconds) against a 1-day
+    # window and 1-hour watermark, so the availableNow drain MUST close and
+    # emit many windows — an empty result is a regression, not a timing
+    # artifact.
+    assert rows, "availableNow drain emitted no closed windows"
     assert {"conv_id", "window_start", "n_turns", "n_tool_turns"} == set(
         rows[0].asDict().keys()
-    ) if rows else True
-    assert os.path.isdir(out) or True
+    )
+    # every emitted (conv_id, window) must agree with the batch aggregation
+    # over the same input — closed-window counts are exact, not approximate.
+    import pyspark.sql.functions as F
+
+    batch = (
+        read_transcripts(spark, in_dir)
+        .groupBy("conv_id", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias(
+                "n_tool_turns"
+            ),
+        )
+        .select("conv_id", F.col("w.start").alias("window_start"), "n_turns", "n_tool_turns")
+    )
+    want = {
+        (r["conv_id"], r["window_start"]): (r["n_turns"], r["n_tool_turns"])
+        for r in batch.collect()
+    }
+    for r in rows:
+        key = (r["conv_id"], r["window_start"])
+        assert key in want, f"stream emitted a window batch never saw: {key}"
+        assert (r["n_turns"], r["n_tool_turns"]) == want[key], key
