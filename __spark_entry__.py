@@ -593,6 +593,88 @@ def q_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5/F6 URL resolution: never-throw resolve(base, url) over
+    synthesized (base, url) pairs covering ../ ./ bare /abs absolute urn:
+    and empty shapes plus null bases (reference lib/utils.js:62-70;
+    test/utils.js:75-138).  The Spark side runs the real resolver UDF; the
+    oracle reconstructs each controlled shape with string ops."""
+    from node_feedparser_spark.functions.urls import resolve_udf
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.when(
+        F.col("event_id") % 13 != 0,
+        F.concat(F.lit("https://u"), F.col("user_id"), F.lit(".example/a/b/")),
+    )
+    m = F.col("event_id") % 7
+    url = (
+        F.when(m == 0, F.concat(F.lit("../c"), F.col("event_id")))
+        .when(m == 1, F.concat(F.lit("./d"), F.col("event_id")))
+        .when(m == 2, F.concat(F.lit("e"), F.col("event_id")))
+        .when(m == 3, F.concat(F.lit("/f"), F.col("event_id")))
+        .when(m == 4, F.concat(F.lit("https://cdn.example/g"), F.col("event_id")))
+        .when(m == 5, F.concat(F.lit("urn:item:"), F.col("event_id")))
+        .otherwise(F.lit(""))
+    )
+    return ev.select(
+        "event_id",
+        base.alias("base_url"),
+        url.alias("url"),
+        resolve_udf(base, url).alias("resolved"),
+    )
+
+
+def q_retro_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 scoped-context retro-resolution: each user's first absolute
+    URL (signup events carry one) becomes the conversation base; relative
+    URLs in ALL events — including ones BEFORE the base event — resolve
+    against it (reference reresolve, lib/utils.js:160-210; late xml:base,
+    test/xmlbase.js:47-68)."""
+    from node_feedparser_spark.operators.urlresolve import retro_resolve_urls
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.when(
+        F.col("event_type") == "signup",
+        F.concat(
+            F.lit("https://u"), F.col("user_id"), F.lit(".example/s"),
+            F.col("event_id"), F.lit("/"),
+        ),
+    ).otherwise(
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("../r"), F.col("event_id")))
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("p"), F.col("event_id")))
+        .otherwise(F.concat(F.lit("/q"), F.col("event_id")))
+    )
+    turns = ev.select("event_id", "user_id", "ts", url.alias("url"))
+    out = retro_resolve_urls(
+        turns, url_col="url", conv_col="user_id", order_cols=("ts", "event_id")
+    )
+    return out.select("event_id", "user_id", "url", "base_url", "resolved_url")
+
+
+def q_html_uri_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 resolveHtmlUris: rewrite URI attributes inside known HTML open
+    tags embedded in text — quoted, unquoted, and srcset attributes resolve;
+    unknown tags survive byte-identically (reference lib/utils.js:276-340)."""
+    from node_feedparser_spark.functions.urls import resolve_html_uris_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="/doc'), F.col("doc_id"), F.lit('">'), F.col("lang"),
+        F.lit("</a> <img src=img"), F.col("doc_id"),
+        F.lit('.png srcset="a'), F.col("doc_id"),
+        F.lit('.png 1x, /b'), F.col("doc_id"),
+        F.lit('.png 2x"> <foo href="/skip">'),
+    )
+    base = F.concat(
+        F.lit("https://h"), F.col("doc_id") % 10, F.lit(".example/dir/")
+    )
+    return docs.select(
+        "doc_id",
+        base.alias("base_url"),
+        resolve_html_uris_udf(html, base).alias("resolved_html"),
+    )
+
+
 def q_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 attribute simplification on a MapType column: build an attr map,
     lowercase the keys, drop the 'version' key (reference excludes the
@@ -661,6 +743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_hoist": q_whitespace_hoist,
         "ordered_collect": q_ordered_collect,
         "map_normalize": q_map_normalize,
+        # URL resolution family (F3/F5/F6/F9, W2/W3 retro-resolution)
+        "url_resolve": q_url_resolve,
+        "retro_resolve": q_retro_resolve,
+        "html_uri_resolve": q_html_uri_resolve,
     }
 
 
@@ -1072,5 +1158,70 @@ def _extra_oracles() -> dict[str, str]:
                        'type=' || p_type
                    ]), ';') AS attrs
             FROM part
+        """,
+        "url_resolve": """
+            WITH s AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 13 <> 0
+                            THEN 'https://u' || user_id || '.example/a/b/'
+                       END AS base_url,
+                       CASE event_id % 7
+                            WHEN 0 THEN '../c' || event_id
+                            WHEN 1 THEN './d' || event_id
+                            WHEN 2 THEN 'e' || event_id
+                            WHEN 3 THEN '/f' || event_id
+                            WHEN 4 THEN 'https://cdn.example/g' || event_id
+                            WHEN 5 THEN 'urn:item:' || event_id
+                            ELSE '' END AS url,
+                       'https://u' || user_id || '.example' AS origin
+                FROM events)
+            SELECT event_id, base_url, url,
+                   CASE WHEN base_url IS NULL OR url = '' THEN url
+                        WHEN event_id % 7 = 0 THEN origin || '/a/c' || event_id
+                        WHEN event_id % 7 = 1 THEN origin || '/a/b/d' || event_id
+                        WHEN event_id % 7 = 2 THEN origin || '/a/b/e' || event_id
+                        WHEN event_id % 7 = 3 THEN origin || '/f' || event_id
+                        ELSE url END AS resolved
+            FROM s
+        """,
+        "retro_resolve": """
+            WITH u AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_type = 'signup'
+                            THEN 'https://u' || user_id || '.example/s'
+                                 || event_id || '/'
+                            WHEN event_id % 3 = 0 THEN '../r' || event_id
+                            WHEN event_id % 3 = 1 THEN 'p' || event_id
+                            ELSE '/q' || event_id END AS url,
+                       event_type = 'signup' AS is_abs
+                FROM events),
+            base AS (
+                SELECT user_id, url AS base_url, event_id AS base_event
+                FROM (SELECT user_id, url, event_id,
+                             ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS rn
+                      FROM u WHERE is_abs) WHERE rn = 1)
+            SELECT u.event_id, u.user_id, u.url, b.base_url,
+                   CASE WHEN b.base_url IS NULL OR u.is_abs THEN u.url
+                        WHEN u.event_id % 3 = 0
+                        THEN 'https://u' || u.user_id || '.example/r' || u.event_id
+                        WHEN u.event_id % 3 = 1
+                        THEN b.base_url || 'p' || u.event_id
+                        ELSE 'https://u' || u.user_id || '.example/q' || u.event_id
+                        END AS resolved_url
+            FROM u LEFT JOIN base b ON u.user_id = b.user_id
+        """,
+        "html_uri_resolve": """
+            WITH s AS (SELECT doc_id, lang,
+                              'https://h' || (doc_id % 10) || '.example' AS o,
+                              'https://h' || (doc_id % 10) || '.example/dir/' AS d
+                       FROM documents)
+            SELECT doc_id, d AS base_url,
+                   '<a href="' || o || '/doc' || doc_id || '">' || lang
+                   || '</a> <img src=' || d || 'img' || doc_id
+                   || '.png srcset="' || d || 'a' || doc_id
+                   || '.png 1x, ' || o || '/b' || doc_id
+                   || '.png 2x"> <foo href="/skip">' AS resolved_html
+            FROM s
         """,
     }
