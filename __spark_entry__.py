@@ -443,18 +443,44 @@ def q_author_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_precedence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/F11 tolerant multi-format date parse: serialize o_orderdate into
-    one of three formats, recover it with a try_to_timestamp coalesce chain
-    (the reference's lenient `new Date()` discipline)."""
+    one of FIVE formats — three plain-date styles plus RFC-822 with a
+    numeric timezone token and ISO-8601 with offset (the formats the
+    reference's lenient `new Date()` eats, lib/feedparser.js:523,884) —
+    and recover all of them with one try_to_timestamp coalesce chain.
+    Offset-carrying formats are normalized to UTC wall time (session-tz
+    independent via to_utc_timestamp)."""
     orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 5
     date_str = (
-        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy/MM/dd"))
-        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM-dd-yyyy"))
-        .otherwise(F.date_format("o_orderdate", "dd.MM.yyyy"))
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .when(k == 1, F.date_format("o_orderdate", "MM-dd-yyyy"))
+        .when(k == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .when(
+            k == 3,
+            F.concat(
+                F.date_format("o_orderdate", "EEE, dd MMM yyyy"),
+                F.lit(" 15:04:05 +0530"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T08:30:00-04:00"))
+        )
     )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    # Spark >= 3 refuses day-of-week fields in PARSE patterns (weekday is
+    # non-determinant), so the RFC-822 branch strips the 'Tue, ' prefix
+    # first — exactly what a tolerant parser does with redundant tokens.
+    no_dow = F.regexp_replace(date_str, r"^[A-Za-z]{3}, ", "")
     parsed = F.coalesce(
         F.try_to_timestamp(date_str, F.lit("yyyy/MM/dd")),
         F.try_to_timestamp(date_str, F.lit("MM-dd-yyyy")),
         F.try_to_timestamp(date_str, F.lit("dd.MM.yyyy")),
+        F.to_utc_timestamp(
+            F.try_to_timestamp(no_dow, F.lit("dd MMM yyyy HH:mm:ss Z")), tz
+        ),
+        F.to_utc_timestamp(
+            F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")), tz
+        ),
     )
     return orders.select(
         "o_orderkey", date_str.alias("date_str"), parsed.alias("pubdate")
@@ -463,12 +489,23 @@ def q_precedence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scalar_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14/F15/F16 scalar chains: generator assembly (concat_ws), guid
-    synthesis, guid->link inference (rlike '^https?:')."""
+    synthesis, guid->link inference (rlike '^https?:'), and the
+    isPermaLink rule — permalink = guid unless an isPermaLink attribute
+    contains 'false' case-insensitively; a MISSING attribute defaults to
+    permalink (reference lib/feedparser.js:941-954)."""
     part = _t(spark, sf_dir, "part")
     guid = F.when(
         F.col("p_partkey") % 5 == 0,
         F.concat(F.lit("https://parts.example/"), F.col("p_partkey")),
     ).otherwise(F.concat(F.lit("urn:part:"), F.col("p_partkey")))
+    is_permalink_attr = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("false"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("True"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    not_denied = ~F.coalesce(
+        F.lower(is_permalink_attr).contains("false"), F.lit(False)
+    )
     return part.select(
         "p_partkey",
         F.concat_ws(
@@ -479,6 +516,8 @@ def q_scalar_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("generator"),
         guid.alias("guid"),
         F.when(guid.rlike("^https?:"), guid).alias("link"),
+        is_permalink_attr.alias("ispermalink_attr"),
+        F.when(not_denied, guid).alias("permalink"),
     )
 
 
@@ -1083,27 +1122,41 @@ def _extra_oracles() -> dict[str, str]:
         """,
         "precedence_dates": """
             WITH s AS (SELECT o_orderkey,
-                CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
-                     WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
-                     ELSE strftime(o_orderdate, '%d.%m.%Y') END AS date_str
+                CASE WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                     WHEN o_orderkey % 5 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
+                     WHEN o_orderkey % 5 = 2 THEN strftime(o_orderdate, '%d.%m.%Y')
+                     WHEN o_orderkey % 5 = 3 THEN strftime(o_orderdate, '%a, %d %b %Y')
+                                                  || ' 15:04:05 +0530'
+                     ELSE strftime(o_orderdate, '%Y-%m-%d') || 'T08:30:00-04:00'
+                     END AS date_str
                 FROM orders)
             SELECT o_orderkey, date_str,
                    COALESCE(try_strptime(date_str, '%Y/%m/%d'),
                             try_strptime(date_str, '%m-%d-%Y'),
-                            try_strptime(date_str, '%d.%m.%Y')) AS pubdate
+                            try_strptime(date_str, '%d.%m.%Y'),
+                            try_strptime(date_str, '%a, %d %b %Y %H:%M:%S %z')
+                                AT TIME ZONE 'UTC',
+                            try_strptime(date_str, '%Y-%m-%dT%H:%M:%S%z')
+                                AT TIME ZONE 'UTC') AS pubdate
             FROM s
         """,
         "scalar_chains": """
             WITH g AS (SELECT p_partkey, p_brand, p_size, p_type,
                 CASE WHEN p_partkey % 5 = 0
                      THEN 'https://parts.example/' || p_partkey
-                     ELSE 'urn:part:' || p_partkey END AS guid
+                     ELSE 'urn:part:' || p_partkey END AS guid,
+                CASE WHEN p_partkey % 3 = 0 THEN 'false'
+                     WHEN p_partkey % 3 = 1 THEN 'True' END AS ispermalink_attr
                 FROM part)
             SELECT p_partkey,
                    concat_ws(' ', p_brand, 'v' || p_size, '(' || p_type || ')')
                        AS generator,
                    guid,
-                   CASE WHEN regexp_matches(guid, '^https?:') THEN guid END AS link
+                   CASE WHEN regexp_matches(guid, '^https?:') THEN guid END AS link,
+                   ispermalink_attr,
+                   CASE WHEN NOT COALESCE(lower(ispermalink_attr) LIKE '%false%',
+                                          FALSE)
+                        THEN guid END AS permalink
             FROM g
         """,
         "explode_distinct": """

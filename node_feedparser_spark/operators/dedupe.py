@@ -190,16 +190,29 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    min_tokens: int | None = None,
 ) -> DataFrame:
     """Pairs within `max_hamming` SimHash bits, via the pigeonhole block
     trick: split the 60-bit fingerprint into `n_blocks` 15-bit blocks; any
     pair within hamming distance n_blocks-1 must agree exactly on >= 1
     block, so an equi-join per block finds ALL such pairs (exact, not
     probabilistic), then bit_count(xor) verifies.  Requires
-    max_hamming < n_blocks."""
+    max_hamming < n_blocks.
+
+    min_tokens is the hot-block guard for degenerate corpora: millions of
+    near-empty docs share the same few fingerprints, every one of their
+    15-bit blocks collides, and the self-join (and the legitimate O(n^2)
+    pair OUTPUT for identical docs) explodes quadratically.  Setting
+    min_tokens >= 2 filters those docs out of the near-dup join entirely
+    — near-empty docs belong to exact_dedupe, which handles them in one
+    linear groupBy.  Default None preserves exact oracle parity."""
     assert max_hamming < n_blocks
     block_bits = SIMHASH_BITS // n_blocks
     mask = (1 << block_bits) - 1
+    if min_tokens:
+        docs = docs.filter(
+            F.size(F.split(F.col(text_col), " ")) >= min_tokens
+        )
     sh = simhash(docs, id_col, text_col)
     blocks = sh.select(
         "doc_id",

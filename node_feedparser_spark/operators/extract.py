@@ -102,10 +102,18 @@ def dedupe_first_wins(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _extract_rows_spec(pdf: pd.DataFrame) -> pd.DataFrame:
+class ExtractionError(ValueError):
+    """Raised in fail_fast (strict) mode when a turn cannot be extracted —
+    the analog of the reference's `resume_saxerror: false` aborting the
+    parse on the first handled error (lib/feedparser.js:76-91,140-154;
+    test/bad.js:92-121)."""
+
+
+def _extract_rows_spec(pdf: pd.DataFrame, fail_fast: bool = False) -> pd.DataFrame:
     """Exact per-row spec path: one `extract_turn` call per row.  Owns error
     containment — a row whose extraction raises (or whose turn_idx is null)
-    yields a single pred='__error__' row instead of failing the task."""
+    yields a single pred='__error__' row instead of failing the task; in
+    fail_fast mode it raises ExtractionError instead (strict mode)."""
     out: dict[str, list] = {
         "conv_id": [], "turn_idx": [], "subj": [], "pred": [],
         "obj": [], "score": [],
@@ -122,7 +130,11 @@ def _extract_rows_spec(pdf: pd.DataFrame) -> pd.DataFrame:
             if ti is None:
                 raise ValueError("null turn_idx")
             triples, _ = extract_turn(conv_id, ti, role, text, tool)
-        except Exception:
+        except Exception as exc:
+            if fail_fast:
+                raise ExtractionError(
+                    f"extraction failed at ({conv_id!r}, {ti!r}): {exc}"
+                ) from exc
             triples = [
                 {
                     "conv_id": conv_id, "turn_idx": -1 if ti is None else ti,
@@ -321,7 +333,9 @@ def _extract_clean(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], fail_fast: bool = False
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if pdf.empty:
             continue
@@ -335,26 +349,34 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if n_dirty == 0:
             yield _extract_clean(pdf)
         elif n_dirty == len(pdf):
-            yield _extract_rows_spec(pdf)
+            yield _extract_rows_spec(pdf, fail_fast)
         else:
             yield pd.concat(
                 [
                     _extract_clean(pdf[~dirty].reset_index(drop=True)),
-                    _extract_rows_spec(pdf[dirty]),
+                    _extract_rows_spec(pdf[dirty], fail_fast),
                 ],
                 ignore_index=True,
             )
 
 
-def extract_triples(turns: DataFrame) -> DataFrame:
+def extract_triples(turns: DataFrame, fail_fast: bool = False) -> DataFrame:
     """transcript turns -> raw triples via Arrow-batched mapInPandas.
 
     Input must already be deduped (dedupe_first_wins).  Output carries
     (conv_id, turn_idx) so document order is reconstructible downstream via
     a window — order is data, not physical layout (SURVEY.md W1).
+
+    fail_fast=True is strict mode (the reference's resume_saxerror:false):
+    the first unextractable turn raises ExtractionError and fails the job
+    instead of flowing to the error side channel.
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return turns.select(*cols).mapInPandas(_extract_batches, schema=TRIPLES_RAW)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _extract_batches(batches, fail_fast)
+
+    return turns.select(*cols).mapInPandas(run, schema=TRIPLES_RAW)
 
 
 @pandas_udf(T.StringType())

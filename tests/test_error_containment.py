@@ -45,6 +45,26 @@ def test_poison_row_becomes_error_row(spark, poisoned_corpus):
     assert ok.filter(F.col("conv_id") == "ok-1").count() >= 2
 
 
+def test_fail_fast_aborts_on_poison_row(spark, poisoned_corpus):
+    """Strict mode (the reference's resume_saxerror:false,
+    lib/feedparser.js:76-91; test/bad.js:92-121): the first unextractable
+    turn fails the job instead of flowing to the error channel."""
+    turns = read_transcripts(spark, poisoned_corpus)
+    with pytest.raises(Exception, match="ExtractionError|extraction failed"):
+        extract_triples(turns, fail_fast=True).collect()
+
+
+def test_fail_fast_clean_input_identical(spark, poisoned_corpus):
+    """On input with no poison rows, strict and resume modes agree."""
+    turns = read_transcripts(spark, poisoned_corpus).filter(
+        F.col("turn_idx").isNotNull()
+    )
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+    strict = sorted(map(key, extract_triples(turns, fail_fast=True).collect()))
+    resume = sorted(map(key, extract_triples(turns).collect()))
+    assert strict == resume and strict
+
+
 def test_pipeline_routes_error_to_metrics(spark, poisoned_corpus, tmp_path):
     out_dir = str(tmp_path / "kg")
     summary = build_kg(spark, poisoned_corpus, out_dir, n_buckets=4, resume=False)

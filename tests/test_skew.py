@@ -67,3 +67,34 @@ def test_extraction_balance(spark, corpus_path):
     total = sum(counts)
     fair = total / len(counts)
     assert max(counts) <= 3 * fair, (max(counts), fair)
+
+
+def test_simhash_hot_block_guard(spark):
+    """Degenerate corpus: 10k near-empty docs would make every 15-bit
+    block a hot value and the pigeonhole self-join quadratic (plus an
+    O(n^2) legitimate pair output for identical docs).  With the
+    min_tokens guard they are excluded up front; only the real documents
+    join, and the run completes promptly."""
+    import time
+
+    from node_feedparser_spark.operators.dedupe import simhash_near_dup_pairs
+
+    empties = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    real = spark.createDataFrame(
+        [
+            (100_000, "the quick brown fox jumps over the lazy dog today"),
+            (100_001, "the quick brown fox jumps over the lazy dog today"),
+            (100_002, "completely different text about spark shuffle joins"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = empties.unionByName(real)
+    t0 = time.monotonic()
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3, min_tokens=2).collect()
+    elapsed = time.monotonic() - t0
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all(a >= 100_000 and b >= 100_000 for a, b in got)
+    assert (100_000, 100_001) in got
+    assert elapsed < 60, f"guarded run took {elapsed:.1f}s — straggler suspected"
