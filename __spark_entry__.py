@@ -321,6 +321,27 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic k-means-refined centroids (2 unrolled
+    Lloyd iterations from the first-16 seed; per-dimension means rounded
+    to 4dp so Spark and the unrolled-SQL oracle compute identical
+    centroids).  Same probe/top-k machinery as ivf_ann_topk."""
+    from node_feedparser_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_cells=16, n_iters=2)
+    tk = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=5,
+        centroids=cents,
+    )
+    return tk.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-dictionary language ID: broadcast dim join + argmax."""
     from node_feedparser_spark.operators.text_analysis import language_id
@@ -763,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -926,6 +948,38 @@ def oracle_sql() -> dict[str, str]:
     } | _extra_oracles()
 
 
+def _kmeans_ctes(n_cells: int = 16, n_iters: int = 2) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs over `e` (vec_id, v):
+    c0 = first-N seed; a{i} = nearest-centroid assignment (rounded cosine,
+    cell-asc ties); m{i} = per-dimension means rounded to 4dp; c{i} = new
+    centroids, empty clusters keeping the previous centroid.  The final
+    relation is c{n_iters}(cell, cv) — identical, by rounding, to
+    operators/similarity.kmeans_centroids."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells})"
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        parts.append(f"""a{it} AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cell ASC) AS rn
+            FROM e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        parts.append(f"""m{it} AS (SELECT cell, list(m ORDER BY pos) AS mv FROM (
+            SELECT cell, pos, ROUND(AVG(x), 4) AS m FROM (
+                SELECT a{it}.cell, unnest(e.v) AS x,
+                       generate_subscripts(e.v, 1) AS pos
+                FROM a{it} JOIN e USING (vec_id))
+            GROUP BY cell, pos) GROUP BY cell)""")
+        parts.append(
+            f"c{it} AS (SELECT p.cell, COALESCE(m.mv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN m{it} m ON p.cell = m.cell)"
+        )
+        prev = f"c{it}"
+    return ",\n            ".join(parts)
+
+
 def _extra_oracles() -> dict[str, str]:
     h_sql, shingles_sql, _, stopwords = _oracle_builders()
     en_stop = ", ".join(f"'{w}'" for w in stopwords["en"])
@@ -1010,6 +1064,33 @@ def _extra_oracles() -> dict[str, str]:
                          ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
                                   c.cell ASC) AS pr
                 FROM e q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE pr <= 4),
+            cand AS (SELECT p.query_id, a.vec_id
+                     FROM probes p JOIN assign a ON p.cell = a.cell
+                     WHERE a.vec_id <> p.query_id),
+            scored AS (SELECT cand.query_id, cand.vec_id,
+                              ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+                       FROM cand
+                       JOIN e q ON q.vec_id = cand.query_id
+                       JOIN e c ON c.vec_id = cand.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rnk FROM scored)
+            SELECT query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 5
+        """,
+        "ivf_kmeans_topk": f"""
+            WITH {cosine_cte},
+            {_kmeans_ctes(16, 2)},
+            assign AS (SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                  c.cell ASC) AS rn
+                FROM e CROSS JOIN c2 c) WHERE rn = 1),
+            probes AS (SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                                  c.cell ASC) AS pr
+                FROM e q CROSS JOIN c2 c WHERE q.vec_id < 8) WHERE pr <= 5),
             cand AS (SELECT p.query_id, a.vec_id
                      FROM probes p JOIN assign a ON p.cell = a.cell
                      WHERE a.vec_id <> p.query_id),

@@ -247,20 +247,92 @@ def cosine_threshold_pairs_blocked(
     return pairs.distinct()
 
 
+def _first_n_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Seed centroids: the vectors with the n_cells smallest ids — a
+    seed-free, oracle-reproducible choice.  Output: (cell, cvec)."""
+    return corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means refinement of the first-N seed centroids:
+    each iteration assigns every vector to its nearest centroid (rounded
+    cosine, ties to the lowest cell id) and recomputes each centroid as
+    the per-dimension mean ROUNDED TO 4 DP — the rounding collapses
+    float-summation-order differences so Spark and the unrolled-SQL DuckDB
+    oracle converge to identical centroids.  A cluster that loses all its
+    members keeps its previous centroid.
+
+    Each iteration is one mapInPandas assignment pass (centroids broadcast
+    as a numpy matrix) plus one posexplode/avg aggregation — linear, one
+    narrow shuffle of (cell, pos) partial means; only the n_cells centroid
+    rows ever reach the driver.  Output: (cell, cvec array<double>).
+    """
+    spark = corpus.sparkSession
+    cells, cmat = _collect_matrix(
+        _first_n_centroids(corpus, n_cells, id_col, vec_col), "cell", "cvec"
+    )
+    vec = corpus.select(id_col, vec_col)
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast((cells, _normalize_rows(cmat)))
+
+        def assign_with_emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids, cn = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                sims = np.round(_normalize_rows(mat) @ cn.T, 6)
+                yield pd.DataFrame(
+                    {"cell": ids[np.argmax(sims, axis=1)], "emb": pdf[vec_col]}
+                )
+
+        assigned = vec.mapInPandas(assign_with_emb, "cell long, emb array<float>")
+        means = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 4).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        )
+        new = {r["cell"]: np.asarray(r["cvec"], dtype=np.float64) for r in means.collect()}
+        cmat = np.stack([new.get(int(c), cmat[i]) for i, c in enumerate(cells)])
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in cmat[i]]) for i, c in enumerate(cells)],
+        "cell long, cvec array<double>",
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its argmax-cosine cell among deterministic
-    centroids (the vectors with the n_cells smallest ids — a seed-free,
-    oracle-reproducible choice; swap in k-means offline at real scale, the
-    plan is identical).  Ties break to the lowest cell id.  Output:
-    (vec_id, cell)."""
+    centroids (default: first-N seed; pass kmeans_centroids output for the
+    refined variant — the plan is identical).  Ties break to the lowest
+    cell id.  Output: (vec_id, cell)."""
     spark = corpus.sparkSession
-    cents = corpus.filter(F.col(id_col) < n_cells)
-    c_ids, c_mat = _collect_matrix(cents, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else _first_n_centroids(corpus, n_cells, id_col, vec_col)
+    )
+    c_ids, c_mat = _collect_matrix(cents, "cell", "cvec")
     bc = spark.sparkContext.broadcast((c_ids, _normalize_rows(c_mat)))
 
     def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -291,18 +363,22 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF cell-probe ANN: score only vectors living in the query's
     n_probe closest cells.  Exactly reproducible (deterministic centroids,
     rounded scores, id tie-breaks) — the DuckDB oracle runs the same
     algorithm in SQL.  Recall < 1 by design; the brute-force twin
-    cosine_topk is the correctness baseline."""
-    assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    cosine_topk is the correctness baseline.  centroids defaults to the
+    first-N seed; pass kmeans_centroids(...) for the refined variant."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _first_n_centroids(corpus, n_cells, id_col, vec_col)
+    )
+    assigned = ivf_assign(corpus, n_cells, id_col, vec_col, centroids=cents)
     # queries' probe cells: rank centroids per query by the same rounded
     # cosine, keep n_probe (cell ties -> lowest cell id, same as assignment).
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
-    )
     probes = (
         _score_cross(queries.select(F.col(id_col).alias("query_id"), vec_col), cents)
         .withColumn(

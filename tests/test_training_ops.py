@@ -129,6 +129,37 @@ def test_cosine_threshold_pairs_finds_planted(spark, vectors):
     assert pairs == {(3, 13)}
 
 
+def test_kmeans_ivf_recall_vs_brute_force(spark):
+    """k-means-refined IVF (2 Lloyd iterations, 4dp-rounded centroids) at
+    the query defaults (16 cells, 5 probes) must keep recall >= 0.9 vs the
+    exact brute-force top-k on the driver testdata."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in sim.cosine_topk(emb, q, k=5).collect()
+    }
+    km = sim.kmeans_centroids(emb, n_cells=16, n_iters=2)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(
+            emb, q, k=5, n_cells=16, n_probe=5, centroids=km
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_kmeans_centroids_deterministic(spark):
+    """Two independent computations produce identical centroids (the 4dp
+    rounding collapses float summation-order noise)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["cell"]: r["cvec"] for r in sim.kmeans_centroids(emb, 16, 2).collect()}
+    b = {
+        r["cell"]: r["cvec"]
+        for r in sim.kmeans_centroids(emb.repartition(7), 16, 2).collect()
+    }
+    assert a == b
+
+
 def test_blocked_pairs_recall_and_exactness(spark):
     """cosine_threshold_pairs_blocked on the driver testdata: subset of the
     brute-force result (no false positives), identical scores on found
