@@ -748,6 +748,25 @@ def q_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lowered = F.transform_keys(attrs, lambda k, _: F.lower(k))
     cleaned = F.map_filter(lowered, lambda k, _: k != "version")
+    # F13 analog: re-serialize the normalized attribute map back into one
+    # canonical self-closed element string (the reference re-serializes
+    # parsed xhtml content back to markup, lib/feedparser.js:304-320;
+    # canonical = lowercase names, sorted, double-quoted).
+    serialized = F.concat(
+        F.lit("<item "),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(cleaned),
+                    lambda e: F.concat(
+                        e["key"], F.lit('="'), e["value"], F.lit('"')
+                    ),
+                )
+            ),
+            " ",
+        ),
+        F.lit("/>"),
+    )
     return part.select(
         "p_partkey",
         F.array_join(
@@ -759,6 +778,7 @@ def q_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ";",
         ).alias("attrs"),
+        serialized.alias("serialized"),
     )
 
 
@@ -1290,7 +1310,11 @@ def _extra_oracles() -> dict[str, str]:
                    array_to_string(list_sort([
                        'brand=' || p_brand,
                        'type=' || p_type
-                   ]), ';') AS attrs
+                   ]), ';') AS attrs,
+                   '<item ' || array_to_string(list_sort([
+                       'brand="' || p_brand || '"',
+                       'type="' || p_type || '"'
+                   ]), ' ') || '/>' AS serialized
             FROM part
         """,
         "url_resolve": """
