@@ -61,7 +61,9 @@ def build_corpus(scale: float, replicas: int, out_path: str) -> int:
     return n
 
 
-def run_once(corpus: str, out_dir: str, cores: int, bind: bool = True) -> dict:
+def run_once(
+    corpus: str, out_dir: str, cores: int, bind: bool = True, task_cpus: int = 1
+) -> dict:
     """Cold spark-submit run; returns the build_kg JSON summary.
 
     bind=True pins the process tree to exactly `cores` CPUs (taskset).
@@ -73,6 +75,12 @@ def run_once(corpus: str, out_dir: str, cores: int, bind: bool = True) -> dict:
     """
     cmd = ([f"taskset", "-c", f"0-{cores - 1}"] if bind else []) + [
         "spark-submit", "--master", f"local[{cores}]",
+        # task_cpus=2 budgets one CPU for the JVM side and one for the
+        # Python worker of each task — removes the 2x process
+        # oversubscription local mode otherwise runs at (N task threads +
+        # N Python workers on N bound CPUs); applied to BOTH sides so the
+        # comparison stays symmetric
+        "--conf", f"spark.task.cpus={task_cpus}",
         # driver memory must be on the submit line: in-session
         # spark.driver.memory is ignored once the JVM is up, and the
         # pipeline caches the extracted triples
@@ -100,7 +108,12 @@ def run_once(corpus: str, out_dir: str, cores: int, bind: bool = True) -> dict:
 
 
 def run_best(
-    corpus: str, workdir: str, cores: int, trials: int, bind: bool = True
+    corpus: str,
+    workdir: str,
+    cores: int,
+    trials: int,
+    bind: bool = True,
+    task_cpus: int = 1,
 ) -> dict:
     """Best-of-N cold runs: this sandbox is a microVM with visible
     neighbor/steal noise (identical runs vary 2x), so the minimum wall is
@@ -108,7 +121,7 @@ def run_best(
     best = None
     for t in range(trials):
         out_dir = os.path.join(workdir, f"kg_{cores}_t{t}")
-        summary = run_once(corpus, out_dir, cores, bind=bind)
+        summary = run_once(corpus, out_dir, cores, bind=bind, task_cpus=task_cpus)
         if best is None or summary["wall_s"] < best["wall_s"]:
             best = summary
     return best
@@ -127,6 +140,9 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--no-bind", action="store_true",
                     help="skip taskset cpuset binding (not recommended)")
+    ap.add_argument("--task-cpus", type=int, default=1,
+                    help="spark.task.cpus for both sides (2 = one CPU for "
+                         "the JVM + one for the Python worker per task)")
     args = ap.parse_args()
 
     corpus = os.path.join(args.workdir, "corpus")
@@ -135,7 +151,8 @@ def main() -> None:
     results = {}
     for cores in (args.low, args.high):
         summary = run_best(
-            corpus, args.workdir, cores, args.trials, bind=not args.no_bind
+            corpus, args.workdir, cores, args.trials,
+            bind=not args.no_bind, task_cpus=args.task_cpus,
         )
         results[cores] = {
             "wall_s": summary["wall_s"],
@@ -156,6 +173,7 @@ def main() -> None:
         "corpus_rows": n_rows,
         "replicas": args.replicas,
         "trials": args.trials,
+        "task_cpus": args.task_cpus,
         "seed_scale": args.scale,
         "low_cores": args.low,
         "high_cores": args.high,
