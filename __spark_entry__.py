@@ -448,6 +448,52 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_link_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 full link `rel` dispatch + exploded-link reassembly (ref
+    lib/feedparser.js:891-940): events become link elements (rel derived
+    from event_type), items get ~3 links each so every branch is live —
+    last-canonical origlink, last-alternate link with first-self fallback,
+    last-replies comments, document-order (url,type)-deduped enclosures.
+    One hash agg, no windows — see operators/links.py."""
+    from node_feedparser_spark.operators.links import reassemble_links
+
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    links = ev.select(
+        (F.col("user_id") * 20 + F.col("event_id") % 20).alias("item_id"),
+        F.col("ts"),
+        F.col("event_id").alias("link_id"),
+        F.when(et == "click", "alternate")
+        .when(et == "view", "self")
+        .when(et == "signup", "canonical")
+        .when(et == "error", "replies")
+        .otherwise("enclosure")
+        .alias("rel"),
+        F.when(
+            et == "purchase",
+            F.concat(
+                F.lit("https://cdn.example.com/f"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit(".mp3"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/"),
+                et,
+                F.lit("/"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .alias("href"),
+        F.when(
+            et == "purchase",
+            F.when(F.col("event_id") % 2 == 0, "audio/mpeg").otherwise("video/mp4"),
+        ).alias("type"),
+    )
+    return reassemble_links(links)
+
+
 def q_author_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 author address parse: 'Name <email>' -> (name, address) via
     regexp_extract (reference addressparser, lib/feedparser.js:606-619)."""
@@ -814,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_dedupe": q_payload_dedupe,
         # remaining SURVEY.md §2 shapes
         "anti_join": q_anti_join,
+        "link_reassembly": q_link_reassembly,
         "author_parse": q_author_parse,
         "precedence_dates": q_precedence_dates,
         "scalar_chains": q_scalar_chains,
@@ -1212,6 +1259,50 @@ def _extra_oracles() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'F')
+        """,
+        "link_reassembly": """
+            WITH links AS (
+                SELECT user_id * 20 + event_id % 20 AS item_id, ts,
+                       event_id AS link_id,
+                       CASE event_type WHEN 'click' THEN 'alternate'
+                                       WHEN 'view' THEN 'self'
+                                       WHEN 'signup' THEN 'canonical'
+                                       WHEN 'error' THEN 'replies'
+                                       ELSE 'enclosure' END AS rel,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 'https://cdn.example.com/f'
+                                 || CAST(event_id % 7 AS VARCHAR) || '.mp3'
+                            ELSE 'https://example.com/' || event_type || '/'
+                                 || CAST(event_id AS VARCHAR) END AS href,
+                       CASE WHEN event_type = 'purchase'
+                            THEN CASE WHEN event_id % 2 = 0 THEN 'audio/mpeg'
+                                      ELSE 'video/mp4' END END AS typ
+                FROM events
+            ),
+            flagged AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, rel
+                                          ORDER BY ts DESC, link_id DESC)
+                           AS rn_last,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, rel
+                                          ORDER BY ts, link_id) AS rn_first,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, rel, href, typ
+                                          ORDER BY ts, link_id) AS rn_pair
+                FROM links
+            )
+            SELECT item_id,
+                   MAX(CASE WHEN rel = 'canonical' AND rn_last = 1
+                            THEN href END) AS origlink,
+                   COALESCE(MAX(CASE WHEN rel = 'alternate' AND rn_last = 1
+                                     THEN href END),
+                            MAX(CASE WHEN rel = 'self' AND rn_first = 1
+                                     THEN href END)) AS link,
+                   MAX(CASE WHEN rel = 'replies' AND rn_last = 1
+                            THEN href END) AS comments,
+                   STRING_AGG(CASE WHEN rel = 'enclosure' AND rn_pair = 1
+                                   THEN href || '|' || typ END,
+                              ',' ORDER BY ts, link_id) AS enclosures
+            FROM flagged GROUP BY item_id
         """,
         "author_parse": """
             SELECT c_custkey,

@@ -1,0 +1,129 @@
+"""F17 link `rel` reassembly semantics, mirroring the reference's document-
+order assignment rules (/root/reference/lib/feedparser.js:891-940;
+test/link.js): last-canonical, last-alternate beats any self, first-self
+fallback, last-replies, enclosures document-ordered + (url,type)-deduped
+keep-first."""
+
+import datetime as dt
+
+from node_feedparser_spark.operators.links import reassemble_links
+
+T0 = dt.datetime(2025, 1, 6, 9, 0, 0)
+
+
+def _links(spark, rows):
+    """rows: (item_id, link_id, rel, href, type) — ts derived from link_id so
+    document order == link_id order."""
+    data = [
+        (item, T0 + dt.timedelta(seconds=lid), lid, rel, href, typ)
+        for (item, lid, rel, href, typ) in rows
+    ]
+    return spark.createDataFrame(
+        data, "item_id long, ts timestamp, link_id long, rel string, href string, type string"
+    )
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_last_alternate_wins_and_overrides_earlier_self(spark):
+    # self arrives first and fills link; a later alternate overwrites it;
+    # a still-later self is skipped because link is set (ref :897-898).
+    r = _one(
+        reassemble_links(
+            _links(
+                spark,
+                [
+                    (1, 0, "self", "https://a/self1", None),
+                    (1, 1, "alternate", "https://a/alt1", None),
+                    (1, 2, "alternate", "https://a/alt2", None),
+                    (1, 3, "self", "https://a/self2", None),
+                ],
+            )
+        )
+    )
+    assert r.link == "https://a/alt2"
+
+
+def test_first_self_fallback_when_no_alternate(spark):
+    r = _one(
+        reassemble_links(
+            _links(
+                spark,
+                [
+                    (1, 0, "self", "https://a/self1", None),
+                    (1, 1, "self", "https://a/self2", None),
+                ],
+            )
+        )
+    )
+    assert r.link == "https://a/self1"
+
+
+def test_last_canonical_and_last_replies(spark):
+    r = _one(
+        reassemble_links(
+            _links(
+                spark,
+                [
+                    (1, 0, "canonical", "https://a/c1", None),
+                    (1, 1, "replies", "https://a/r1", None),
+                    (1, 2, "canonical", "https://a/c2", None),
+                    (1, 3, "replies", "https://a/r2", None),
+                ],
+            )
+        )
+    )
+    assert r.origlink == "https://a/c2"
+    assert r.comments == "https://a/r2"
+    assert r.link is None and r.enclosures is None
+
+
+def test_enclosures_document_order_dedupe_keep_first(spark):
+    # duplicate (url, type) dropped (ref indexOfObject :905-908); same url
+    # with a DIFFERENT type is a distinct enclosure; order is document order.
+    r = _one(
+        reassemble_links(
+            _links(
+                spark,
+                [
+                    (1, 0, "enclosure", "https://cdn/a.mp3", "audio/mpeg"),
+                    (1, 1, "enclosure", "https://cdn/b.mp4", "video/mp4"),
+                    (1, 2, "enclosure", "https://cdn/a.mp3", "audio/mpeg"),
+                    (1, 3, "enclosure", "https://cdn/a.mp3", "video/mp4"),
+                ],
+            )
+        )
+    )
+    assert r.enclosures == (
+        "https://cdn/a.mp3|audio/mpeg,https://cdn/b.mp4|video/mp4,"
+        "https://cdn/a.mp3|video/mp4"
+    )
+
+
+def test_items_are_independent(spark):
+    df = reassemble_links(
+        _links(
+            spark,
+            [
+                (1, 0, "alternate", "https://a/alt", None),
+                (2, 1, "self", "https://b/self", None),
+            ],
+        )
+    )
+    got = {r.item_id: r.link for r in df.collect()}
+    assert got == {1: "https://a/alt", 2: "https://b/self"}
+
+
+def test_single_aggregation_no_window_exchange(spark):
+    # The plan should be one partial/final hash agg: exactly one Exchange,
+    # no Window/Sort-based pass over the links.
+    df = reassemble_links(
+        _links(spark, [(1, 0, "alternate", "https://a", None)])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
