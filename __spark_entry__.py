@@ -432,6 +432,62 @@ def q_payload_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus curation operators (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals: distinct-token fraction,
+    modal-token fraction, duplicate-3-gram fraction.  Array-local fractions
+    shuffle nothing; the modal count is two map-side-combined aggs."""
+    from node_feedparser_spark.operators.curation import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language token-budget sampling under a bucketed
+    (skew-proof) cumulative sum — hash-priority prefix per language."""
+    from node_feedparser_spark.operators.curation import token_budget_sample
+
+    return token_budget_sample(_t(spark, sf_dir, "documents"), budget=5000)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails/phones (deterministically injected so the patterns
+    fire) -> typed placeholders + removal counts; pure codegen projection."""
+    from node_feedparser_spark.operators.curation import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call +1-555-0100-1234")).otherwise(
+                ""
+            ),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) per-source training-mixture weights
+    from per-source token totals."""
+    from node_feedparser_spark.operators.curation import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Remaining SURVEY.md §2 operator shapes over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
 
@@ -858,6 +914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "frame_sample": q_frame_sample,
         "payload_dedupe": q_payload_dedupe,
+        # training-corpus curation
+        "repetition_metrics": q_repetition_metrics,
+        "token_budget_sample": q_token_budget_sample,
+        "pii_scrub": q_pii_scrub,
+        "mixture_weights": q_mixture_weights,
         # remaining SURVEY.md §2 shapes
         "anti_join": q_anti_join,
         "link_reassembly": q_link_reassembly,
@@ -1048,7 +1109,13 @@ def _kmeans_ctes(n_cells: int = 16, n_iters: int = 2) -> str:
 
 
 def _extra_oracles() -> dict[str, str]:
+    from node_feedparser_spark.operators.curation import (
+        EMAIL_RE as EMAIL_RE_,
+        PHONE_RE as PHONE_RE_,
+    )
+
     h_sql, shingles_sql, _, stopwords = _oracle_builders()
+    portable_hash60_sql_ = h_sql
     en_stop = ", ".join(f"'{w}'" for w in stopwords["en"])
     cosine_cte = (
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -1472,5 +1539,89 @@ def _extra_oracles() -> dict[str, str]:
                    || '.png 1x, ' || o || '/b' || doc_id
                    || '.png 2x"> <foo href="/skip">' AS resolved_html
             FROM s
+        """,
+        "repetition_metrics": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            g AS (SELECT doc_id, t,
+                         CASE WHEN len(t) >= 3
+                              THEN list_transform(range(1, len(t) - 3 + 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                              ELSE [] END AS grams
+                  FROM toks),
+            local AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                       ROUND(len(list_distinct(t))::DOUBLE / len(t), 6)
+                           AS distinct_token_frac,
+                       CASE WHEN len(grams) > 0
+                            THEN ROUND(1 - len(list_distinct(grams))::DOUBLE
+                                           / len(grams), 6)
+                            ELSE 0.0 END AS dup_kgram_frac
+                FROM g),
+            modal AS (
+                SELECT doc_id,
+                       ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS top_token_frac
+                FROM (SELECT doc_id, tok, COUNT(*) AS n
+                      FROM (SELECT doc_id,
+                                   unnest(string_split(text, ' ')) AS tok
+                            FROM documents)
+                      GROUP BY doc_id, tok)
+                GROUP BY doc_id)
+            SELECT doc_id, n_tokens, distinct_token_frac, dup_kgram_frac,
+                   top_token_frac
+            FROM local JOIN modal USING (doc_id)
+        """,
+        "token_budget_sample": f"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       {portable_hash60_sql_("CAST(doc_id AS VARCHAR)")} AS h
+                FROM documents),
+            cum AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                            PARTITION BY lang
+                            ORDER BY h % 32, h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM base)
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 5000
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@mail.example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ' call +1-555-0100-1234'
+                               ELSE '' END AS text2
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text2, '{EMAIL_RE_}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text2, '{PHONE_RE_}')) AS BIGINT)
+                       AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text2, '{EMAIL_RE_}', '<EMAIL>', 'g'),
+                       '{PHONE_RE_}', '<PHONE>', 'g') AS clean_text
+            FROM aug
+        """,
+        "mixture_weights": """
+            WITH per AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source),
+            p AS (SELECT source, n_docs, n_tokens,
+                         n_tokens::DOUBLE / (SELECT SUM(n_tokens) FROM per) AS p
+                  FROM per)
+            SELECT source, n_docs, n_tokens,
+                   ROUND(p, 6) AS token_share,
+                   ROUND(pow(p, 0.3) / (SELECT SUM(pow(p, 0.3)) FROM p), 6)
+                       AS mix_weight
+            FROM p
         """,
     }

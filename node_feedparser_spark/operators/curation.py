@@ -1,0 +1,199 @@
+"""Training-corpus curation operators — repetition metrics, per-language
+token-budget sampling, PII scrubbing, mixture weighting.
+
+These are the operations a 100 TB training-data pipeline runs between raw
+ingestion and tokenization.  Everything is JVM-side (split / transform /
+regexp / partial-final aggregation / windows over pre-bucketed partitions):
+no Python in any hot path, and every operator declares exactly the shuffles
+it pays.
+
+Reference analogs: the reference's quality discipline is per-item scalar
+normalization plus dedupe-by-key (/root/reference/lib/feedparser.js:939,
+1007-1011); at corpus scale the same discipline becomes per-document
+repetition statistics (the Gopher-style "fraction of duplicate n-grams"
+signals), deterministic budget sampling (keep-first under a priority
+order — first-wins, the reference's guid rule, applied to a token budget),
+and pattern scrubbing (stripHtml's whitelist-regex discipline,
+lib/utils.js:367-382, pointed at PII-shaped substrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60
+
+# Java-regex AND RE2 compatible (no lookaround, no backrefs) so the DuckDB
+# oracle runs the same pattern strings.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def _grams(toks, k: int):
+    """All (non-distinct) token k-grams, in order; [] when len(toks) < k."""
+    n = F.size(toks) - (k - 1)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rule family):
+
+    - ``n_tokens`` — whitespace token count;
+    - ``distinct_token_frac`` — distinct tokens / tokens (low = repetitive);
+    - ``top_token_frac`` — occurrences of the modal token / tokens;
+    - ``dup_kgram_frac`` — 1 - distinct k-grams / k-grams (0 when < k tokens).
+
+    Plan: the array-local fractions (distinct tokens, k-grams) are computed
+    entirely inside the row via transform/array_distinct — NO shuffle.  The
+    modal-token fraction needs a (doc, token) count: explode -> partial/final
+    count agg -> per-doc max, i.e. two map-side-combinable aggregations keyed
+    by doc — the only shuffles, both on the document key, both linear in
+    corpus token count.  At 100 TB the explode dominates; it carries (doc_id,
+    token) pairs only, never the document text.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = _grams(toks, k)
+    local = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_token_frac"
+        ),
+        F.when(F.size(grams) > 0, F.round(1 - F.size(F.array_distinct(grams)) / F.size(grams), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_kgram_frac"),
+    )
+    modal = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n") / F.sum("n")).alias("_top_frac"))
+        .select("doc_id", F.round("_top_frac", 6).alias("top_token_frac"))
+    )
+    return local.join(modal, "doc_id")
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic per-language sampling to a token budget: order documents
+    by a content-independent pseudo-random priority (60-bit hash of the doc
+    id), keep the prefix whose cumulative token count fits ``budget``.
+
+    Scale-shaped cumulative sum: a naive ``SUM OVER (PARTITION BY lang ORDER
+    BY h)`` funnels each language through ONE task — a straggler at 100 TB
+    where a language can be most of the corpus.  Instead the global priority
+    order is (bucket, h, id) with bucket = h mod ``n_buckets``:
+
+    1. window cumsum within (lang, bucket) — n_buckets-times finer
+       partitions, still one shuffle;
+    2. per-(lang, bucket) totals -> prefix offsets via a window over the
+       tiny (langs x buckets) table — broadcast back;
+    3. global cumulative = offset + local cumsum; keep rows with
+       cumulative <= budget.
+
+    The result is identical to the single-partition plan under the same
+    total order (the oracle computes it that way), but no task ever sees
+    more than ~1/n_buckets of a language.
+    """
+    h = portable_hash60(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    totals = base.groupBy("lang", "bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+    ).select("lang", "bucket", "offset")
+    return (
+        local.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn("cum_tokens", F.col("offset") + F.col("local_cum"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Replace email / E.164-style phone substrings with typed placeholders
+    and count what was removed.  Pure projection (regexp_extract_all +
+    regexp_replace), whole-stage-codegen, zero shuffles; patterns are
+    RE2-and-Java compatible so the oracle runs them verbatim."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus source: p_i =
+    tokens_i / total, w_i = p_i^alpha / sum_j p_j^alpha — the standard
+    recipe for up-weighting small sources in a training mixture.
+
+    Plan: one partial/final agg to per-source totals (linear, map-side
+    combined), then the normalization runs over the tiny per-source table
+    with an unpartitioned window — fine because its input is ~#sources rows,
+    not corpus rows.
+    """
+    per = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    with_p = per.withColumn(
+        "_p", F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    ).withColumn("_s", F.pow("_p", F.lit(alpha)))
+    return with_p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("_p", 6).alias("token_share"),
+        F.round(F.col("_s") / F.sum("_s").over(w_all), 6).alias("mix_weight"),
+    )

@@ -1,0 +1,119 @@
+"""Curation operator semantics: repetition metrics, token-budget sampling
+(bucketed cumsum == naive global cumsum), PII scrub, mixture weights."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from node_feedparser_spark.functions.hashing import portable_hash60
+from node_feedparser_spark.operators.curation import (
+    mixture_weights,
+    pii_scrub,
+    repetition_metrics,
+    token_budget_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_repetition_metrics_values(spark):
+    df = repetition_metrics(
+        _docs(
+            spark,
+            [
+                (1, "en", "a a a b"),        # 4 toks, 2 distinct, modal 3/4
+                (2, "en", "a a a a"),        # grams: 'a a a' x2 -> dup 0.5
+                (3, "en", "x y"),            # < k tokens -> dup 0.0
+            ],
+        )
+    )
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].distinct_token_frac == 0.5
+    assert got[1].top_token_frac == 0.75
+    assert got[1].dup_kgram_frac == 0.0  # 'a a a','a a b' distinct
+    assert got[2].dup_kgram_frac == 0.5
+    assert got[3].dup_kgram_frac == 0.0
+    assert got[3].distinct_token_frac == 1.0
+
+
+def test_token_budget_sample_equals_naive_global_cumsum(spark):
+    docs = _docs(
+        spark,
+        [(i, "en" if i % 3 else "fr", "w " * (i % 17 + 1)) for i in range(200)],
+    ).withColumn("text", F.trim("text"))
+    budget = 150
+    got = token_budget_sample(docs, budget=budget, n_buckets=8)
+
+    # naive single-window plan under the same (bucket, h, id) total order
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        h.alias("h"), F.pmod(h, F.lit(8)).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # budget respected per language
+    per_lang = got.groupBy("lang").agg(F.max("cum_tokens").alias("m")).collect()
+    assert all(r.m <= budget for r in per_lang)
+    assert got.count() > 0
+
+
+def test_token_budget_sample_deterministic(spark):
+    docs = _docs(spark, [(i, "en", "w " * 5) for i in range(50)]).withColumn(
+        "text", F.trim("text")
+    )
+    a = sorted(map(tuple, token_budget_sample(docs, budget=60).collect()))
+    b = sorted(map(tuple, token_budget_sample(docs, budget=60).collect()))
+    assert a == b
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    df = pii_scrub(
+        _docs(
+            spark,
+            [
+                (1, "en", "mail bob.smith+x@corp.example.org or +1-555-010-1234 now"),
+                (2, "en", "no pii here"),
+                (3, "en", "two a@b.io c@d.io emails"),
+            ],
+        )
+    )
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[1].clean_text == "mail <EMAIL> or <PHONE> now"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].clean_text == "no pii here"
+    assert got[3].n_emails == 2
+    assert got[3].clean_text == "two <EMAIL> <EMAIL> emails"
+
+
+def test_mixture_weights_upweights_small_sources(spark):
+    docs = _docs(
+        spark,
+        [(i, "en", "w " * 100) for i in range(90)]
+        + [(1000 + i, "en", "w " * 100) for i in range(10)],
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 1000, "big").otherwise("small").alias("source"),
+        F.trim("text").alias("text"),
+    )
+    got = {r.source: r for r in mixture_weights(docs).collect()}
+    assert got["big"].token_share == pytest.approx(0.9)
+    assert got["small"].token_share == pytest.approx(0.1)
+    # alpha < 1 compresses: small source's weight > its share, big's < its
+    assert got["small"].mix_weight > 0.1
+    assert got["big"].mix_weight < 0.9
+    assert got["big"].mix_weight + got["small"].mix_weight == pytest.approx(1.0, abs=2e-6)
