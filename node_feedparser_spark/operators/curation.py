@@ -31,15 +31,21 @@ PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
 
 
 def _grams(toks, k: int):
-    """All (non-distinct) token k-grams, in order; [] when len(toks) < k."""
+    """All (non-distinct) token k-grams, in order; [] when len(toks) < k.
+
+    Zip-of-k-slices construction (not transform+element_at, which re-splits
+    the text per element access — see functions/hashing.token_shingles)."""
     n = F.size(toks) - (k - 1)
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    grams = F.slice(toks, 1, F.greatest(n, F.lit(0)))
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(n, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
 
 
 def repetition_metrics(
