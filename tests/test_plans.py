@@ -126,3 +126,43 @@ def test_ann_topk_shuffle_is_tiny(spark):
     # exactly one exchange: hashpartitioning(query_id) for the global top-k
     assert p.count("Exchange hashpartitioning") == 1
     assert "query_id" in p
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark):
+    """Curation: PII scrub is a pure projection — no exchange at all, and
+    the whole thing stays inside whole-stage codegen."""
+    p = plan_of(entrymod.q_pii_scrub(spark, SF_DIR), "simple")
+    assert "Exchange" not in p
+    assert "*(1)" in p  # one codegen span covering the whole projection
+
+
+def test_repetition_local_fractions_shuffle_free(spark):
+    """Curation: the array-local repetition fractions must not shuffle; the
+    full operator pays only the modal-token aggs + join on doc_id."""
+    from node_feedparser_spark.operators.curation import repetition_metrics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as SF
+    toks = SF.split(SF.col("text"), " ")
+    from node_feedparser_spark.operators.curation import _grams
+    local = docs.select(
+        "doc_id", SF.size(SF.array_distinct(toks)).alias("d"),
+        SF.size(_grams(toks, 3)).alias("g"),
+    )
+    assert "Exchange" not in plan_of(local, "simple")
+    # and the full operator reads only (doc_id, text) from the scan
+    p = plan_of(repetition_metrics(docs))
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_token_budget_sample_no_global_sort_and_broadcast_offsets(spark):
+    """Curation: the bucketed cumsum must not funnel a language through one
+    task — no global Sort/Exchange rangepartitioning, offsets broadcast."""
+    from node_feedparser_spark.operators.curation import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(token_budget_sample(docs, budget=5000), "simple")
+    assert "rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
