@@ -130,8 +130,18 @@ def build_kg(
             raw = raw.filter(~F.col("bucket").isin(skipped))
 
     turns = dedupe_first_wins(raw)
-    turn_counts = turns.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_turns"))
+    # n_turns = rows surviving first-wins dedupe = distinct (conv_id,
+    # turn_idx) keys.  Counting on `turns` would re-run the dedupe window —
+    # a second full shuffle of the text column — so count distinct keys on
+    # the pruned raw scan instead (same value, 2-column columnar read).
+    # (distinct over a STRUCT, not bare columns: count_distinct(a, b) drops
+    # tuples with a NULL field, but the dedupe window keeps a NULL-turn_idx
+    # poison row as its own group — the struct wrapper counts it too)
+    turn_counts = raw.groupBy("bucket").agg(
+        F.count_distinct(F.struct("conv_id", "turn_idx")).alias("n_turns")
+    )
 
+    phases: dict[str, float] = {}
     extracted = _bucketed(extract_triples(turns), n_buckets)
     extracted.cache()
 
@@ -145,8 +155,12 @@ def build_kg(
         .groupBy("surface")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+    # canonicalize() materializes extraction eagerly (the connected-
+    # components edge set is localCheckpoint'ed), so time it as a phase
+    t0 = time.monotonic()
     mapping, vertices = canonicalize(spark, surfaces)
     mapping.cache()
+    phases["extract_canonicalize"] = round(time.monotonic() - t0, 2)
 
     m_subj = mapping.withColumnRenamed("surface", "subj").withColumnRenamed(
         "entity_id", "subj_id"
@@ -167,10 +181,12 @@ def build_kg(
     # the worst case is a sort-merge join that shuffles the triple set
     # twice (subj then obj) — correct, just ~2x slower on the join+write
     # path at fixture scale.
+    t0 = time.monotonic()
     stats = mapping.agg(
         F.count(F.lit(1)).alias("rows"),
         F.coalesce(F.sum(F.length("surface")), F.lit(0)).alias("surface_bytes"),
     ).collect()[0]
+    phases["mapping_stats"] = round(time.monotonic() - t0, 2)
     est_bytes = int(stats["surface_bytes"]) + 48 * int(stats["rows"])
     if est_bytes <= 64 * 1024 * 1024:
         m_subj, m_obj = F.broadcast(m_subj), F.broadcast(m_obj)
@@ -243,7 +259,6 @@ def build_kg(
 
     # --- materialize: data first, metrics (the commit marker) last, so a
     # crash mid-write is re-done on resume rather than falsely committed.
-    phases: dict[str, float] = {}
 
     def _write_triples() -> None:
         # co-locate each bucket into one task before the partitioned write:
