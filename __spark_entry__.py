@@ -436,6 +436,14 @@ def q_payload_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: LSH pair graph transitively closed via connected
+    components; every doc labeled (group = min id, keeper = first-wins)."""
+    from node_feedparser_spark.operators.dedupe import near_dup_groups
+
+    return near_dup_groups(_t(spark, sf_dir, "documents"))
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals: distinct-token fraction,
     modal-token fraction, duplicate-3-gram fraction.  Array-local fractions
@@ -915,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "payload_dedupe": q_payload_dedupe,
         # training-corpus curation
+        "near_dup_groups": q_near_dup_groups,
         "repetition_metrics": q_repetition_metrics,
         "token_budget_sample": q_token_budget_sample,
         "pii_scrub": q_pii_scrub,
@@ -1539,6 +1548,31 @@ def _extra_oracles() -> dict[str, str]:
                    || '.png 1x, ' || o || '/b' || doc_id
                    || '.png 2x"> <foo href="/skip">' AS resolved_html
             FROM s
+        """,
+        "near_dup_groups": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, {shingles_sql('text', 3)} AS shingles
+                FROM documents),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                      / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                      >= 0.8),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, r) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT reach.node, edges.b
+                FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (
+                SELECT node, LEAST(node, MIN(r)) AS group_id
+                FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(c.group_id, d.doc_id) AS group_id,
+                   COALESCE(c.group_id, d.doc_id) = d.doc_id AS is_keeper
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
         "repetition_metrics": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -262,3 +262,36 @@ def near_dup_keepers(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") 
         .withColumn("keep", F.coalesce(~F.col("_drop"), F.lit(True)))
         .drop("_drop")
     )
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """Near-duplicate GROUPS: transitively close the verified near-dup pair
+    graph (lsh_near_dup_pairs) with connected components and label every
+    document — group_id = min doc id of its component (singletons label
+    themselves), is_keeper = the reference's first-wins keeper rule applied
+    per group (lowest id survives, lib/feedparser.js:939 guid first-wins).
+
+    This is the operator a dedup pass actually runs at 100 TB: pairs alone
+    under-remove (A~B~C with A!~C must still collapse to one keeper).  Plan:
+    LSH pair join (O(n) shuffle) -> components over the pair set (tiny:
+    near-dup pairs ≪ corpus) -> one broadcast-ish left join back to doc ids.
+    """
+    from .components import connected_components
+
+    pairs = lsh_near_dup_pairs(docs, id_col, text_col, threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+        .withColumn("is_keeper", F.col("group_id") == F.col("doc_id"))
+    )

@@ -277,3 +277,26 @@ def test_payload_dedupe_keeps_first(spark):
     }
     assert res[("image/png", 0)] == 2
     assert res[("video/mp4", 2)] == 1
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """A~B and B~C but A!~C must still collapse into ONE group with the
+    lowest id as keeper; unrelated and singleton docs label themselves."""
+    w = [f"w{i}" for i in range(1, 19)]
+    rows = [
+        (10, " ".join(w[0:12])),   # A: j(A,B)=0.625
+        (11, " ".join(w[0:18])),   # B bridges: j(B,C)=0.625
+        (12, " ".join(w[6:18])),   # C: j(A,C)=0.25 < threshold
+        (30, "totally unrelated text about parquet row groups and pages"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.group_id, r.is_keeper)
+           for r in dd.near_dup_groups(docs, threshold=0.5).collect()}
+    # sanity: the chain actually is a chain at this threshold
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dd.lsh_near_dup_pairs(docs, threshold=0.5).collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs and (10, 12) not in pairs
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[30] == (30, True)
