@@ -126,3 +126,31 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_content_dedupe(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    bounded_state: bool = False,
+) -> DataFrame:
+    """Streaming exact dedupe: first document per 60-bit content hash
+    survives — the streaming face of operators/dedupe.exact_dedupe (the
+    reference's first-guid-wins discipline, lib/feedparser.js:939, applied
+    to content identity on an unbounded stream).
+
+    Same state policy split as stream_triples: bounded_state=False keeps
+    dedupe state forever (exact global dedupe, availableNow drains);
+    bounded_state=True evicts state past the watermark via
+    dropDuplicatesWithinWatermark — duplicates arriving later than the
+    watermark window are re-admitted, the standard streaming trade.
+    """
+    from ..functions.hashing import portable_hash60
+
+    hashed = docs.withColumn("text_hash", portable_hash60(text_col))
+    if bounded_state:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    return hashed.dropDuplicates(["text_hash"])

@@ -168,3 +168,39 @@ def test_stream_conv_metrics(spark, split_corpus):
         key = (r["conv_id"], r["window_start"])
         assert key in want, f"stream emitted a window batch never saw: {key}"
         assert (r["n_turns"], r["n_tool_turns"]) == want[key], key
+
+
+def test_stream_content_dedupe_matches_batch(spark, split_corpus, tmp_path):
+    """Streaming exact dedupe over an availableNow drain keeps exactly one
+    row per content hash and agrees with the batch exact_dedupe group set."""
+    from node_feedparser_spark.functions.hashing import portable_hash60
+    from node_feedparser_spark.streaming.stream_extract import stream_content_dedupe
+
+    _, in_dir, _ = split_corpus
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    stream = stream_transcripts(spark, in_dir)
+    q = (
+        stream_content_dedupe(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert n > 0
+    # exactly one row per hash
+    assert got.select("text_hash").distinct().count() == n
+    # same hash set as batch dedupe
+    batch = (
+        read_transcripts(spark, in_dir)
+        .withColumn("text_hash", portable_hash60("text"))
+        .select("text_hash")
+        .distinct()
+    )
+    want = {r.text_hash for r in batch.collect()}
+    have = {r.text_hash for r in got.select("text_hash").collect()}
+    assert have == want
