@@ -109,7 +109,9 @@ class ExtractionError(ValueError):
     test/bad.js:92-121)."""
 
 
-def _extract_rows_spec(pdf: pd.DataFrame, fail_fast: bool = False) -> pd.DataFrame:
+def _extract_rows_spec(
+    pdf: pd.DataFrame, fail_fast: bool = False, normalize: bool = True
+) -> pd.DataFrame:
     """Exact per-row spec path: one `extract_turn` call per row.  Owns error
     containment — a row whose extraction raises (or whose turn_idx is null)
     yields a single pred='__error__' row instead of failing the task; in
@@ -129,7 +131,7 @@ def _extract_rows_spec(pdf: pd.DataFrame, fail_fast: bool = False) -> pd.DataFra
         try:
             if ti is None:
                 raise ValueError("null turn_idx")
-            triples, _ = extract_turn(conv_id, ti, role, text, tool)
+            triples, _ = extract_turn(conv_id, ti, role, text, tool, normalize)
         except Exception as exc:
             if fail_fast:
                 raise ExtractionError(
@@ -334,7 +336,9 @@ def _extract_clean(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], fail_fast: bool = False
+    batches: Iterator[pd.DataFrame],
+    fail_fast: bool = False,
+    normalize: bool = True,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if pdf.empty:
@@ -346,21 +350,25 @@ def _extract_batches(
             & text.str.contains(_DIRTY_RE, regex=True, na=False)
         ) | pdf["turn_idx"].isna()
         n_dirty = int(dirty.sum())
+        # clean rows: normalize_text == str.strip(), so the vectorized path
+        # is valid for BOTH normalize modes; only dirty rows differ
         if n_dirty == 0:
             yield _extract_clean(pdf)
         elif n_dirty == len(pdf):
-            yield _extract_rows_spec(pdf, fail_fast)
+            yield _extract_rows_spec(pdf, fail_fast, normalize)
         else:
             yield pd.concat(
                 [
                     _extract_clean(pdf[~dirty].reset_index(drop=True)),
-                    _extract_rows_spec(pdf[dirty], fail_fast),
+                    _extract_rows_spec(pdf[dirty], fail_fast, normalize),
                 ],
                 ignore_index=True,
             )
 
 
-def extract_triples(turns: DataFrame, fail_fast: bool = False) -> DataFrame:
+def extract_triples(
+    turns: DataFrame, fail_fast: bool = False, normalize: bool = True
+) -> DataFrame:
     """transcript turns -> raw triples via Arrow-batched mapInPandas.
 
     Input must already be deduped (dedupe_first_wins).  Output carries
@@ -370,11 +378,16 @@ def extract_triples(turns: DataFrame, fail_fast: bool = False) -> DataFrame:
     fail_fast=True is strict mode (the reference's resume_saxerror:false):
     the first unextractable turn raises ExtractionError and fails the job
     instead of flowing to the error side channel.
+
+    normalize=False is the reference's `normalize: false` option
+    (lib/feedparser.js:77; test/api.js:51): dirty rows are extracted from
+    raw trimmed text with no repair; clean rows are unaffected (for them
+    normalization already reduces to str.strip()).
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batches(batches, fail_fast)
+        return _extract_batches(batches, fail_fast, normalize)
 
     return turns.select(*cols).mapInPandas(run, schema=TRIPLES_RAW)
 

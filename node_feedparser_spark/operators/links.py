@@ -88,3 +88,14 @@ def reassemble_links(
             "enclosures"
         ),
     )
+
+
+def infer_link_from_guid(link: Column, guid: Column, guidlink: bool = True) -> Column:
+    """F14 guid->link inference, gated by the reference's `guidlink` option
+    (default true; /root/reference/lib/feedparser.js:80,1172;
+    test/link.js:80 'should not infer item link from guid when guidlink is
+    false'): only when the link is missing, only when the option is on, and
+    only when the guid looks like an http(s) URL."""
+    if not guidlink:
+        return link
+    return F.coalesce(link, F.when(guid.rlike("^https?:"), guid))

@@ -60,14 +60,19 @@ def _is_entity(surface: str) -> bool:
     return not (" " not in surface and surface in STOPWORDS)
 
 
-def extract_turn(conv_id, turn_idx, role, text, tool):
+def extract_turn(conv_id, turn_idx, role, text, tool, normalize=True):
     """Extract triples from one turn.  Returns (triples, normalized_text).
 
     Each triple is a dict {conv_id, turn_idx, subj, pred, obj, score}.
     Emission order: pattern triples (document order), tool triple, mention
     triples (first-occurrence order); exact (subj,pred,obj) dupes keep first.
+
+    normalize=False is the reference's `normalize: false` option
+    (/root/reference/lib/feedparser.js:77, test/api.js:51 — raw fields
+    exposed, no canonical repair): the grammar runs over the raw trimmed
+    text with no encoding repair / HTML strip / whitespace folding.
     """
-    norm = normalize_text(text)
+    norm = normalize_text(text) if normalize else ("" if text is None else str(text)).strip()
     triples = []
     seen: set[tuple[str, str, str]] = set()
 

@@ -71,3 +71,28 @@ def test_pipeline_routes_error_to_metrics(spark, poisoned_corpus, tmp_path):
     assert summary["n_triples"] >= 2
     metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
     assert metrics.agg(F.sum("n_errors")).collect()[0][0] == 1
+
+
+def test_normalize_false_raw_mode(spark):
+    """Reference `normalize: false` (lib/feedparser.js:77; test/api.js:51):
+    dirty rows are extracted from RAW text (markup blinds the relation
+    grammar but mentions survive); clean rows are identical in both modes."""
+    rows = [
+        ("c1", 0, "user", "<b>Spark</b> uses Arrow", None, 1),
+        ("c2", 0, "user", "Kafka is a Broker", None, 2),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def keyset(df):
+        return {(r.conv_id, r.subj, r.pred, r.obj) for r in df.collect()}
+
+    norm = keyset(extract_triples(turns))
+    raw = keyset(extract_triples(turns, normalize=False))
+    # normalized mode repairs the markup and recovers the relation
+    assert ("c1", "Spark", "uses", "Arrow") in norm
+    assert ("c1", "Spark", "uses", "Arrow") not in raw
+    # mentions survive raw mode; clean rows agree exactly
+    assert ("c1", "conv:c1", "mentions", "Spark") in raw
+    assert {t for t in norm if t[0] == "c2"} == {t for t in raw if t[0] == "c2"}

@@ -127,3 +127,36 @@ def test_single_aggregation_no_window_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_guidlink_toggle(spark):
+    """Mirror of test/link.js:80 — guidlink=False must not infer a link
+    from a URL-shaped guid; guidlink=True infers only when link is null."""
+    import pyspark.sql.functions as F
+    from node_feedparser_spark.operators.links import infer_link_from_guid
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "https://x.example/a"),   # infer when on
+            (2, None, "urn:item:2"),            # never: not a URL
+            (3, "https://x.example/keep", "https://x.example/other"),  # link wins
+        ],
+        "id long, link string, guid string",
+    )
+    on = {
+        r.id: r.out
+        for r in df.select(
+            "id", infer_link_from_guid(F.col("link"), F.col("guid")).alias("out")
+        ).collect()
+    }
+    off = {
+        r.id: r.out
+        for r in df.select(
+            "id",
+            infer_link_from_guid(F.col("link"), F.col("guid"), guidlink=False).alias(
+                "out"
+            ),
+        ).collect()
+    }
+    assert on == {1: "https://x.example/a", 2: None, 3: "https://x.example/keep"}
+    assert off == {1: None, 2: None, 3: "https://x.example/keep"}
