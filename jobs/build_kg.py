@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--strict", action="store_true",
+                    help="fail on first unextractable turn "
+                         "(reference resume_saxerror:false)")
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="raw mode: no canonical text repair on dirty rows "
+                         "(reference normalize:false)")
     args = ap.parse_args()
 
     from node_feedparser_spark.plans.pipeline import build_kg
@@ -45,6 +51,8 @@ def main() -> None:
         args.output,
         n_buckets=args.buckets,
         resume=not args.no_resume,
+        fail_fast=args.strict,
+        normalize=not args.no_normalize,
     )
     summary["wall_s"] = round(time.monotonic() - t0, 3)
     summary["master"] = spark.sparkContext.master

@@ -97,8 +97,13 @@ def build_kg(
     output_dir: str,
     n_buckets: int = DEFAULT_BUCKETS,
     resume: bool = True,
+    fail_fast: bool = False,
+    normalize: bool = True,
 ) -> dict:
-    """Run the full pipeline.  Returns a summary dict (counts, snapshot)."""
+    """Run the full pipeline.  Returns a summary dict (counts, snapshot).
+
+    fail_fast / normalize are the reference's resume_saxerror:false and
+    normalize:false option toggles, threaded to extract_triples."""
     snap = snapshot_id(input_path)
     run_id = f"run-{uuid.uuid4().hex[:12]}"
     triples_path = os.path.join(output_dir, "triples")
@@ -142,7 +147,7 @@ def build_kg(
     )
 
     phases: dict[str, float] = {}
-    extracted = _bucketed(extract_triples(turns), n_buckets)
+    extracted = _bucketed(extract_triples(turns, fail_fast, normalize), n_buckets)
     extracted.cache()
 
     triples_ok = extracted.filter(F.col("pred") != ERROR_PRED)
