@@ -264,14 +264,27 @@ def build_kg(
 
     # --- materialize: data first, metrics (the commit marker) last, so a
     # crash mid-write is re-done on resume rather than falsely committed.
+    # The triples write IS the cache materialization: the cache sits below
+    # the write's repartition, so one pass computes the join, populates the
+    # cache for the downstream aggregates, and lands the data.  (A former
+    # standalone triples.count() materialization pass re-scanned the whole
+    # cached set — minutes of pure re-read at 30 M triples on 8 cores —
+    # purely to get a number parquet footers already carry.)
+    t0 = time.monotonic()
+    n_before = _parquet_rows(triples_path) if os.path.isdir(triples_path) else 0
+    # co-locate each bucket into one task before the partitioned write:
+    # without this every task writes a file per bucket (tasks x buckets
+    # small files — a metadata storm at cluster scale)
+    triples.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(triples_path)
+    n_triples = _parquet_rows(triples_path) - n_before
+    phases["write_triples"] = round(time.monotonic() - t0, 2)
 
-    def _write_triples() -> None:
-        # co-locate each bucket into one task before the partitioned write:
-        # without this every task writes a file per bucket (tasks x buckets
-        # small files — a metadata storm at cluster scale)
-        triples.repartition(n_buckets, "bucket").write.partitionBy(
-            "bucket"
-        ).mode("append").parquet(triples_path)
+    # vertices/edges are independent aggregates over now-cached inputs —
+    # submit them as concurrent Spark jobs so their stage scheduling
+    # overlaps (metrics, the commit marker, is still written strictly last)
+    import concurrent.futures as cf
 
     def _write_vertices() -> None:
         vertices.write.mode("overwrite").parquet(vertices_path)
@@ -279,35 +292,22 @@ def build_kg(
     def _write_edges() -> None:
         edges.write.mode("overwrite").parquet(edges_path)
 
-    # materialize the triples cache with one action first — otherwise the
-    # concurrent writes below would race to compute it
     t0 = time.monotonic()
-    n_triples = triples.count()
-    phases["materialize"] = round(time.monotonic() - t0, 2)
-
-    # the three data sinks are independent — submit them as concurrent
-    # Spark jobs so their stage scheduling overlaps (metrics, the commit
-    # marker, is still written strictly last)
-    import concurrent.futures as cf
-
-    t0 = time.monotonic()
-    with cf.ThreadPoolExecutor(max_workers=3) as pool:
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
         futures = {
-            "write_triples": pool.submit(_write_triples),
             "write_vertices": pool.submit(_write_vertices),
             "write_edges": pool.submit(_write_edges),
         }
         for name, fut in futures.items():
             fut.result()
-    phases["write_data"] = round(time.monotonic() - t0, 2)
+    phases["write_aggregates"] = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()
     metrics.cache()
     metrics.write.mode("append").parquet(metrics_path)
     phases["write_metrics"] = round(time.monotonic() - t0, 2)
 
-    # summary counts come for free: n_triples from the materialize action
-    # above; vertices/edges from parquet footer metadata of the files just
-    # written — no recomputation actions.
+    # summary counts come for free from parquet footer metadata of the
+    # files just written — no recomputation actions.
     t0 = time.monotonic()
     n_vertices = _parquet_rows(vertices_path)
     n_edges = _parquet_rows(edges_path)
