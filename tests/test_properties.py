@@ -40,12 +40,26 @@ def test_strip_html_never_longer(s):
     assert len(strip_html(s)) <= len(s)
 
 
-@given(text_st)
+@given(st.text(alphabet=st.characters(blacklist_characters="<"), max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_unknown_tags_survive(s):
-    # '<foo>' is not whitelisted HTML: must pass through verbatim
+    # '<foo>' is not whitelisted HTML: must pass through verbatim.  The
+    # payload must not itself contain '<': a partial WHITELISTED tag like
+    # '<I' scans to the next unquoted '>' and swallows the wrapper's close
+    # tag — reference readMarkupAt semantics, pinned below.
     wrapped = f"<foo>{s}</foo>"
     assert strip_html(wrapped) == wrapped
+
+
+def test_unterminated_whitelisted_tag_consumes_to_gt():
+    # hypothesis-found edge (s='<I'): the markup scan starts at '<I', the
+    # tag name 'i' IS whitelisted, and the scan runs to the next unquoted
+    # '>' (the one closing '</foo') — so the whole span strips, exactly as
+    # the reference's readMarkupAt + stripHtml would
+    # (/root/reference/lib/utils.js:227-274,367-382).
+    assert strip_html("<foo><I</foo>") == "<foo>"
+    # a non-whitelisted partial tag survives untouched
+    assert strip_html("<foo>a<Ib</foo>") == "<foo>a<Ib</foo>"
 
 
 @given(text_st, text_st)
