@@ -487,6 +487,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(aug)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    3-gram with the eval subset (doc_id % 97 == 0 — planted IN the corpus,
+    the classic contamination case); broadcast eval grams, no corpus
+    shuffle."""
+    from node_feedparser_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.3) per-source training-mixture weights
     from per-source token totals."""
@@ -927,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "token_budget_sample": q_token_budget_sample,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "mixture_weights": q_mixture_weights,
         # remaining SURVEY.md §2 shapes
         "anti_join": q_anti_join,
@@ -1642,6 +1654,21 @@ def _extra_oracles() -> dict[str, str]:
                        regexp_replace(text2, '{EMAIL_RE_}', '<EMAIL>', 'g'),
                        '{PHONE_RE_}', '<PHONE>', 'g') AS clean_text
             FROM aug
+        """,
+        "decontaminate": f"""
+            WITH ev AS (
+                SELECT DISTINCT unnest({shingles_sql('text', 3)}) AS g
+                FROM documents WHERE doc_id % 97 = 0),
+            dg AS (
+                SELECT doc_id, unnest({shingles_sql('text', 3)}) AS g
+                FROM documents),
+            hits AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM dg JOIN ev USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   COALESCE(h.n_overlap, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "mixture_weights": """
             WITH per AS (

@@ -203,3 +203,48 @@ def mixture_weights(
         F.round("_p", 6).alias("token_share"),
         F.round(F.col("_s") / F.sum("_s").over(w_all), 6).alias("mix_weight"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    any token k-gram with an evaluation set, with the overlapping-gram
+    count — the standard train/test-overlap scrub a pretraining pipeline
+    runs before a corpus ships.
+
+    Plan: the eval side collapses to DISTINCT k-grams (eval sets are tiny
+    relative to the corpus) and BROADCASTS; the corpus explodes its
+    per-document distinct k-grams once and semi-joins — no shuffle of the
+    corpus, one map-side-combinable count agg on the doc key, then a left
+    join back to label the non-contaminated majority with zero.  At 100 TB
+    the explode is bounded by corpus token count and the broadcast by the
+    eval set's vocabulary, which is what makes this shape viable where a
+    corpus-vs-corpus join would not be (that case is near_dup_groups).
+    """
+    from ..functions.hashing import token_shingles
+
+    ev = (
+        eval_docs.select(F.explode(token_shingles(text_col, k)).alias("g"))
+        .distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(token_shingles(text_col, k)).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

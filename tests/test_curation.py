@@ -117,3 +117,25 @@ def test_mixture_weights_upweights_small_sources(spark):
     assert got["small"].mix_weight > 0.1
     assert got["big"].mix_weight < 0.9
     assert got["big"].mix_weight + got["small"].mix_weight == pytest.approx(1.0, abs=2e-6)
+
+
+def test_decontaminate_flags_overlap_and_only_overlap(spark):
+    from node_feedparser_spark.operators.curation import decontaminate
+
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "alpha beta gamma delta epsilon"),   # shares 3-grams w/ eval
+            (2, "en", "one two three four five six"),      # disjoint
+            (3, "en", "zeta eta theta alpha beta gamma"),  # tail overlaps eval
+        ],
+    )
+    ev = _docs(spark, [(100, "en", "alpha beta gamma x y z")])
+    got = {r.doc_id: (r.n_overlap, r.contaminated)
+           for r in decontaminate(docs, ev).collect()}
+    # eval grams: 'alpha beta gamma', 'beta gamma x', 'gamma x y', 'x y z'
+    assert got[1] == (1, True)   # 'alpha beta gamma'
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+    # every doc labeled exactly once
+    assert set(got) == {1, 2, 3}
