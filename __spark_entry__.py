@@ -420,6 +420,29 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode stage output (round 3): real PNG/GIF/JPEG bytes decode to
+    true dimensions; the synthetic corpus is text bytes, so every row takes
+    the deterministic md5 fake lane — which the DuckDB oracle reproduces
+    byte-for-byte (width = 16 + 4*digest[0], height = 16 + 4*digest[1],
+    n_frames = 1 + digest[2] % 64)."""
+    from node_feedparser_spark.operators.multimodal import (
+        attach_payload,
+        decode_media,
+    )
+
+    decoded = decode_media(attach_payload(_t(spark, sf_dir, "documents")))
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "decoder",
+    )
+
+
 def q_payload_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-enclosure analog: dedupe binary payloads on (content key,
     media type), keep-first (J2)."""
@@ -931,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
+        "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "payload_dedupe": q_payload_dedupe,
         # training-corpus curation
@@ -1324,6 +1348,19 @@ def _extra_oracles() -> dict[str, str]:
                         WHEN source = 'src2' THEN 'audio'
                         WHEN source = 'src3' THEN 'video'
                         ELSE 'other' END AS modality
+            FROM documents
+        """,
+        "media_decode": f"""
+            SELECT doc_id,
+                   {mtype_case} AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS byte_len,
+                   CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 4
+                        AS BIGINT) AS width,
+                   CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) * 4
+                        AS BIGINT) AS height,
+                   CAST(1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 64
+                        AS BIGINT) AS n_frames,
+                   'fake-md5' AS decoder
             FROM documents
         """,
         "frame_sample": """

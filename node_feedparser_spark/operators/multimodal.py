@@ -1,12 +1,15 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
-signatures) is REAL and tested; the actual media decode is STUBBED because
-this container ships no image/audio libraries: `decode_media` tries
-PIL/soundfile-style decoders via import-guard and otherwise produces a
-clearly-marked deterministic fake derived from the payload's md5 — so every
-downstream stage (resize plan, frame sampling, feature join) exercises true
-shapes and sizes.
+signatures) is REAL and tested.  The decode stage (round 3) is now real for
+images: payloads whose magic bytes identify PNG / GIF / JPEG are decoded —
+via PIL when importable (`decoder='pil'`), else a pure-Python container
+header parse (`decoder='header'`: PNG IHDR, GIF logical screen, JPEG SOF
+scan — all public file-format knowledge).  Payloads that are NOT
+recognizable media (this sandbox's synthetic text bytes, or any undecodable
+blob) fall back to the clearly-marked deterministic md5 fake
+(`decoder='fake-md5'`), so downstream stages always see true shapes and the
+DuckDB oracle can reproduce the fake lane exactly.
 
 Scale notes: payloads ride as `binary` columns inside Arrow record batches;
 `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory, and the
@@ -78,8 +81,9 @@ def media_meta(media: DataFrame) -> DataFrame:
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode: dimensions derived from content md5.
-    STUB — replace with PIL / ffprobe in a real deployment."""
+    """Deterministic fake decode for non-media payloads: dimensions derived
+    from content md5 (oracle-reproducible: width = 16 + 4*byte0 of the
+    digest, height = 16 + 4*byte1, frames = 1 + byte2 % 64)."""
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] * 4
     height = 16 + h[1] * 4
@@ -87,50 +91,129 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _png_dims(b: bytes) -> tuple[int, int] | None:
+    """PNG: 8-byte signature, then the IHDR chunk — width/height are the
+    two big-endian uint32s at byte offsets 16 and 20 (public PNG spec)."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    return (
+        int.from_bytes(b[16:20], "big"),
+        int.from_bytes(b[20:24], "big"),
+    )
+
+
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    """GIF87a/89a: logical-screen width/height are little-endian uint16s at
+    offsets 6 and 8."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    return (
+        int.from_bytes(b[6:8], "little"),
+        int.from_bytes(b[8:10], "little"),
+    )
+
+
+# JPEG SOF markers that carry frame dimensions (all SOFn except DHT/DAC/RST)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """JPEG: walk the marker segments from SOI to the first SOFn; height and
+    width are big-endian uint16s at payload offsets 3 and 5 of that segment."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers have no length field
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                return None
+            return (
+                int.from_bytes(b[i + 7 : i + 9], "big"),
+                int.from_bytes(b[i + 5 : i + 7], "big"),
+            )
+        i += 2 + seg_len
+    return None
+
+
 def _try_real_decoder():
-    try:  # pragma: no cover - PIL absent in this container
+    """'pil' when PIL is importable (preferred — full decode), else 'header'
+    (pure-Python container header parse, images only)."""
+    try:
         from PIL import Image  # noqa: F401
 
         return "pil"
     except Exception:
-        return None
+        return "header"
+
+
+def _decode_one(payload: bytes, mode: str) -> tuple[int, int, int, str]:
+    """(width, height, n_frames, decoder) for ONE payload.  Real image
+    bytes decode for real; anything else gets the deterministic fake."""
+    if mode == "pil":
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                return img.width, img.height, getattr(img, "n_frames", 1), "pil"
+        except Exception:
+            pass  # not an image PIL knows -> header sniff, then fake
+    dims = _png_dims(payload) or _gif_dims(payload) or _jpeg_dims(payload)
+    if dims is not None:
+        return dims[0], dims[1], 1, "header"
+    w, h, nf = _fake_dims(payload)
+    return w, h, nf, "fake-md5"
 
 
 def decode_media(media: DataFrame) -> DataFrame:
     """mapInPandas decode stage.  Arrow-batched binary in, typed struct out.
 
-    With a real decoder installed the same signature decodes actual bytes;
-    here the fake path exercises identical batch shapes.  A payload that
-    fails to decode yields decoder='error' instead of failing the task
-    (the reference's error-resume, /root/reference/lib/feedparser.js:140-154).
+    The per-row loop carries ONLY the decode call (intrinsic: each payload
+    is one opaque blob); byte_len and the passthrough columns are vectorized
+    pandas lanes.  A payload that raises out of every decode path yields
+    decoder='error' instead of failing the task (the reference's
+    error-resume, /root/reference/lib/feedparser.js:140-154).
     """
+    mode = _try_real_decoder()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                "doc_id": [], "media_type": [], "byte_len": [], "width": [],
-                "height": [], "n_frames": [], "decoder": [],
-            }
-            for doc_id, mtype, payload in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["payload"]
-            ):
+            decoded = []
+            for payload in pdf["payload"]:
                 try:
-                    # Sandbox payloads are synthetic text bytes, never real
-                    # media, so even when PIL is importable the fake decode
-                    # runs; a production build swaps _fake_dims for the real
-                    # decoder behind the same (bytes)->(w,h,frames) contract.
-                    w, h, nf = _fake_dims(bytes(payload))
-                    dec = "fake-md5"
+                    decoded.append(_decode_one(bytes(payload), mode))
                 except Exception:
-                    w = h = nf = 0
-                    dec = "error"
-                out["doc_id"].append(doc_id)
-                out["media_type"].append(mtype)
-                out["byte_len"].append(len(payload))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_frames"].append(nf)
-                out["decoder"].append(dec)
-            yield pd.DataFrame(out)
+                    decoded.append((0, 0, 0, "error"))
+            w, h, nf, dec = (
+                zip(*decoded) if decoded else ((), (), (), ())
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len),
+                    "width": pd.Series(w, dtype="int32", index=pdf.index),
+                    "height": pd.Series(h, dtype="int32", index=pdf.index),
+                    "n_frames": pd.Series(nf, dtype="int32", index=pdf.index),
+                    "decoder": pd.Series(dec, dtype="object", index=pdf.index),
+                }
+            )
 
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         batches, DECODED_SCHEMA
