@@ -879,6 +879,43 @@ def q_html_uri_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedded_html_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 mayHaveEmbeddedHtml — exact field/type-attr dispatch (reference
+    lib/utils.js:342-355) gating the F9 HTML-URI rewrite (lib/feedparser.js:
+    294-298): synthesize a field name (8-way by event_id) and a type attr
+    (4-way by user_id) per event, emit the codegen dispatch boolean and the
+    gated rewrite — routed fields get their embedded href resolved against
+    the base, unrouted fields pass through byte-identically."""
+    from node_feedparser_spark.functions.urls import (
+        may_have_embedded_html_col,
+        resolve_field_html_uris_col,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fields = [
+        "content:encoded", "description", "summary", "tagline",
+        "content", "title", "subtitle", "link",
+    ]
+    name = F.element_at(
+        F.array(*[F.lit(f) for f in fields]), (F.col("event_id") % 8 + 1).cast("int")
+    )
+    k = F.col("user_id") % 4
+    type_attr = (
+        F.when(k == 0, "html").when(k == 1, "xhtml").when(k == 2, "text")
+    )  # k == 3 -> NULL (absent type attr)
+    text = F.concat(
+        F.lit('say <a href="/e'), F.col("event_id"), F.lit('">go</a>')
+    )
+    base = F.concat(F.lit("http://b"), F.col("user_id") % 5, F.lit(".example/d/"))
+    return ev.select(
+        "event_id",
+        name.alias("field_name"),
+        type_attr.alias("type_attr"),
+        may_have_embedded_html_col(name, type_attr, text).alias("routed"),
+        resolve_field_html_uris_col(name, type_attr, text, base).alias("out_text"),
+    )
+
+
 def q_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 attribute simplification on a MapType column: build an attr map,
     lowercase the keys, drop the 'version' key (reference excludes the
@@ -981,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "retro_resolve": q_retro_resolve,
         "html_uri_resolve": q_html_uri_resolve,
+        # F10 exact field/type dispatch gating F9 (round 3)
+        "embedded_html_dispatch": q_embedded_html_dispatch,
     }
 
 
@@ -1584,6 +1623,28 @@ def _extra_oracles() -> dict[str, str]:
                         ELSE 'https://u' || u.user_id || '.example/q' || u.event_id
                         END AS resolved_url
             FROM u LEFT JOIN base b ON u.user_id = b.user_id
+        """,
+        "embedded_html_dispatch": """
+            WITH s AS (SELECT event_id,
+                (['content:encoded','description','summary','tagline',
+                  'content','title','subtitle','link'])[CAST(event_id % 8 AS INT) + 1]
+                    AS field_name,
+                CASE user_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'xhtml'
+                                 WHEN 2 THEN 'text' END AS type_attr,
+                'http://b' || (user_id % 5) || '.example' AS origin
+            FROM events),
+            r AS (SELECT *,
+                COALESCE(field_name IN ('content:encoded','description',
+                                        'summary','tagline')
+                         OR (field_name IN ('content','title','subtitle','rights')
+                             AND type_attr IN ('html','xhtml')), FALSE) AS routed
+            FROM s)
+            SELECT event_id, field_name, type_attr, routed,
+                   CASE WHEN routed
+                        THEN 'say <a href="' || origin || '/e' || event_id || '">go</a>'
+                        ELSE 'say <a href="/e' || event_id || '">go</a>'
+                   END AS out_text
+            FROM r
         """,
         "html_uri_resolve": """
             WITH s AS (SELECT doc_id, lang,

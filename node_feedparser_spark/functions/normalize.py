@@ -160,6 +160,59 @@ def normalize_text(text) -> str:
     return text.strip()
 
 
+# F10 — exact mayHaveEmbeddedHtml dispatch (reference lib/utils.js:342-355).
+# Routing is FIELD/TYPE-wise, not content-wise: these fields always may
+# carry embedded HTML; the type-gated set only when the element's `type`
+# attribute is 'html' or 'xhtml'.  The character-class dirty screen
+# (operators/extract._DIRTY_RE) remains the row-wise performance pre-filter
+# layered UNDER this dispatch.
+ALWAYS_EMBEDDED_HTML_FIELDS = frozenset(
+    {"content:encoded", "description", "summary", "tagline"}
+)
+TYPE_GATED_EMBEDDED_HTML_FIELDS = frozenset(
+    {"content", "title", "subtitle", "rights"}
+)
+_EMBEDDED_HTML_TYPES = frozenset({"html", "xhtml"})
+
+
+def may_have_embedded_html(name, text, type_attr=None) -> bool:
+    """True iff a field named `name` with string value `text` may carry
+    embedded HTML — the reference's per-field/type-attr dispatch
+    (lib/utils.js:342-355): content:encoded / description / summary /
+    tagline always; content / title / subtitle / rights only when the
+    element's type attribute is 'html' or 'xhtml'; everything else never.
+    Non-string values are never HTML (the `typeof el['#'] !== 'string'`
+    guard)."""
+    if not isinstance(text, str):
+        return False
+    if name in ALWAYS_EMBEDDED_HTML_FIELDS:
+        return True
+    if name in TYPE_GATED_EMBEDDED_HTML_FIELDS:
+        return type_attr in _EMBEDDED_HTML_TYPES
+    return False
+
+
+def may_have_embedded_html_qualified(name, local, text, type_attr=None) -> bool:
+    """The caller-side OR the reference applies at lib/feedparser.js:289:
+    a namespaced element matches if either its qualified `#name`
+    ('content:encoded') or its `#local` ('encoded') is routed."""
+    return may_have_embedded_html(name, text, type_attr) or may_have_embedded_html(
+        local, text, type_attr
+    )
+
+
+def resolve_field_html_uris(name, text, base_url, type_attr=None):
+    """The reference's normalize-time application of the dispatch
+    (lib/feedparser.js:294-298 and lib/utils.js:200-202): rewrite URI
+    attributes inside embedded HTML only for fields the dispatch routes;
+    all other fields pass through untouched."""
+    if not base_url or not may_have_embedded_html(name, text, type_attr):
+        return text
+    from .urls import resolve_html_uris
+
+    return resolve_html_uris(text, base_url)
+
+
 _NONWORD_RE = re.compile(r"[^a-z0-9]+")
 
 

@@ -283,6 +283,49 @@ def resolve_html_uris_udf(html: pd.Series, base: pd.Series) -> pd.Series:
     return out
 
 
+def may_have_embedded_html_col(name_col, type_col, text_col):
+    """JVM twin of functions.normalize.may_have_embedded_html — a pure
+    whole-stage-codegen CASE expression (no Python), so the F10 dispatch
+    can gate the expensive HTML-rewrite UDF at scan speed."""
+    from pyspark.sql import functions as F
+
+    from .normalize import (
+        ALWAYS_EMBEDDED_HTML_FIELDS,
+        TYPE_GATED_EMBEDDED_HTML_FIELDS,
+    )
+
+    name = F.col(name_col) if isinstance(name_col, str) else name_col
+    typ = F.col(type_col) if isinstance(type_col, str) else type_col
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    # coalesce the NULL-type case: gated-field & NULL-type must be False,
+    # not NULL (three-valued logic would leak a NULL boolean out)
+    return F.when(text.isNull(), F.lit(False)).otherwise(
+        name.isin(*sorted(ALWAYS_EMBEDDED_HTML_FIELDS))
+        | F.coalesce(
+            name.isin(*sorted(TYPE_GATED_EMBEDDED_HTML_FIELDS))
+            & typ.isin("html", "xhtml"),
+            F.lit(False),
+        )
+    )
+
+
+def resolve_field_html_uris_col(name_col, type_col, text_col, base_col):
+    """Gated F9 application (reference lib/feedparser.js:294-298): the
+    HTML-URI rewrite UDF runs ONLY where the F10 dispatch routes the field
+    AND the cheap '<'-screen fires; everything else passes through in
+    codegen without touching Python."""
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = F.col(base_col) if isinstance(base_col, str) else base_col
+    gate = (
+        may_have_embedded_html_col(name_col, type_col, text)
+        & base.isNotNull()
+        & text.contains("<")
+    )
+    return F.when(gate, resolve_html_uris_udf(text, base)).otherwise(text)
+
+
 @pandas_udf(T.StringType())
 def resolve_srcset_udf(base: pd.Series, srcset: pd.Series) -> pd.Series:
     need = base.notna() & srcset.notna() & (srcset != "")
