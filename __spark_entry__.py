@@ -593,16 +593,38 @@ def q_link_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_author_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 author address parse: 'Name <email>' -> (name, address) via
-    regexp_extract (reference addressparser, lib/feedparser.js:606-619)."""
+    """J4 author address parse, full addressparser long tail (reference
+    lib/feedparser.js:606-619): 6-way shape dispatch per customer — plain
+    'Name <addr>', quoted '"Name, c" <addr>' (comma inside quotes
+    survives), 'addr (Comment)', bare address, name-only, and a
+    multi-address list (first-wins) — through the shared regex contract in
+    functions/authors.py, plus the name||address||raw display preference."""
+    from node_feedparser_spark.functions.authors import author_fields_cols
+
     cust = _t(spark, sf_dir, "customer")
-    author = F.concat(
-        F.col("c_name"), F.lit(" <user"), F.col("c_custkey"), F.lit("@example.com>")
+    addr = F.concat(F.lit("user"), F.col("c_custkey"), F.lit("@example.com"))
+    k = F.col("c_custkey") % 6
+    raw = (
+        F.when(k == 0, F.concat(F.col("c_name"), F.lit(" <"), addr, F.lit(">")))
+        .when(
+            k == 1,
+            F.concat(
+                F.lit('"'), F.col("c_name"), F.lit(', c'), F.col("c_custkey"),
+                F.lit('" <'), addr, F.lit(">"),
+            ),
+        )
+        .when(k == 2, F.concat(addr, F.lit(" ("), F.col("c_name"), F.lit(")")))
+        .when(k == 3, addr)
+        .when(k == 4, F.col("c_name"))
+        .otherwise(F.concat(addr, F.lit(", second"), addr))
     )
+    name, address, author = author_fields_cols(raw)
     return cust.select(
         "c_custkey",
-        F.regexp_extract(author, r"^([^<]+?) <", 1).alias("author_name"),
-        F.regexp_extract(author, r"<([^>]+)>", 1).alias("author_address"),
+        raw.alias("raw_author"),
+        name.alias("author_name"),
+        address.alias("author_address"),
+        author.alias("author"),
     )
 
 
@@ -1192,6 +1214,40 @@ def _kmeans_ctes(n_cells: int = 16, n_iters: int = 2) -> str:
     return ",\n            ".join(parts)
 
 
+def _author_parse_oracle() -> str:
+    """DuckDB twin of q_author_parse: same 6-way shape synthesis, same
+    regex contract (functions/authors.author_fields_sql)."""
+    from node_feedparser_spark.functions.authors import author_fields_sql
+
+    parts = author_fields_sql("raw_author")
+    name, address = parts["name"], parts["address"]
+    return f"""
+        WITH b0 AS (SELECT c_custkey, c_name,
+                           'user' || c_custkey || '@example.com' AS addr
+                    FROM customer),
+        b1 AS (SELECT c_custkey,
+                      CASE c_custkey % 6
+                        WHEN 0 THEN c_name || ' <' || addr || '>'
+                        WHEN 1 THEN '"' || c_name || ', c' || c_custkey
+                                    || '" <' || addr || '>'
+                        WHEN 2 THEN addr || ' (' || c_name || ')'
+                        WHEN 3 THEN addr
+                        WHEN 4 THEN c_name
+                        ELSE addr || ', second' || addr END AS raw_author
+               FROM b0),
+        b AS (SELECT c_custkey, raw_author,
+                     trim(coalesce(raw_author, '')) AS s
+              FROM b1)
+        SELECT c_custkey, raw_author,
+               ({name}) AS author_name,
+               ({address}) AS author_address,
+               CASE WHEN ({name}) <> '' THEN ({name})
+                    WHEN ({address}) <> '' THEN ({address})
+                    ELSE s END AS author
+        FROM b
+    """
+
+
 def _extra_oracles() -> dict[str, str]:
     from node_feedparser_spark.operators.curation import (
         EMAIL_RE as EMAIL_RE_,
@@ -1468,14 +1524,7 @@ def _extra_oracles() -> dict[str, str]:
                               ',' ORDER BY ts, link_id) AS enclosures
             FROM flagged GROUP BY item_id
         """,
-        "author_parse": """
-            SELECT c_custkey,
-                   regexp_extract(c_name || ' <user' || c_custkey || '@example.com>',
-                                  '^([^<]+?) <', 1) AS author_name,
-                   regexp_extract(c_name || ' <user' || c_custkey || '@example.com>',
-                                  '<([^>]+)>', 1) AS author_address
-            FROM customer
-        """,
+        "author_parse": _author_parse_oracle(),
         "precedence_dates": """
             WITH s AS (SELECT o_orderkey,
                 CASE WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
