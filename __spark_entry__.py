@@ -288,10 +288,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= 0.4 (broadcast matmul)."""
-    from node_feedparser_spark.operators.similarity import cosine_threshold_pairs
+    """Embedding near-duplicate pairs: cosine >= 0.4, size-dispatched (r3)
+    — exact broadcast matmul below the 50k cutoff (this oracle's regime),
+    the driver-collect-free blocked IVF plan above it, so the named query
+    is scale-safe by construction (plan pinned by tests/test_similarity_auto)."""
+    from node_feedparser_spark.operators.similarity import (
+        cosine_threshold_pairs_auto,
+    )
 
-    return cosine_threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return cosine_threshold_pairs_auto(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
