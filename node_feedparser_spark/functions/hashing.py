@@ -57,7 +57,11 @@ def token_shingles(col: Column | str, k: int = 3) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
-    n = F.size(toks) - (k - 1)
+    # greatest-guard: docs shorter than k tokens make size-(k-1) negative;
+    # the CASE below short-circuits them today, but the slice expressions
+    # must stay safe if this gram construction is ever reused bare (the
+    # same guard curation._grams uses)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     # Build grams by zipping k aligned slices (each of exactly n elements)
     # instead of transform+element_at: element_at(toks, i) re-evaluates the
     # split for EVERY access (~k * n_tokens splits per row — measured ~20x

@@ -66,17 +66,30 @@ def reassemble_links(
     def first_of(rel_value: str) -> Column:
         return F.min(F.when(rel == rel_value, _ordered(order_cols, href)))["v"]
 
-    pair = F.concat_ws("|", href, F.col(type_col))
+    # Dedupe on the FIELD TUPLE (href, type), not a serialized string: the
+    # reference compares indexOfObject(..., ['url','type']) on the object —
+    # an href containing '|' must not alias a different pair, and a NULL
+    # type must not collide with a non-null one (concat_ws drops nulls).
+    pair = F.struct(href.alias("href"), F.col(type_col).alias("type"))
     enclosures_sorted = F.sort_array(
         F.collect_list(F.when(rel == "enclosure", _ordered(order_cols, pair)))
     )
     # Fold in document order, appending a pair only on first sight — the
     # reference's indexOfObject(..., ['url','type']) === -1 check.
+    # eqNullSafe: a NULL type matches only another NULL type.
     enclosures_dedup = F.aggregate(
         enclosures_sorted,
-        F.expr("cast(array() as array<string>)"),
-        lambda acc, x: F.when(F.array_contains(acc, x["v"]), acc).otherwise(
-            F.concat(acc, F.array(x["v"]))
+        F.expr("cast(array() as array<struct<href:string,type:string>>)"),
+        lambda acc, x: F.when(
+            F.exists(acc, lambda e: e.eqNullSafe(x["v"])), acc
+        ).otherwise(F.concat(acc, F.array(x["v"]))),
+    )
+    # serialize to 'url|type' only AT THE END (output contract unchanged:
+    # a NULL type serializes to the bare href, as concat_ws did)
+    enclosures_dedup = F.transform(
+        enclosures_dedup,
+        lambda e: F.when(e["type"].isNull(), e["href"]).otherwise(
+            F.concat(e["href"], F.lit("|"), e["type"])
         ),
     )
 

@@ -135,10 +135,15 @@ def stream_content_dedupe(
     watermark: str = "1 hour",
     bounded_state: bool = False,
 ) -> DataFrame:
-    """Streaming exact dedupe: first document per 60-bit content hash
-    survives — the streaming face of operators/dedupe.exact_dedupe (the
-    reference's first-guid-wins discipline, lib/feedparser.js:939, applied
-    to content identity on an unbounded stream).
+    """Streaming exact dedupe: ONE document per 60-bit content hash
+    survives — the streaming face of operators/dedupe.exact_dedupe.
+
+    Survivor semantics (documented, r3): `dropDuplicates` keeps an
+    ARBITRARY row within a micro-batch, and across batches the survivor is
+    the first ARRIVAL (which need not be the min-ts row).  When the
+    surviving row's identity matters — the reference's first-guid-wins rule
+    (lib/feedparser.js:939) — use `stream_content_dedupe_first_wins`, which
+    pins the winner deterministically.
 
     Same state policy split as stream_triples: bounded_state=False keeps
     dedupe state forever (exact global dedupe, availableNow drains);
@@ -154,3 +159,67 @@ def stream_content_dedupe(
             ["text_hash"]
         )
     return hashed.dropDuplicates(["text_hash"])
+
+
+def stream_content_dedupe_first_wins(transcripts: DataFrame) -> DataFrame:
+    """Deterministic streaming first-wins dedupe over transcript rows
+    (r3): one row per content hash, the winner pinned as
+    - across micro-batches: the first ARRIVAL (the reference's
+      first-encountered-guid-wins document-order rule applied to a stream —
+      an earlier-ts duplicate arriving later is a late duplicate, dropped);
+    - within a micro-batch: the minimum of (ts, conv_id, turn_idx), nulls
+      first — the batch dedupe_first_wins total order, so a single-drain
+      stream equals the batch plan row for row.
+
+    applyInPandasWithState keyed by text_hash: state is one 'seen' flag per
+    distinct hash (the same O(distinct keys) the plain dropDuplicates path
+    carries); each group emits at most one row, ever.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..functions.hashing import portable_hash60
+
+    out_schema = StructType(
+        [
+            StructField("text_hash", LongType()),
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def first_wins(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # hash already won in an earlier batch
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        winner = batch.sort_values(
+            ["ts", "conv_id", "turn_idx"], na_position="first", kind="stable"
+        ).iloc[[0]]
+        state.update((1,))
+        yield winner[
+            ["text_hash", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ]
+
+    hashed = transcripts.withColumn("text_hash", portable_hash60("text"))
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        first_wins,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -160,3 +160,29 @@ def test_guidlink_toggle(spark):
     }
     assert on == {1: "https://x.example/a", 2: None, 3: "https://x.example/keep"}
     assert off == {1: None, 2: None, 3: "https://x.example/keep"}
+
+
+def test_enclosure_dedup_keys_field_tuple_not_serialization(spark):
+    """Round-3 regression (ADVICE r2): dedupe must key the (url, type)
+    FIELD TUPLE — an href containing '|' must not alias a different pair,
+    and a NULL type must not collide with a same-href non-null type."""
+    r = _one(
+        reassemble_links(
+            _links(
+                spark,
+                [
+                    # 'a|b' + NULL type vs 'a' + 'b': distinct pairs, both kept
+                    (1, 0, "enclosure", "a|b", None),
+                    (1, 1, "enclosure", "a", "b"),
+                    # NULL type vs non-null type on the same href: distinct
+                    (1, 2, "enclosure", "https://a/e.mp3", None),
+                    (1, 3, "enclosure", "https://a/e.mp3", "audio/mpeg"),
+                    # true duplicate (same href, same type): dropped
+                    (1, 4, "enclosure", "https://a/e.mp3", "audio/mpeg"),
+                    # duplicate with NULL type: dropped (null matches null)
+                    (1, 5, "enclosure", "https://a/e.mp3", None),
+                ],
+            )
+        )
+    )
+    assert r.enclosures == "a|b,a|b,https://a/e.mp3,https://a/e.mp3|audio/mpeg"

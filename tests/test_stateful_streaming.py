@@ -46,9 +46,9 @@ def test_state_carries_across_drains(spark, tmp_path):
     # split each conversation's turns in half across two files so the second
     # drain MUST merge with state from the first
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
-    first = pdf.groupby("conv_id", group_keys=False).apply(
-        lambda g: g.head(max(1, len(g) // 2))
-    )
+    sizes = pdf.groupby("conv_id")["conv_id"].transform("size")
+    rank = pdf.groupby("conv_id").cumcount()
+    first = pdf[rank < (sizes // 2).clip(lower=1)]
     rest = pdf.loc[~pdf.index.isin(first.index)]
     in_dir = str(tmp_path / "in")
     ckpt = str(tmp_path / "ckpt")

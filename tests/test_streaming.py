@@ -204,3 +204,57 @@ def test_stream_content_dedupe_matches_batch(spark, split_corpus, tmp_path):
     want = {r.text_hash for r in batch.collect()}
     have = {r.text_hash for r in got.select("text_hash").collect()}
     assert have == want
+
+
+def test_stream_content_dedupe_first_wins_pins_survivor(spark, tmp_path):
+    """r3: survivor identity is deterministic — first ARRIVAL across
+    micro-batches (a later-arriving duplicate loses even with an earlier
+    ts), min-(ts, conv_id, turn_idx) within a batch."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from node_feedparser_spark.streaming.stream_extract import (
+        stream_content_dedupe_first_wins,
+    )
+
+    in_dir = tmp_path / "fw_in"
+    in_dir.mkdir()
+    t = dt.datetime(2025, 1, 6, 9, 0, 0)
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")  # all-null -> keep string
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(in_dir / name, index=False)
+
+    # file 0: duplicate hash within one batch -> min-ts row (c1b) wins
+    _write("f0.parquet", [
+        ("c1a", 0, "user", "dup text", None, t + dt.timedelta(seconds=10)),
+        ("c1b", 1, "user", "dup text", None, t + dt.timedelta(seconds=3)),
+        ("c2", 0, "user", "unique one", None, t),
+    ])
+    # file 1 (later micro-batch): earlier-ts duplicate arrives late -> loses
+    _write("f1.parquet", [
+        ("c3", 0, "user", "dup text", None, t - dt.timedelta(days=1)),
+        ("c4", 0, "user", "unique two", None, t),
+    ])
+
+    out = str(tmp_path / "fw_out")
+    ckpt = str(tmp_path / "fw_ckpt")
+    stream = stream_transcripts(spark, str(in_dir), max_files_per_trigger=1)
+    q = (
+        stream_content_dedupe_first_wins(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"]: r["conv_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"dup text": "c1b", "unique one": "c2", "unique two": "c4"}
