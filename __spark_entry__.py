@@ -906,6 +906,38 @@ def q_html_uri_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule mega-thread skew handling, oracle-checkable (r3): salted
+    applyInPandas per-group stats (operators/conv_apply.py) — hot groups
+    split into bounded turn-range chunks, then an associative merge — over
+    the events table keyed by user; semantically a plain GROUP BY, which is
+    exactly what the DuckDB oracle runs."""
+    from node_feedparser_spark.operators.conv_apply import conversation_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_id").cast("int").alias("event_id"),
+        "event_type",
+        "props",
+    )
+    stats = conversation_stats(
+        ev,
+        mega_threshold=50,
+        chunk_rows=20,
+        group_col="user_id",
+        order_col="event_id",
+        text_col="event_type",
+        tool_col="props",
+    )
+    return stats.select(
+        "user_id",
+        F.col("n_turns").alias("n_events"),
+        F.col("n_chars"),
+        F.col("n_tool_turns").alias("n_with_props"),
+        F.col("max_turn_idx").alias("max_event_id"),
+    )
+
+
 def q_embedded_html_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 mayHaveEmbeddedHtml — exact field/type-attr dispatch (reference
     lib/utils.js:342-355) gating the F9 HTML-URI rewrite (lib/feedparser.js:
@@ -1047,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_uri_resolve": q_html_uri_resolve,
         # F10 exact field/type dispatch gating F9 (round 3)
         "embedded_html_dispatch": q_embedded_html_dispatch,
+        # salted skew-safe per-group apply (north rule, round 3)
+        "salted_group_stats": q_salted_group_stats,
     }
 
 
@@ -1677,6 +1711,14 @@ def _extra_oracles() -> dict[str, str]:
                         ELSE 'https://u' || u.user_id || '.example/q' || u.event_id
                         END AS resolved_url
             FROM u LEFT JOIN base b ON u.user_id = b.user_id
+        """,
+        "salted_group_stats": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(strlen(event_type)) AS BIGINT) AS n_chars,
+                   CAST(COUNT(props) AS BIGINT) AS n_with_props,
+                   CAST(MAX(event_id) AS INT) AS max_event_id
+            FROM events GROUP BY user_id
         """,
         "embedded_html_dispatch": """
             WITH s AS (SELECT event_id,
