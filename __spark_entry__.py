@@ -1022,6 +1022,69 @@ def q_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xhtml_reserialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 true XHTML subtree re-serialization (reference
+    lib/feedparser.js:198-204,308,318,401-402): derive a deterministic
+    variable-depth node tree per document (depth 1-3 below the container by
+    doc_id%3, text and element siblings interleaved, whitespace padding at
+    both ends), fold it bottom-up with the general
+    ``serialize_subtrees`` operator, and emit the container's trimmed
+    inner markup — open tags with insertion-ordered raw attrs, verbatim
+    text, close tags, exactly the reference's sax-walk output."""
+    from node_feedparser_spark.operators.reserialize import (
+        container_inner,
+        serialize_subtrees,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    attrs_t = "array<struct<k:string,v:string>>"
+
+    def node(nid, pid, pos, depth, kind, name, attrs, text, keep):
+        return F.struct(
+            F.lit(nid).alias("node_id"),
+            (F.lit(pid) if pid is None else F.lit(pid)).cast("int").alias("parent_id"),
+            F.lit(pos).alias("pos"),
+            F.lit(depth).alias("depth"),
+            F.lit(kind).alias("kind"),
+            (F.lit(name) if isinstance(name, str) or name is None else name)
+            .cast("string")
+            .alias("name"),
+            (F.lit(None) if attrs is None else attrs).cast(attrs_t).alias("attrs"),
+            (F.lit(None) if text is None else text).cast("string").alias("text"),
+            keep.alias("keep"),
+        )
+
+    def a(k, v):
+        return F.struct(F.lit(k).alias("k"), v.cast("string").alias("v"))
+
+    m = F.col("doc_id") % 3
+    yes = F.lit(True)
+    arr = F.array(
+        node(0, None, 0, 0, "text", None, None, F.lit("  "), yes),
+        node(
+            1, None, 1, 0, "elem", "div",
+            F.array(
+                a("id", F.concat(F.lit("d"), F.col("doc_id").cast("string"))),
+                a("class", F.concat(F.lit("c"), (F.col("doc_id") % 5).cast("string"))),
+            ),
+            None, yes,
+        ),
+        node(2, 1, 0, 1, "text", None, None, F.substring("text", 1, 24), yes),
+        node(3, 1, 1, 1, "elem", "span", F.array(a("lang", F.col("lang"))), None, m >= 1),
+        node(4, 3, 0, 2, "text", None, None, F.substring("text", 25, 12), m >= 1),
+        node(5, 3, 1, 2, "elem", "em", F.array().cast(attrs_t), None, m == 2),
+        node(6, 5, 0, 3, "text", None, None, F.substring("text", 37, 6), m == 2),
+        node(7, None, 2, 0, "text", None, None, F.concat(F.lit(" "), F.col("source")), yes),
+        node(8, None, 3, 0, "text", None, None, F.lit("\n"), yes),
+    )
+    nodes = (
+        docs.select("doc_id", F.explode(F.filter(arr, lambda s: s["keep"])).alias("n"))
+        .select("doc_id", "n.*")
+        .drop("keep")
+    )
+    return container_inner(serialize_subtrees(nodes)).select("doc_id", "serialized")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1081,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedded_html_dispatch": q_embedded_html_dispatch,
         # salted skew-safe per-group apply (north rule, round 3)
         "salted_group_stats": q_salted_group_stats,
+        # F13 true subtree re-serialization via bottom-up tree fold (round 3)
+        "xhtml_reserialize": q_xhtml_reserialize,
     }
 
 
@@ -1741,6 +1806,20 @@ def _extra_oracles() -> dict[str, str]:
                         ELSE 'say <a href="/e' || event_id || '">go</a>'
                    END AS out_text
             FROM r
+        """,
+        "xhtml_reserialize": """
+            SELECT doc_id,
+                   '<div id="d' || doc_id || '" class="c' || (doc_id % 5) || '">'
+                   || substr(text, 1, 24)
+                   || CASE WHEN doc_id % 3 >= 1 THEN
+                        '<span lang="' || lang || '">' || substr(text, 25, 12)
+                        || CASE WHEN doc_id % 3 = 2
+                                THEN '<em>' || substr(text, 37, 6) || '</em>'
+                                ELSE '' END
+                        || '</span>'
+                      ELSE '' END
+                   || '</div> ' || source AS serialized
+            FROM documents
         """,
         "html_uri_resolve": """
             WITH s AS (SELECT doc_id, lang,
