@@ -909,9 +909,10 @@ def q_html_uri_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule mega-thread skew handling, oracle-checkable (r3): salted
     applyInPandas per-group stats (operators/conv_apply.py) — hot groups
-    split into bounded turn-range chunks, then an associative merge — over
-    the events table keyed by user; semantically a plain GROUP BY, which is
-    exactly what the DuckDB oracle runs."""
+    split into bounded hash-salt chunks (event_id is a GLOBAL id, so
+    range-salting would degenerate to one chunk per row), then an
+    associative merge — over the events table keyed by user; semantically
+    a plain GROUP BY, which is exactly what the DuckDB oracle runs."""
     from node_feedparser_spark.operators.conv_apply import conversation_stats
 
     ev = _t(spark, sf_dir, "events").select(

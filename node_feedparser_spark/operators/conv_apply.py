@@ -42,20 +42,38 @@ def salted(
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     group_col: str = "conv_id",
     order_col: str = "turn_idx",
+    mode: str = "range",
 ) -> DataFrame:
-    """Add a `salt` column: 0 for normal conversations, turn-range chunk
-    index for mega conversations.  One count agg + a broadcast join of the
-    (tiny) mega list."""
+    """Add a `salt` column: 0 for normal conversations, chunk index for
+    mega conversations.  One count agg + a broadcast join of the (tiny)
+    mega list.
+
+    mode="range": salt = floor(order_col / chunk_rows) — contiguous,
+    gap-free ordered slices, for chunk functions that need local order.
+    ONLY valid when order_col is a dense per-group index (turn_idx is).
+    With a globally-assigned id, range-width buckets degenerate to one
+    chunk per row (each group's ids are spread across the whole id space),
+    and per-group Python dispatch overhead explodes.
+
+    mode="hash": salt = pmod(hash(order_col), ceil(n / chunk_rows)) —
+    bounds EXPECTED chunk size at chunk_rows for any order-col density;
+    chunks are unordered samples, so only valid for order-independent
+    chunk functions (anything with an associative merge).
+    """
+    if mode not in ("range", "hash"):
+        raise ValueError(f"salted: unknown mode {mode!r}")
     sizes = transcripts.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    mega = sizes.filter(F.col("_n") > mega_threshold).select(group_col)
-    flagged = transcripts.join(
-        F.broadcast(mega.withColumn("_is_mega", F.lit(True))), group_col, "left"
+    mega = sizes.filter(F.col("_n") > mega_threshold).select(
+        group_col,
+        F.ceil(F.col("_n") / chunk_rows).cast("int").alias("_n_chunks"),
     )
-    salt = F.when(
-        F.col("_is_mega").isNotNull(),
-        F.floor(F.col(order_col) / chunk_rows).cast("int"),
-    ).otherwise(F.lit(0))
-    return flagged.withColumn("salt", salt).drop("_is_mega")
+    flagged = transcripts.join(F.broadcast(mega), group_col, "left")
+    if mode == "range":
+        chunk_idx = F.floor(F.col(order_col) / chunk_rows).cast("int")
+    else:
+        chunk_idx = F.pmod(F.hash(F.col(order_col)), F.col("_n_chunks")).cast("int")
+    salt = F.when(F.col("_n_chunks").isNotNull(), chunk_idx).otherwise(F.lit(0))
+    return flagged.withColumn("salt", salt).drop("_n_chunks")
 
 
 def conversation_stats(
@@ -66,13 +84,21 @@ def conversation_stats(
     order_col: str = "turn_idx",
     text_col: str = "text",
     tool_col: str = "tool",
+    salt_mode: str = "hash",
 ) -> DataFrame:
     """Per-conversation stats via salted applyInPandas + associative merge.
 
     Output: (conv_id, n_turns, n_chars, n_tool_turns, max_turn_idx).
     Semantically identical to a direct groupBy(conv_id) — the point is the
-    EXECUTION shape: no task ever holds more than chunk_rows turns of a
+    EXECUTION shape: no task ever holds more than ~chunk_rows turns of a
     mega thread, and the merge is a map-side-combinable groupBy.
+
+    Defaults to salt_mode="hash" because the chunk function is
+    order-independent and the merge associative — hash salting bounds
+    chunk size for ANY order-col density (a global event id as much as a
+    dense turn_idx).  Pass salt_mode="range" only for chunk functions
+    that need ordered, gap-free slices, and only with a dense per-group
+    order col.
     """
     chunk_schema = (
         f"{group_col} string, n_turns long, n_chars long, "
@@ -90,8 +116,22 @@ def conversation_stats(
             }
         )
 
+    # Explicit repartition on the grouping keys: AQE coalesces shuffle
+    # partitions by BYTES, but this stage's cost is per-group Python
+    # dispatch — a few MB of salted groups coalesced into 3 partitions
+    # serializes thousands of applyInPandas calls onto 3 cores.  A
+    # user-specified repartition is exempt from AQE coalescing and
+    # already satisfies the applyInPandas clustered distribution, so no
+    # second shuffle is added.
+    n_parts = int(
+        transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     chunked = (
-        salted(transcripts, mega_threshold, chunk_rows, group_col, order_col)
+        salted(
+            transcripts, mega_threshold, chunk_rows, group_col, order_col,
+            mode=salt_mode,
+        )
+        .repartition(n_parts, group_col, "salt")
         .groupBy(group_col, "salt")
         .applyInPandas(chunk_stats, chunk_schema)
     )
