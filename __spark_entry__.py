@@ -1086,6 +1086,63 @@ def q_xhtml_reserialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return container_inner(serialize_subtrees(nodes)).select("doc_id", "serialized")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (round 3): segment each user's event
+    stream into activity sessions at 30-minute silence gaps, via the
+    BUCKETED two-level plan (operators/sessionize.py) — per-(user, day)
+    local windows stitched through a tiny boundary table, so no task ever
+    windows a whole mega-user.  Semantically the textbook lag/cumsum
+    sessionization, which is exactly what the DuckDB oracle runs."""
+    from node_feedparser_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap_seconds=1800, bucket_width_seconds=86_400)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
+        "total_value",
+    )
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (round 3): each purchase enriched with the user's most
+    recent click at or before it (classic attribution).  Spark has no ASOF
+    JOIN; operators/asof.py compiles it to a union-tag + one forward-fill
+    window — |L|+|R| rows, one shuffle, no range-join pair explosion.  The
+    DuckDB oracle runs its NATIVE ASOF JOIN, an independently-implemented
+    operator, on the same input."""
+    from node_feedparser_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=("click_event_id",),
+        tiebreak="click_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("click_ts"),
+        "click_event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("micros_since_click"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1147,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_stats": q_salted_group_stats,
         # F13 true subtree re-serialization via bottom-up tree fold (round 3)
         "xhtml_reserialize": q_xhtml_reserialize,
+        # time-axis operators (round 3): bucketed sessionization + as-of join
+        "sessionize": q_sessionize,
+        "click_attribution": q_click_attribution,
     }
 
 
@@ -1807,6 +1867,40 @@ def _extra_oracles() -> dict[str, str]:
                         ELSE 'say <a href="/e' || event_id || '">go</a>'
                    END AS out_text
             FROM r
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sid AS (
+                SELECT user_id, ts, value,
+                       SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - 1 AS session_id
+                FROM o)
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM sid GROUP BY user_id, session_id
+        """,
+        "click_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, MAX(event_id) AS click_event_id
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts, c.click_event_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "xhtml_reserialize": """
             SELECT doc_id,
