@@ -281,15 +281,22 @@ def build_kg(
     est_bytes = int(stats["surface_bytes"]) + 48 * int(stats["rows"])
     if est_bytes <= 64 * 1024 * 1024:
         m_subj, m_obj = F.broadcast(m_subj), F.broadcast(m_obj)
+    # the partition hash has only n_buckets distinct values — precompute on
+    # the driver (same sha1 as partition_hash()) and look it up by bucket
+    # index instead of re-hashing per triple (~30 M redundant sha1s at the
+    # bench scale, pure wasted CPU in the write stage)
+    bucket_hash = F.array(
+        *[F.lit(partition_hash(snap, n_buckets, b)) for b in range(n_buckets)]
+    )
     triples = (
         triples_ok.join(m_subj, "subj")
         .join(m_obj, "obj")
         .withColumn(
             "lineage",
             F.struct(
-                F.sha1(
-                    F.concat_ws(":", F.lit(snap), F.lit(n_buckets), F.col("bucket"))
-                ).alias("partition_hash"),
+                F.element_at(bucket_hash, F.col("bucket") + 1).alias(
+                    "partition_hash"
+                ),
                 F.lit(snap).alias("snapshot_id"),
             ),
         )
@@ -333,9 +340,9 @@ def build_kg(
         .join(err_counts, "bucket", "left")
         .select(
             F.lit(run_id).alias("run_id"),
-            F.sha1(
-                F.concat_ws(":", F.lit(snap), F.lit(n_buckets), F.col("bucket"))
-            ).alias("partition_hash"),
+            F.element_at(bucket_hash, F.col("bucket") + 1).alias(
+                "partition_hash"
+            ),
             F.lit(snap).alias("snapshot_id"),
             F.col("bucket"),
             F.col("n_turns"),
