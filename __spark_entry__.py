@@ -1143,6 +1143,28 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm (round 3): 2-iteration weighted PageRank
+    (operators/graph_algo.py) over the supplier->part shipment graph
+    projected from lineitem.  Each iteration is one join of the static
+    normalized edge list with the rank vector + one groupBy sum; dangling
+    mass (every part node — the graph is bipartite) is one scalar
+    aggregate per round.  The DuckDB oracle unrolls the same two
+    iterations as plain SQL, so every semantic choice (uniform teleport,
+    uniform dangling redistribution, weight-proportional split) is
+    independently pinned."""
+    from node_feedparser_spark.operators.graph_algo import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+        F.col("l_quantity").cast("double").alias("weight"),
+    )
+    out = pagerank(edges, n_iter=2, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1207,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-axis operators (round 3): bucketed sessionization + as-of join
         "sessionize": q_sessionize,
         "click_attribution": q_click_attribution,
+        # iterative graph algorithm over the materialized KG shape (round 3)
+        "pagerank": q_pagerank,
     }
 
 
@@ -1901,6 +1925,39 @@ def _extra_oracles() -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "pagerank": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+                       CAST(SUM(l_quantity) AS DOUBLE) AS w
+                FROM lineitem GROUP BY 1, 2),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            outs AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+            ef AS (SELECT e.src, e.dst, e.w / o.out_w AS frac
+                   FROM e JOIN outs o ON e.src = o.src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            d0 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r0 r
+                   LEFT JOIN outs o ON r.node = o.src WHERE o.src IS NULL),
+            c1 AS (SELECT ef.dst AS node, SUM(r.rank * ef.frac) AS c
+                   FROM ef JOIN r0 r ON ef.src = r.node GROUP BY ef.dst),
+            r1 AS (SELECT nd.node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c1.c, 0)
+                                    + (SELECT m FROM d0) / (SELECT n FROM nn))
+                              AS rank
+                   FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+            d1 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r1 r
+                   LEFT JOIN outs o ON r.node = o.src WHERE o.src IS NULL),
+            c2 AS (SELECT ef.dst AS node, SUM(r.rank * ef.frac) AS c
+                   FROM ef JOIN r1 r ON ef.src = r.node GROUP BY ef.dst),
+            r2 AS (SELECT nd.node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c2.c, 0)
+                                    + (SELECT m FROM d1) / (SELECT n FROM nn))
+                              AS rank
+                   FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node)
+            SELECT node, ROUND(rank, 6) AS rank FROM r2
         """,
         "xhtml_reserialize": """
             SELECT doc_id,
