@@ -1165,6 +1165,109 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (round 3, operators/graph_algo.py)
+    over the co-supply graph: suppliers are adjacent when they both ship
+    the same part in a large lot (l_quantity > 47).  The Spark side orients
+    each edge low-degree -> high-degree so wedge generation is O(m^(3/2))
+    even under celebrity-node skew; the DuckDB oracle counts the same
+    triangles by a completely different algorithm (a < b < c three-way
+    join), so the orientation machinery is independently pinned."""
+    from node_feedparser_spark.operators.graph_algo import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") > 47)
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    pairs = (
+        ps.withColumnRenamed("s", "s1")
+        .join(ps.withColumnRenamed("s", "s2"), "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src_id"), F.col("s2").alias("dst_id"))
+        .distinct()
+    )
+    out = triangle_count(pairs)
+    return out.select("node", F.col("triangles").cast("long").alias("triangles"))
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability (round 3, operators/graph_algo.py) over the
+    typed KG projected from TPC-H's key chain: customer -[placed]-> order
+    -[contains]-> part -[supplied_by]-> supplier.  Seeds are a hashed
+    customer sample; dist is the MINIMUM forward hop count (<= 3).  Each
+    hop joins only the delta frontier against the static edge list; the
+    DuckDB oracle unrolls the same three hops and takes MIN over levels."""
+    from node_feedparser_spark.operators.graph_algo import khop
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    edges = (
+        od.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src_id"),
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst_id"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("o"), F.col("l_orderkey")).alias("src_id"),
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+            ).distinct()
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("src_id"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst_id"),
+            ).distinct()
+        )
+    )
+    seeds = cu.filter(F.col("c_custkey") % 89 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node")
+    )
+    out = khop(edges, seeds, max_hops=3)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (round 3, operators/graph_algo.py): the
+    customer -[ordered]-> part edge aggregate at two OVERLAPPING snapshot
+    windows (orders before 1999-01-01 vs orders from 1996-01-01 on), so all
+    three interesting statuses occur: removed (old window only), added
+    (new window only), changed (both, different weight); unchanged rows are
+    filtered out.  This is the consumer query over the KG
+    pipeline's snap-partitioned outputs — one co-partitioned full-outer
+    join, classification as a pure projection.  Weights are
+    round(sum(l_quantity), 2) built identically on BOTH sides before the
+    diff, so classification never compares unrounded doubles."""
+    from node_feedparser_spark.operators.graph_algo import snapshot_diff
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _edges(orders_df: DataFrame) -> DataFrame:
+        return (
+            orders_df.select("o_orderkey", "o_custkey")
+            .join(li.select("l_orderkey", "l_partkey", "l_quantity"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src_id"),
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+            )
+            .agg(F.round(F.sum("l_quantity"), 2).alias("weight"))
+        )
+
+    old = _edges(od.filter(F.col("o_orderdate") < "1999-01-01"))
+    new = _edges(od.filter(F.col("o_orderdate") >= "1996-01-01"))
+    out = snapshot_diff(old, new, keys=["src_id", "dst_id"], value="weight")
+    return out.filter(F.col("status") != "unchanged").select(
+        "src_id", "dst_id", "old_weight", "new_weight", "status"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1231,6 +1334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "khop_reach": q_khop_reach,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
     }
 
 
@@ -1925,6 +2031,74 @@ def _extra_oracles() -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "triangle_count": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p,
+                               's' || l_suppkey AS s
+                        FROM lineitem WHERE l_quantity > 47),
+            und AS (SELECT DISTINCT a.s AS u, b.s AS v
+                    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+            nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM und e1
+                    JOIN und e2 ON e2.u = e1.v
+                    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+            per AS (SELECT node, COUNT(*) AS t
+                    FROM (SELECT a AS node FROM tri
+                          UNION ALL SELECT b FROM tri
+                          UNION ALL SELECT c FROM tri)
+                    GROUP BY node)
+            SELECT n.node, CAST(COALESCE(per.t, 0) AS BIGINT) AS triangles
+            FROM nodes n LEFT JOIN per ON n.node = per.node
+        """,
+        "khop_reach": """
+            WITH e AS (
+                SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+                FROM orders
+                UNION ALL
+                SELECT DISTINCT 'o' || l_orderkey, 'p' || l_partkey
+                FROM lineitem
+                UNION ALL
+                SELECT DISTINCT 'p' || l_partkey, 's' || l_suppkey
+                FROM lineitem),
+            s0 AS (SELECT DISTINCT 'c' || c_custkey AS node
+                   FROM customer WHERE c_custkey % 89 = 0),
+            h1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN s0 ON e.src = s0.node),
+            h2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node),
+            h3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node),
+            lv AS (SELECT node, 0 AS d FROM s0
+                   UNION ALL SELECT node, 1 FROM h1
+                   UNION ALL SELECT node, 2 FROM h2
+                   UNION ALL SELECT node, 3 FROM h3)
+            SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM lv GROUP BY node
+        """,
+        "kg_snapshot_diff": """
+            WITH li AS (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem),
+            old AS (SELECT 'c' || o.o_custkey AS src_id,
+                           'p' || li.l_partkey AS dst_id,
+                           ROUND(SUM(li.l_quantity), 2) AS old_weight
+                    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+                    WHERE o.o_orderdate < DATE '1999-01-01'
+                    GROUP BY 1, 2),
+            new AS (SELECT 'c' || o.o_custkey AS src_id,
+                           'p' || li.l_partkey AS dst_id,
+                           ROUND(SUM(li.l_quantity), 2) AS new_weight
+                    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+                    WHERE o.o_orderdate >= DATE '1996-01-01'
+                    GROUP BY 1, 2)
+            SELECT COALESCE(old.src_id, new.src_id) AS src_id,
+                   COALESCE(old.dst_id, new.dst_id) AS dst_id,
+                   old_weight, new_weight,
+                   CASE WHEN old_weight IS NULL THEN 'added'
+                        WHEN new_weight IS NULL THEN 'removed'
+                        WHEN old_weight = new_weight THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new
+              ON old.src_id = new.src_id AND old.dst_id = new.dst_id
+            WHERE CASE WHEN old_weight IS NULL THEN 'added'
+                       WHEN new_weight IS NULL THEN 'removed'
+                       WHEN old_weight = new_weight THEN 'unchanged'
+                       ELSE 'changed' END <> 'unchanged'
         """,
         "pagerank": """
             WITH e AS (

@@ -1,4 +1,8 @@
-"""PageRank on DataFrames — iterative message passing over the KG edges.
+"""Graph algorithms on DataFrames — analytics over the KG edge shape.
+
+PageRank (iterative message passing), degree-ordered triangle counting,
+k-hop BFS reachability, and snapshot diff — the query layer a consumer of
+the built KG runs next.
 
 The KG pipeline materializes an edge table (plans/pipeline.py); ranking its
 vertices is the canonical "iterative algorithm over the graph you just
@@ -116,3 +120,171 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """edges(src, dst) -> (node, triangles): per-node triangle counts of the
+    UNDIRECTED simple graph (direction dropped, self-loops and parallel
+    edges collapsed).  Every node of the input graph appears, zeros kept.
+
+    Degree-ordered node-iterator: each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are generated only
+    from each node's oriented out-neighborhood, and a wedge (b, c) closes
+    iff the oriented edge b->c exists.  Orientation bounds every node's
+    out-degree by O(sqrt(m)), so wedge generation is O(m^(3/2)) total work
+    regardless of skew — a celebrity node of degree d contributes d wedges
+    as a LOW-rank endpoint spread across its neighbors' lists, not d^2
+    (the naive neighbor self-join blows up exactly there).  Plan: two
+    shuffles (self-join on the wedge pivot, semi-join of candidate closures
+    against the oriented edge list) + one explode/groupBy for the per-node
+    counts.  No driver-side state; the oracle counts the same triangles via
+    an independent a<b<c three-way join.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node"))
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order for orientation: (degree, id) — ties broken by id so the
+    # orientation is deterministic
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+    )
+    lo_first = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges from each pivot a's out-list; order the two tips so the
+    # candidate closing edge (b, c) is itself in oriented orientation
+    l = oriented.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    r = oriented.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = l.join(r, "a").filter(
+        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    ).select(F.col("a").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3"))
+    per_node = (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+def khop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Directed BFS: (node, dist) for every node reachable from `seeds`
+    (a one-column DataFrame of node ids) in <= max_hops forward hops,
+    dist = MINIMUM hop count (seeds themselves at dist 0).
+
+    Frontier expansion: each hop is one join of the CURRENT FRONTIER
+    (only the nodes first reached last hop, not everything visited) with
+    the edge list + an anti-join against the visited set — the classic
+    delta iteration, so per-hop work tracks the frontier size, not the
+    cumulative reachable set.  `localCheckpoint` truncates lineage per hop
+    (operators/components.py discipline).  At 100 TB the edge list is the
+    big side and stays put; the frontier is the small side of every join
+    and is broadcast-eligible whenever it fits — we leave the choice to
+    AQE rather than forcing it, since a supernode hop can explode the
+    frontier past broadcast size.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    if checkpoint:
+        visited = visited.localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        if checkpoint:
+            visited = visited.localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | None = None,
+    value: str = "weight",
+) -> DataFrame:
+    """Diff two edge-aggregate snapshots of the graph: one row per key
+    present in either side, classified 'added' / 'removed' / 'changed' /
+    'unchanged', with both sides' values (`old_<value>` / `new_<value>`,
+    NULL where absent).
+
+    This is the consumer-side query over the KG pipeline's snap-partitioned
+    outputs (plans/pipeline.py writes triples partitioned by (snap, bucket),
+    so reading two snapshots prunes to exactly their partitions).  The plan
+    is ONE full-outer join co-partitioned on the key columns + a pure
+    projection for the classification — both sides shuffle once on the same
+    key, no broadcast needed at any scale, and value comparison happens
+    JVM-side with null-safe equality (<=>).
+    """
+    keys = keys or ["src_id", "pred", "dst_id"]
+    # presence markers, NOT value nullability: a present row whose value is
+    # NULL must still read as present (else it misclassifies as added/removed)
+    o = old.select(
+        *keys, F.col(value).alias("old_" + value), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        *keys, F.col(value).alias("new_" + value), F.lit(True).alias("_in_new")
+    )
+    ov, nv = F.col("old_" + value), F.col("new_" + value)
+    return (
+        o.join(n, keys, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(ov.eqNullSafe(nv), F.lit("unchanged"))
+            .otherwise(F.lit("changed")),
+        )
+        .drop("_in_old", "_in_new")
+    )
