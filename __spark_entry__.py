@@ -1165,6 +1165,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (round 3,
+    operators/dedupe.py jaccard_prefix_pairs): AllPairs prefix filtering —
+    shingles globally ordered rarest-first, candidates only from prefix
+    collisions, exact verify.  Deterministic (no hash family, no miss
+    probability), and skew-resistant because stop-word grams are last in
+    every doc's order and so almost never in a prefix.  The DuckDB oracle
+    is the brute-force O(n^2) join at the same threshold — prefix filtering
+    is provably lossless, and this pins it."""
+    from node_feedparser_spark.operators.dedupe import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7, k=3
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle counting (round 3, operators/graph_algo.py)
     over the co-supply graph: suppliers are adjacent when they both ship
@@ -1334,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
+        "ngram_jaccard": q_ngram_jaccard,
         "triangle_count": q_triangle_count,
         "khop_reach": q_khop_reach,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -1570,6 +1587,16 @@ def _extra_oracles() -> dict[str, str]:
                                6) AS jaccard
                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles
+                        FROM documents),
+            j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                               / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                               6) AS jaccard
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
         """,
         "simhash": f"""
             WITH {_simhash_cte()}

@@ -155,6 +155,104 @@ def lsh_near_dup_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: pairs (doc_a < doc_b) with
+    distinct token-k-gram Jaccard >= threshold — no hashing, no miss
+    probability.  The deterministic sibling of lsh_near_dup_pairs.
+
+    Candidate generation is AllPairs-style PREFIX FILTERING: shingles get a
+    global total order (ascending document frequency, ties by string), each
+    doc keeps only its first |s| - ceil(t*|s|) + 1 shingles in that order,
+    and candidates are pairs sharing a PREFIX shingle.  Completeness: a pair
+    at Jaccard >= t shares c >= ceil(t*|s|) shingles on each side, and its
+    globally-minimal common shingle must sit inside both prefixes (if it
+    didn't, the >= |s|-ceil(t*|s|)+1 shingles preceding it would leave room
+    for at most ceil(t*|s|)-1 common ones — contradiction).  Every candidate
+    is then verified with exact JVM array_intersect/array_union, so false
+    positives cost time, never correctness; the epsilon inside ceil() only
+    ever LENGTHENS prefixes (FP noise can't shorten them into missing pairs).
+
+    Scale shape: rarest-first ordering makes prefix shingles precisely the
+    LOW-frequency ones, so the candidate self-join on `shingle` is
+    skew-resistant by construction — the stop-word grams that would each
+    produce O(n^2) candidate pairs in a naive inverted index are the LAST
+    shingles in every doc's order and almost never inside a prefix.  Plan:
+    one explode+agg for document frequencies, one fact-to-fact join to
+    attach them (shuffle on shingle), one groupBy to rebuild sorted lists,
+    the candidate self-join, and the verify rejoin — all DataFrame ops,
+    no Python in the hot path.
+    """
+    sh = shingled(docs, id_col, text_col, k).cache()
+    # NULL-text docs shingle to [NULL]; Spark's array_intersect/union treat
+    # NULL elements as equal (two NULL docs verify at Jaccard 1.0, matching
+    # lsh_near_dup_pairs), but an equi-join key of NULL would silently drop
+    # them from the candidate index — coalesce to a sentinel there only
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
+        "shingle", F.coalesce("shingle", F.lit("\x00"))
+    )
+    df_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.greatest(
+        F.size("shingles")
+        - F.ceil(F.lit(threshold) * F.size("shingles") - F.lit(1e-9)).cast("int")
+        + 1,
+        F.lit(1),
+    )
+    prefixes = (
+        ex.join(df_freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("df"), F.col("shingle").alias("s"))
+                )
+            ).alias("ordered")
+        )
+        .join(sh.select("doc_id", "shingles"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ordered"), F.lit(1), prefix_len),
+                    lambda x: x["s"],
+                )
+            ).alias("shingle"),
+        )
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over whitespace tokens.
 

@@ -223,6 +223,9 @@ def khop(
     frontier past broadcast size.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # static across hops: materialize once (pagerank discipline) — without
+    # this every hop re-runs the full edge-derivation plan upstream
+    e = e.localCheckpoint() if checkpoint else e.cache()
     visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
         "dist", F.lit(0)
     )

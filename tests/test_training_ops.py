@@ -300,3 +300,72 @@ def test_near_dup_groups_transitive_closure(spark):
     assert got[11] == (10, False)
     assert got[12] == (10, False)
     assert got[30] == (30, True)
+
+
+# --- jaccard_prefix_pairs (exact, no hashing) -----------------------------
+
+
+def test_prefix_jaccard_equals_brute_force(spark, docs):
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    for t in (0.3, 0.5, 0.8, 1.0):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dd.jaccard_prefix_pairs(docs, threshold=t).collect()
+        )
+        assert got == brute_force_jaccard_pairs(rows, t), t
+
+
+def test_prefix_jaccard_equals_lsh_on_corpus(spark):
+    """On a generated corpus both exact-join plans agree (LSH misses are
+    ~3e-7 at 0.8; prefix filtering is lossless — equality pins both)."""
+    from node_feedparser_spark.datagen import generate_transcripts
+
+    pdf = generate_transcripts(seed=7, scale=0.5)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pdf["text"].head(300))],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        map(tuple, dd.jaccard_prefix_pairs(docs, threshold=0.8).collect())
+    )
+    lsh = sorted(map(tuple, dd.lsh_near_dup_pairs(docs, threshold=0.8).collect()))
+    assert exact == lsh
+    assert len(exact) > 0  # the corpus plants near-dups; the test must bite
+
+
+def test_prefix_jaccard_at_threshold_boundary(spark):
+    # 3 shared of 4 union = 0.75: present at t=0.75, absent at t=0.750001
+    a = "w1 w2 w3 w4 w5 w6"       # grams: 4
+    b = "w1 w2 w3 w4 w5 zz"       # grams: 4, shares 3 with a
+    docs = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    hit = dd.jaccard_prefix_pairs(docs, threshold=0.6).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in hit] == [(0, 1, 0.6)]
+    assert dd.jaccard_prefix_pairs(docs, threshold=0.600001).count() == 0
+
+
+def test_prefix_filter_prunes_stopword_gram_candidates(spark):
+    """A hot shingle shared by every doc must not force O(n^2) candidates:
+    rarest-first ordering keeps it out of prefixes whenever a doc has any
+    rarer gram to offer."""
+    hot = "the common header line all docs share"
+    rows = [(i, f"{hot} unique tail {i} marker{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingled(docs).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # naive inverted index: every shared gram contributes C(40,2) pairs
+    naive = (
+        ex.alias("a")
+        .join(ex.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert naive == 40 * 39 // 2  # hot grams connect everything
+    assert dd.jaccard_prefix_pairs(docs, threshold=0.8).count() == 0
+    # and the result is still exact: lower the threshold until pairs appear
+    rows_py = [(i, t) for i, t in rows]
+    got = sorted(
+        map(tuple, dd.jaccard_prefix_pairs(docs, threshold=0.4).collect())
+    )
+    assert got == brute_force_jaccard_pairs(rows_py, 0.4)
