@@ -178,6 +178,18 @@ def jaccard_prefix_pairs(
     positives cost time, never correctness; the epsilon inside ceil() only
     ever LENGTHENS prefixes (FP noise can't shorten them into missing pairs).
 
+    Candidates surviving the prefix collision are thinned by two more
+    LOSSLESS filters before the distinct + verify rejoin (PPJoin):
+    - length filter: |a| >= t*|b| and |b| >= t*|a| (J >= t is impossible
+      otherwise, since J <= min/max of the sizes);
+    - positional filter: a shared shingle at 1-based prefix positions
+      (pa, pb) can support at most min(|a|-pa, |b|-pb)+1 common shingles
+      (both sorted by the SAME global order, so every common shingle sits
+      at position >= pa in a and >= pb in b), which must reach the
+      required overlap alpha = ceil(t/(1+t) * (|a|+|b|)).  The globally
+      minimal common shingle of a qualifying pair always passes, so
+      completeness is preserved.
+
     Scale shape: rarest-first ordering makes prefix shingles precisely the
     LOW-frequency ones, so the candidate self-join on `shingle` is
     skew-resistant by construction — the stop-word grams that would each
@@ -185,8 +197,8 @@ def jaccard_prefix_pairs(
     shingles in every doc's order and almost never inside a prefix.  Plan:
     one explode+agg for document frequencies, one fact-to-fact join to
     attach them (shuffle on shingle), one groupBy to rebuild sorted lists,
-    the candidate self-join, and the verify rejoin — all DataFrame ops,
-    no Python in the hot path.
+    the candidate self-join with the JVM-expression filters above, and the
+    verify rejoin — all DataFrame ops, no Python in the hot path.
     """
     sh = shingled(docs, id_col, text_col, k).cache()
     # NULL-text docs shingle to [NULL]; Spark's array_intersect/union treat
@@ -216,21 +228,40 @@ def jaccard_prefix_pairs(
         .join(sh.select("doc_id", "shingles"), "doc_id")
         .select(
             "doc_id",
-            F.explode(
+            F.size("shingles").alias("sz"),
+            F.posexplode(
                 F.transform(
                     F.slice(F.col("ordered"), F.lit(1), prefix_len),
                     lambda x: x["s"],
                 )
-            ).alias("shingle"),
+            ).alias("pos", "shingle"),
         )
+        # pos: 1-based position in the doc's globally-ordered shingle list
+        .withColumn("pos", F.col("pos") + 1)
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    t = F.lit(threshold)
+    # required overlap if the pair is to reach Jaccard >= t
+    alpha = F.ceil(
+        t / (1.0 + threshold) * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter
+            & (F.col("a.sz") >= t * F.col("b.sz"))
+            & (F.col("b.sz") >= t * F.col("a.sz"))
+            # positional filter
+            & (
+                F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                + 1
+                >= alpha
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
