@@ -1248,6 +1248,34 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (round 3, operators/graph_algo.py
+    label_propagation): 2 synchronous iterations of most-frequent-neighbor-
+    label relabeling (ties -> smallest label) over the sparse co-supply
+    graph (suppliers sharing a part in a near-full lot, l_quantity > 49).
+    Deterministic by construction, so the DuckDB oracle unrolls the same
+    two iterations with ROW_NUMBER over (count DESC, label ASC)."""
+    from node_feedparser_spark.operators.graph_algo import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") > 49)
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    pairs = (
+        ps.withColumnRenamed("s", "s1")
+        .join(ps.withColumnRenamed("s", "s2"), "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src_id"), F.col("s2").alias("dst_id"))
+        .distinct()
+    )
+    return label_propagation(pairs, n_iter=2)
+
+
 def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (round 3, operators/graph_algo.py): the
     customer -[ordered]-> part edge aggregate at two OVERLAPPING snapshot
@@ -1354,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "khop_reach": q_khop_reach,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -2098,6 +2127,30 @@ def _extra_oracles() -> dict[str, str]:
                    UNION ALL SELECT node, 2 FROM h2
                    UNION ALL SELECT node, 3 FROM h3)
             SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM lv GROUP BY node
+        """,
+        "label_propagation": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p,
+                               's' || l_suppkey AS s
+                        FROM lineitem WHERE l_quantity > 49),
+            und AS (SELECT DISTINCT a.s AS u, b.s AS v
+                    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+            nb AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+            l0 AS (SELECT DISTINCT u AS node, u AS label FROM nb),
+            v1 AS (SELECT nb.u AS node, l.label, COUNT(*) AS cnt
+                   FROM nb JOIN l0 l ON nb.v = l.node GROUP BY 1, 2),
+            l1 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+                       FROM v1) WHERE rn = 1),
+            v2 AS (SELECT nb.u AS node, l.label, COUNT(*) AS cnt
+                   FROM nb JOIN l1 l ON nb.v = l.node GROUP BY 1, 2),
+            l2 AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+                       FROM v2) WHERE rn = 1)
+            SELECT node, label FROM l2
         """,
         "kg_snapshot_diff": """
             WITH li AS (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem),

@@ -251,6 +251,58 @@ def khop(
     return visited
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation communities over the UNDIRECTED simple
+    graph: every node starts labeled with its own id; each iteration
+    relabels every node with the most frequent label among its neighbors,
+    ties broken by the SMALLEST label.  Nodes are the endpoints of
+    non-self-loop edges, so every node has >= 1 neighbor.  Fully
+    deterministic (no async sweep order), so a fixed iteration count is
+    exactly reproducible by an unrolled SQL oracle.
+
+    Plan per iteration: one join of the static (cached) undirected edge
+    list with the label vector + one two-level agg — count per (node,
+    neighbor-label), then argmax via min over struct((-count), label), the
+    same map-side-combinable shape merge_vertices uses.  Celebrity nodes
+    are agg hot keys handled by partial aggregation, not salting.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # both directions once: neighbor lists without double-counting parallels
+    nbrs = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    nbrs = nbrs.localCheckpoint() if checkpoint else nbrs.cache()
+    nodes = nbrs.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(n_iter):
+        votes = (
+            nbrs.join(labels.select(F.col("node").alias("v"), "label"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l"))
+                ).alias("best")
+            )
+            .select("node", F.col("best.l").alias("label"))
+        )
+        labels = winner
+        if checkpoint:
+            labels = labels.localCheckpoint()
+    return labels
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -275,3 +275,65 @@ def test_snapshot_diff_over_built_graphs(spark, tmp_path):
     ent_counts = {r["status"]: r["n"] for r in d_ent.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert ent_counts.get("added", 0) > 0
     assert sum(ent_counts.values()) == d_ent.count()
+
+
+# --- label_propagation ----------------------------------------------------
+
+from node_feedparser_spark.operators.graph_algo import label_propagation  # noqa: E402
+
+
+def _lp(spark, pairs, n_iter=2):
+    df = spark.createDataFrame(pairs, "src_id string, dst_id string")
+    return {r["node"]: r["label"] for r in label_propagation(df, n_iter=n_iter).collect()}
+
+
+def test_lpa_two_cliques_converge_to_min_label(spark):
+    c1 = ["a1", "a2", "a3", "a4"]
+    c2 = ["b1", "b2", "b3", "b4"]
+    pairs = [(u, v) for c in (c1, c2) for u in c for v in c if u < v]
+    got = _lp(spark, pairs, n_iter=3)
+    assert {got[n] for n in c1} == {"a1"}
+    assert {got[n] for n in c2} == {"b1"}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # star center c with leaves x,y,z: after iter 1 every leaf is labeled c,
+    # c takes min(x,y,z)=x; after iter 2 c's neighbors all vote x -> c=x? no:
+    # leaves' labels after iter1 are all 'c', so c's iter-2 vote is 'c'.
+    got = _lp(spark, [("c", "x"), ("c", "y"), ("c", "z")], n_iter=1)
+    assert got == {"c": "x", "x": "c", "y": "c", "z": "c"}
+
+
+def test_lpa_direction_and_parallel_edges_ignored(spark):
+    a = _lp(spark, [("a", "b"), ("b", "a"), ("a", "b")], n_iter=2)
+    b = _lp(spark, [("a", "b")], n_iter=2)
+    assert a == b
+
+
+def test_lpa_matches_python_reference(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(3)
+    pairs = list(
+        {
+            (f"n{a:02d}", f"n{b:02d}")
+            for a, b in (
+                sorted((rng.randrange(30), rng.randrange(30))) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    nbr = defaultdict(set)
+    for u, v in pairs:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    labels = {n: n for n in nbr}
+    for _ in range(2):
+        nxt = {}
+        for n in nbr:
+            c = Counter(labels[m] for m in nbr[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+    assert _lp(spark, pairs, n_iter=2) == labels
