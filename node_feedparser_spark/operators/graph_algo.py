@@ -49,6 +49,7 @@ def pagerank(
     dst: str = "dst_id",
     weight: str | None = "weight",
     checkpoint: bool = True,
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """edges(src, dst[, weight]) -> (node, rank), ranks summing to 1.
 
@@ -94,12 +95,15 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).join(
         dangling_nodes.select("node", "_dangling"), "node", "left"
     )
-    for _ in range(n_iter):
-        # scalar aggregate: total rank sitting on dangling nodes this round
-        dangling_mass = (
-            ranks.filter(F.col("_dangling").isNotNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+    for it in range(n_iter):
+        # total rank on dangling nodes, as a LAZY broadcast 1-row aggregate
+        # crossJoined into the update — NOT a driver collect(): the loop
+        # builds one plan with no per-iteration driver synchronization, so
+        # on a real cluster iterations pipeline through the scheduler
+        # without a round-trip each (and at bench scale a 2-iteration run
+        # stops paying ~2 jobs of pure latency per iteration)
+        dm = ranks.filter(F.col("_dangling").isNotNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contribs = (
             frac.join(ranks.select(F.col("node").alias("_src"), "rank"), "_src")
@@ -109,15 +113,20 @@ def pagerank(
         ranks = (
             ranks.drop("rank")
             .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))
             .withColumn(
                 "rank",
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
-                * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(dangling_mass / n)),
+                * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n))),
             )
-            .drop("_c")
+            .drop("_c", "_dm")
         )
-        if checkpoint:
+        # truncate lineage periodically, not every iteration: plan DEPTH is
+        # what breaks long chains, and every eager localCheckpoint is a
+        # materialization barrier — one every ckpt_every iterations bounds
+        # both
+        if checkpoint and (it + 1) % max(1, ckpt_every) == 0:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
 
