@@ -166,3 +166,39 @@ def test_token_budget_sample_no_global_sort_and_broadcast_offsets(spark):
     assert "rangepartitioning" not in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_graph_ops_no_cartesian_or_bnlj(spark):
+    """Round-3 graph family: none of the candidate/wedge/closure joins may
+    degrade to a cartesian or broadcast-nested-loop join — all key equality
+    (plus JVM-expression residual filters), at any size."""
+    for name in (
+        "triangle_count",
+        "khop_reach",
+        "kg_snapshot_diff",
+        "label_propagation",
+        "ngram_jaccard",
+    ):
+        p = plan_of(entrymod.queries()[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """The diff itself is exactly ONE co-partitioned full-outer join —
+    classification is a projection, not more joins."""
+    p = plan_of(entrymod.q_kg_snapshot_diff(spark, SF_DIR), "simple")
+    assert p.count("FullOuter") == 1
+
+
+def test_pagerank_iterations_have_no_collect_barrier(spark):
+    """The 2-iteration pagerank plan must keep dangling mass INSIDE the
+    plan (broadcast 1-row aggregate), not as a driver collect between
+    iterations: building the query must launch no Spark job at all."""
+    df = entrymod.q_pagerank(spark, SF_DIR)
+    # localCheckpoint(eager) of the static edge structure DOES run jobs;
+    # q_pagerank at n_iter=2 with ckpt_every=3 must not checkpoint ranks,
+    # and the per-iteration dangling aggregate must appear in the final
+    # plan rather than having been resolved to a literal via collect()
+    p = plan_of(df, "simple")
+    assert p.count("BroadcastExchange") >= 2  # one lazy dangling agg per iter
