@@ -408,15 +408,30 @@ def build_kg(
 
     # vertices/edges are independent aggregates over now-cached inputs —
     # submit them as concurrent Spark jobs so their stage scheduling
-    # overlaps (metrics, the commit marker, is still written strictly last)
+    # overlaps (metrics, the commit marker, is still written strictly last).
+    # Row counts ride the writes themselves as Observations: zero extra
+    # jobs, zero storage reads — the write that lands the table reports its
+    # own row count (the round-2 footer glob was a driver listing storm on
+    # object stores; the interim distributed count was one extra job per
+    # table).
     import concurrent.futures as cf
+
+    from pyspark.sql import Observation
+
+    def _observed_write(df: DataFrame, path: str) -> int:
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return int(obs.get["n"])
 
     t0 = time.monotonic()
     if replayed:
         # the aggregates already include every bucket this run recomputed
         # (a crashed prior attempt merged them before its metrics commit):
         # re-merging would double-count, so leave them untouched.
-        pass
+        n_vertices = _table_rows(spark, vertices_path)
+        n_edges = _table_rows(spark, edges_path)
     elif merge_mode:
         # incremental MERGE: read prior -> union -> re-agg, landed via
         # staging dirs so the plan can read the prior files it replaces
@@ -426,50 +441,30 @@ def build_kg(
         stage_v = f"{vertices_path}.stage-{run_id}"
         stage_e = f"{edges_path}.stage-{run_id}"
         with cf.ThreadPoolExecutor(max_workers=2) as pool:
-            fv = pool.submit(
-                lambda: merged_v.write.mode("overwrite").parquet(stage_v)
-            )
-            fe = pool.submit(
-                lambda: merged_e.write.mode("overwrite").parquet(stage_e)
-            )
-            fv.result()
-            fe.result()
+            fv = pool.submit(_observed_write, merged_v, stage_v)
+            fe = pool.submit(_observed_write, merged_e, stage_e)
+            n_vertices, n_edges = fv.result(), fe.result()
         _swap_dir(stage_v, vertices_path)
         _swap_dir(stage_e, edges_path)
         _write_graph_state(output_dir, included | run_hashes)
     else:
         with cf.ThreadPoolExecutor(max_workers=2) as pool:
-            fv = pool.submit(
-                lambda: vertices.write.mode("overwrite").parquet(vertices_path)
-            )
-            fe = pool.submit(
-                lambda: edges.write.mode("overwrite").parquet(edges_path)
-            )
-            fv.result()
-            fe.result()
+            fv = pool.submit(_observed_write, vertices, vertices_path)
+            fe = pool.submit(_observed_write, edges, edges_path)
+            n_vertices, n_edges = fv.result(), fe.result()
         # a fresh (non-merge) write resets the graph to exactly this run
         _write_graph_state(output_dir, run_hashes)
     phases["write_aggregates"] = round(time.monotonic() - t0, 2)
 
+    # metrics (the commit marker) last; its own write carries the triple
+    # count as an Observation — no cache + separate aggregate job
     t0 = time.monotonic()
-    metrics.cache()
-    metrics.write.mode("append").parquet(metrics_path)
+    obs_m = Observation()
+    metrics.observe(
+        obs_m, F.coalesce(F.sum("n_triples"), F.lit(0)).alias("n")
+    ).write.mode("append").parquet(metrics_path)
+    n_triples = int(obs_m.get["n"])
     phases["write_metrics"] = round(time.monotonic() - t0, 2)
-
-    # summary counts: n_triples from the metrics aggregation this run
-    # already computed (write-side numbers — the round-2 per-file footer
-    # glob was one driver-side listing+read per file, a bottleneck on an
-    # object store); vertex/edge counts via zero-column distributed counts.
-    t0 = time.monotonic()
-    n_triples = int(
-        metrics.agg(
-            F.coalesce(F.sum("n_triples"), F.lit(0)).alias("n")
-        ).collect()[0]["n"]
-    )
-    n_vertices = _table_rows(spark, vertices_path)
-    n_edges = _table_rows(spark, edges_path)
-    metrics.unpersist()
-    phases["counts"] = round(time.monotonic() - t0, 2)
     extracted.unpersist()
     mapping.unpersist()
     triples.unpersist()
