@@ -363,22 +363,21 @@ def build_kg(
     # standalone triples.count() materialization pass re-scanned the whole
     # cached set — minutes of pure re-read at 30 M triples on 8 cores —
     # purely to get a number parquet footers already carry.)
-    t0 = time.monotonic()
-    # co-locate each bucket into one task before the partitioned write:
-    # without this every task writes a file per bucket (tasks x buckets
-    # small files — a metadata storm at cluster scale).  DYNAMIC partition
-    # overwrite on (snap, bucket) makes a crash-replayed bucket REPLACE its
-    # partition instead of appending duplicates, and leaves other
-    # snapshots' partitions untouched (round 3).
-    (
-        triples.withColumn("snap", F.lit(snap))
-        .repartition(n_buckets, "bucket")
-        .write.partitionBy("snap", "bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(triples_path)
-    )
-    phases["write_triples"] = round(time.monotonic() - t0, 2)
+    def _write_triples() -> None:
+        # co-locate each bucket into one task before the partitioned write:
+        # without this every task writes a file per bucket (tasks x buckets
+        # small files — a metadata storm at cluster scale).  DYNAMIC
+        # partition overwrite on (snap, bucket) makes a crash-replayed
+        # bucket REPLACE its partition instead of appending duplicates, and
+        # leaves other snapshots' partitions untouched (round 3).
+        (
+            triples.withColumn("snap", F.lit(snap))
+            .repartition(n_buckets, "bucket")
+            .write.partitionBy("snap", "bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(triples_path)
+        )
 
     # which partition hashes does this run contribute, and does the on-disk
     # graph already include them?  Three cases:
@@ -406,9 +405,17 @@ def build_kg(
         and os.path.isdir(edges_path)
     )
 
-    # vertices/edges are independent aggregates over now-cached inputs —
-    # submit them as concurrent Spark jobs so their stage scheduling
-    # overlaps (metrics, the commit marker, is still written strictly last).
+    # --- concurrent materialization with explicit data dependencies:
+    #   triples write  — materializes the triples cache (the cache sits
+    #                    below the write's repartition, one pass computes
+    #                    join + cache + data);
+    #   vertices write — depends ONLY on the cached mapping, so it runs
+    #                    CONCURRENTLY with the triples write;
+    #   edges write    — aggregates the triples cache, so it starts only
+    #                    after the triples write populated it (starting
+    #                    earlier would race the cache and compute the join
+    #                    twice);
+    #   metrics        — the commit marker, strictly last.
     # Row counts ride the writes themselves as Observations: zero extra
     # jobs, zero storage reads — the write that lands the table reports its
     # own row count (the round-2 footer glob was a driver listing storm on
@@ -425,36 +432,46 @@ def build_kg(
         ).parquet(path)
         return int(obs.get["n"])
 
-    t0 = time.monotonic()
-    if replayed:
-        # the aggregates already include every bucket this run recomputed
-        # (a crashed prior attempt merged them before its metrics commit):
-        # re-merging would double-count, so leave them untouched.
-        n_vertices = _table_rows(spark, vertices_path)
-        n_edges = _table_rows(spark, edges_path)
-    elif merge_mode:
-        # incremental MERGE: read prior -> union -> re-agg, landed via
-        # staging dirs so the plan can read the prior files it replaces
-        # (an Iceberg MERGE transaction on a real warehouse).
-        merged_v = merge_vertices(spark.read.parquet(vertices_path), vertices)
-        merged_e = merge_edges(spark.read.parquet(edges_path), edges)
-        stage_v = f"{vertices_path}.stage-{run_id}"
-        stage_e = f"{edges_path}.stage-{run_id}"
-        with cf.ThreadPoolExecutor(max_workers=2) as pool:
-            fv = pool.submit(_observed_write, merged_v, stage_v)
-            fe = pool.submit(_observed_write, merged_e, stage_e)
-            n_vertices, n_edges = fv.result(), fe.result()
-        _swap_dir(stage_v, vertices_path)
-        _swap_dir(stage_e, edges_path)
-        _write_graph_state(output_dir, included | run_hashes)
+    if merge_mode:
+        vert_df = merge_vertices(spark.read.parquet(vertices_path), vertices)
+        edge_df = merge_edges(spark.read.parquet(edges_path), edges)
+        vert_target = f"{vertices_path}.stage-{run_id}"
+        edge_target = f"{edges_path}.stage-{run_id}"
     else:
-        with cf.ThreadPoolExecutor(max_workers=2) as pool:
-            fv = pool.submit(_observed_write, vertices, vertices_path)
-            fe = pool.submit(_observed_write, edges, edges_path)
+        vert_df, edge_df = vertices, edges
+        vert_target, edge_target = vertices_path, edges_path
+
+    t0 = time.monotonic()
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        ft = pool.submit(_write_triples)
+        fv = (
+            None
+            if replayed
+            else pool.submit(_observed_write, vert_df, vert_target)
+        )
+        ft.result()
+        phases["write_triples"] = round(time.monotonic() - t0, 2)
+        t1 = time.monotonic()
+        if replayed:
+            # the aggregates already include every bucket this run
+            # recomputed (a crashed prior attempt merged them before its
+            # metrics commit): re-merging would double-count, so leave
+            # them untouched.
+            n_vertices = _table_rows(spark, vertices_path)
+            n_edges = _table_rows(spark, edges_path)
+        else:
+            fe = pool.submit(_observed_write, edge_df, edge_target)
             n_vertices, n_edges = fv.result(), fe.result()
-        # a fresh (non-merge) write resets the graph to exactly this run
-        _write_graph_state(output_dir, run_hashes)
-    phases["write_aggregates"] = round(time.monotonic() - t0, 2)
+            if merge_mode:
+                # staged MERGE landing: the plans read the prior files they
+                # replace (an Iceberg MERGE transaction on a real warehouse)
+                _swap_dir(vert_target, vertices_path)
+                _swap_dir(edge_target, edges_path)
+                _write_graph_state(output_dir, included | run_hashes)
+            else:
+                # a fresh (non-merge) write resets the graph to this run
+                _write_graph_state(output_dir, run_hashes)
+    phases["write_aggregates"] = round(time.monotonic() - t1, 2)
 
     # metrics (the commit marker) last; its own write carries the triple
     # count as an Observation — no cache + separate aggregate job
