@@ -1558,7 +1558,10 @@ def _kmeans_ctes(n_cells: int = 16, n_iters: int = 2) -> str:
 def _author_parse_oracle() -> str:
     """DuckDB twin of q_author_parse: same 6-way shape synthesis, same
     regex contract (functions/authors.author_fields_sql)."""
-    from node_feedparser_spark.functions.authors import author_fields_sql
+    from node_feedparser_spark.functions.authors import (
+        author_fields_sql,
+        sql_trim,
+    )
 
     parts = author_fields_sql("raw_author")
     name, address = parts["name"], parts["address"]
@@ -1577,7 +1580,7 @@ def _author_parse_oracle() -> str:
                         ELSE addr || ', second' || addr END AS raw_author
                FROM b0),
         b AS (SELECT c_custkey, raw_author,
-                     trim(coalesce(raw_author, '')) AS s
+                     {sql_trim("coalesce(raw_author, '')")} AS s
               FROM b1)
         SELECT c_custkey, raw_author,
                ({name}) AS author_name,

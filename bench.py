@@ -94,15 +94,18 @@ def main() -> None:
             spark, corpus, f"{out_dir}_t{trial}", n_buckets=cpus, resume=False
         )
         wall = round(time.monotonic() - t0, 3)
-        # derived throughput must come from the SAME trial as the reported
-        # wall (the pipeline is deterministic, but never mix trials)
-        if wall < kg_wall:
-            kg_wall, summary = wall, trial_summary
+        # determinism check BEFORE the min-reassignment: comparing after
+        # would compare a newly-adopted faster trial against itself and
+        # never fire
         if summary is not None and trial_summary["n_triples"] != summary["n_triples"]:
             raise AssertionError(
                 f"non-deterministic n_triples across trials: "
                 f"{trial_summary['n_triples']} != {summary['n_triples']}"
             )
+        # derived throughput must come from the SAME trial as the reported
+        # wall (the pipeline is deterministic, but never mix trials)
+        if wall < kg_wall:
+            kg_wall, summary = wall, trial_summary
         shutil.rmtree(f"{out_dir}_t{trial}", ignore_errors=True)
     timings["kg_pipeline"] = kg_wall
     kg_triples_per_sec = round(summary["n_triples"] / timings["kg_pipeline"], 1)

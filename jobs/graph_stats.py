@@ -83,7 +83,9 @@ def main() -> None:
     ]
     n_communities = stats.select("community").distinct().count()
     total_triangles = int(
-        stats.agg((F.sum("triangles") / 3).cast("long").alias("t")).collect()[0]["t"]
+        stats.agg(
+            F.coalesce((F.sum("triangles") / 3).cast("long"), F.lit(0)).alias("t")
+        ).collect()[0]["t"]
     )
 
     summary = {

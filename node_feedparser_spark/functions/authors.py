@@ -46,29 +46,50 @@ _COMMENT = r"\(([^)]*)\)"
 _PRE_PAREN = r"^([^(]*)\("
 _FIRST_ITEM = r"^([^,]*)"
 
+# ONE trim definition for all three faces.  Python str.strip(), Java
+# F.trim() and DuckDB trim() each strip a DIFFERENT whitespace set (all
+# unicode WS / ASCII space only / ASCII space only), so the contract pins
+# an explicit ASCII class instead: \s and \v are avoided because their
+# meaning differs across the three regex engines.
+WS_TRIM_PATTERN = r"^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$"
+
+
+def _strip(s: str) -> str:
+    return re.sub(WS_TRIM_PATTERN, "", s)
+
+
+def _trim_col(c: Column) -> Column:
+    return F.regexp_replace(c, WS_TRIM_PATTERN, "")
+
+
+def sql_trim(expr: str) -> str:
+    """DuckDB twin of _strip/_trim_col ('g': replace both anchored ends —
+    Java/Python regexp_replace are replace-all, DuckDB defaults to first)."""
+    return f"regexp_replace({expr}, '{WS_TRIM_PATTERN}', '', 'g')"
+
 
 def parse_address(value) -> tuple[str, str]:
     """(name, address) for the FIRST address in `value` — the pure-Python
     spec the Spark and DuckDB twins must match."""
-    if not isinstance(value, str) or not value.strip():
+    if not isinstance(value, str) or not _strip(value):
         return "", ""
-    s = value.strip()
+    s = _strip(value)
     if "<" in s:
         addr = re.search(_ANGLE_ADDR, s)
         pre = re.search(_PRE_ANGLE, s)
-        name = pre.group(1).strip() if pre else ""
+        name = _strip(pre.group(1)) if pre else ""
         q = re.match(_QUOTED, name)
         if q:
             name = q.group(1)
-        return name, (addr.group(1).strip() if addr else "")
+        return name, (_strip(addr.group(1)) if addr else "")
     if "(" in s:
         comment = re.search(_COMMENT, s)
         pre = re.search(_PRE_PAREN, s)
         return (
-            comment.group(1).strip() if comment else "",
-            pre.group(1).strip() if pre else "",
+            _strip(comment.group(1)) if comment else "",
+            _strip(pre.group(1)) if pre else "",
         )
-    first = re.match(_FIRST_ITEM, s).group(1).strip()
+    first = _strip(re.match(_FIRST_ITEM, s).group(1))
     if "@" in first:
         return "", first
     return s, ""
@@ -77,7 +98,7 @@ def parse_address(value) -> tuple[str, str]:
 def display_author(name: str, address: str, raw) -> str:
     """The reference's preference rule: name || address || raw
     (lib/feedparser.js:616-618)."""
-    raw_s = raw.strip() if isinstance(raw, str) else ""
+    raw_s = _strip(raw) if isinstance(raw, str) else ""
     return name or address or raw_s
 
 
@@ -86,21 +107,21 @@ def author_fields_cols(col) -> tuple[Column, Column, Column]:
     byte-identical to parse_address/display_author (pinned by
     tests/test_authors.py on the truth table)."""
     raw = F.col(col) if isinstance(col, str) else col
-    s = F.trim(F.coalesce(raw, F.lit("")))
+    s = _trim_col(F.coalesce(raw, F.lit("")))
 
     has_angle = s.contains("<")
     has_paren = s.contains("(")
 
-    pre_angle = F.trim(F.regexp_extract(s, _PRE_ANGLE, 1))
+    pre_angle = _trim_col(F.regexp_extract(s, _PRE_ANGLE, 1))
     unquoted = F.when(
         pre_angle.rlike(_QUOTED), F.regexp_extract(pre_angle, _QUOTED, 1)
     ).otherwise(pre_angle)
-    angle_addr = F.trim(F.regexp_extract(s, _ANGLE_ADDR, 1))
+    angle_addr = _trim_col(F.regexp_extract(s, _ANGLE_ADDR, 1))
 
-    comment = F.trim(F.regexp_extract(s, _COMMENT, 1))
-    pre_paren = F.trim(F.regexp_extract(s, _PRE_PAREN, 1))
+    comment = _trim_col(F.regexp_extract(s, _COMMENT, 1))
+    pre_paren = _trim_col(F.regexp_extract(s, _PRE_PAREN, 1))
 
-    first = F.trim(F.regexp_extract(s, _FIRST_ITEM, 1))
+    first = _trim_col(F.regexp_extract(s, _FIRST_ITEM, 1))
     first_is_addr = first.contains("@")
 
     name = (
@@ -124,17 +145,17 @@ def author_fields_cols(col) -> tuple[Column, Column, Column]:
 def author_fields_sql(expr: str) -> dict[str, str]:
     """DuckDB SQL snippets computing exactly author_fields_cols(expr).
     Returns {'name': ..., 'address': ..., 'author': ...}; embed inside a
-    CTE that binds `s` to trim(coalesce(expr, ''))."""
+    CTE that binds `s` to sql_trim("coalesce(expr, '')")."""
     del expr  # callers bind s in their CTE; patterns below reference s
-    pre_angle = rf"trim(regexp_extract(s, '{_PRE_ANGLE}', 1))"
+    pre_angle = sql_trim(f"regexp_extract(s, '{_PRE_ANGLE}', 1)")
     unquoted = (
         f"CASE WHEN regexp_matches({pre_angle}, '{_QUOTED}') "
         f"THEN regexp_extract({pre_angle}, '{_QUOTED}', 1) ELSE {pre_angle} END"
     )
-    angle_addr = rf"trim(regexp_extract(s, '{_ANGLE_ADDR}', 1))"
-    comment = rf"trim(regexp_extract(s, '{_COMMENT}', 1))"
-    pre_paren = rf"trim(regexp_extract(s, '{_PRE_PAREN}', 1))"
-    first = rf"trim(regexp_extract(s, '{_FIRST_ITEM}', 1))"
+    angle_addr = sql_trim(f"regexp_extract(s, '{_ANGLE_ADDR}', 1)")
+    comment = sql_trim(f"regexp_extract(s, '{_COMMENT}', 1)")
+    pre_paren = sql_trim(f"regexp_extract(s, '{_PRE_PAREN}', 1)")
+    first = sql_trim(f"regexp_extract(s, '{_FIRST_ITEM}', 1)")
     name = f"""CASE WHEN s = '' THEN ''
           WHEN contains(s, '<') THEN {unquoted}
           WHEN contains(s, '(') THEN {comment}

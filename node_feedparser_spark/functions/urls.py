@@ -297,10 +297,13 @@ def may_have_embedded_html_col(name_col, type_col, text_col):
     name = F.col(name_col) if isinstance(name_col, str) else name_col
     typ = F.col(type_col) if isinstance(type_col, str) else type_col
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    # coalesce the NULL-type case: gated-field & NULL-type must be False,
-    # not NULL (three-valued logic would leak a NULL boolean out)
+    # coalesce BOTH NULL cases: a NULL field name (isin → NULL) and a
+    # gated-field & NULL-type must each be False, not NULL — three-valued
+    # logic would otherwise leak a NULL boolean out of the whole OR
     return F.when(text.isNull(), F.lit(False)).otherwise(
-        name.isin(*sorted(ALWAYS_EMBEDDED_HTML_FIELDS))
+        F.coalesce(
+            name.isin(*sorted(ALWAYS_EMBEDDED_HTML_FIELDS)), F.lit(False)
+        )
         | F.coalesce(
             name.isin(*sorted(TYPE_GATED_EMBEDDED_HTML_FIELDS))
             & typ.isin("html", "xhtml"),

@@ -80,6 +80,12 @@ def serialize_subtrees(nodes: DataFrame) -> DataFrame:
     is the full markup of that subtree.  Feed the result to
     :func:`container_inner` for the reference's container-level value.
     """
+    # cache the node table: every level of the fold filters it, and the
+    # max-depth probe below materializes the cache — without this the
+    # final plan re-embeds (and re-computes) the full upstream node
+    # derivation once per level, O(depth^2) source scans (the
+    # operators/components.py lineage discipline)
+    nodes = nodes.cache()
     # One scalar to the driver: tree height, bounded by markup nesting.
     max_depth = nodes.agg(F.max("depth")).first()[0]
     if max_depth is None:
@@ -116,6 +122,12 @@ def serialize_subtrees(nodes: DataFrame) -> DataFrame:
             "pos",
             _render(level, child).alias("ser"),
         )
+        if d > 0:
+            # truncate the per-level lineage: each level otherwise nests
+            # the whole plan of the level below it (plan depth = tree
+            # depth, analysis cost quadratic) — same per-iteration cut as
+            # graph_algo.pagerank / khop
+            acc = acc.localCheckpoint(eager=False)
     return acc.select("doc_id", "pos", "ser")
 
 

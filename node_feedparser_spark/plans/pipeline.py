@@ -26,10 +26,14 @@ Scale design:
   canonical_name follows the merged mention counts) instead of being
   recomputed from this run's partial input.  A driver-side
   graph_state.json records which partition hashes the aggregates already
-  include, so a crash between the aggregate swap and the metrics commit
-  replays as a no-op instead of double-counting — the file-based analog
-  of the single Iceberg MERGE transaction this becomes on a real
-  warehouse.
+  include; both staged tables and the state commit together behind one
+  commit point (_commit_graph: staged state file, then retire-rename +
+  install-rename per table, then state promotion — every post-commit-point
+  step an idempotent rename that _recover_graph_commit finishes after a
+  crash), so any crash point replays as either a clean recompute or a
+  finished commit, never a double-count or a lost table — the file-based
+  analog of the single Iceberg MERGE transaction this becomes on a real
+  warehouse (pinned by tests/test_crash_recovery.py).
 - the score histogram per bucket uses a fixed-width bucketing groupBy —
   a map-side-combinable aggregation, not a sketch, so it is deterministic.
 """
@@ -129,14 +133,87 @@ def _write_graph_state(output_dir: str, hashes: set[str]) -> None:
     os.replace(tmp, _graph_state_path(output_dir))
 
 
-def _swap_dir(src: str, dst: str) -> None:
-    """Replace dst with src (staging-dir swap; an Iceberg RTAS commit on a
-    real warehouse)."""
+def _install_staged(stage: str, live: str) -> None:
+    """Install one staged table dir over the live one with no lost-table
+    window: the live dir is RETIRED by an atomic rename (never rmtree'd
+    while it is the only copy) and deleted only after the stage is in
+    place.  Idempotent — a missing stage means a prior attempt already
+    installed it."""
     import shutil
 
-    if os.path.isdir(dst):
-        shutil.rmtree(dst)
-    os.replace(src, dst)
+    if not os.path.isdir(stage):
+        return
+    retired = live + ".retired"
+    if os.path.isdir(retired):  # post-commit garbage from an older commit
+        shutil.rmtree(retired)
+    if os.path.isdir(live):
+        os.replace(live, retired)
+    os.replace(stage, live)
+
+
+def _commit_graph(
+    output_dir: str,
+    vert_stage: str,
+    vertices_path: str,
+    edge_stage: str,
+    edges_path: str,
+    hashes: set[str],
+) -> None:
+    """Two-phase commit of the staged vertex/edge merges plus graph_state
+    (the local-FS emulation of one atomic Iceberg MERGE transaction over
+    both tables).  The staged state file is the commit point: before it
+    exists nothing has moved (a crash replays the whole merge against the
+    intact live tables); once it exists, every later step is an idempotent
+    rename, so _recover_graph_commit finishes the commit from any crash
+    point instead of double-merging or losing a table."""
+    import json
+    import shutil
+
+    stage_state = _graph_state_path(output_dir) + ".stage"
+    tmp = stage_state + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"partition_hashes": sorted(hashes)}, f)
+    os.replace(tmp, stage_state)  # COMMIT POINT
+    _install_staged(vert_stage, vertices_path)
+    _install_staged(edge_stage, edges_path)
+    os.replace(stage_state, _graph_state_path(output_dir))
+    for p in (vertices_path + ".retired", edges_path + ".retired"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _recover_graph_commit(
+    output_dir: str, vertices_path: str, edges_path: str
+) -> None:
+    """Finish or discard a half-done graph commit before reading state.
+    An in-flight staged state file means a commit passed its commit point:
+    install whatever table stages remain and promote the state.  Without
+    one, leftover stage dirs were never committed — delete them; the run
+    will recompute against the intact live tables."""
+    import glob
+    import json
+    import shutil
+
+    stage_state = _graph_state_path(output_dir) + ".stage"
+    in_flight = False
+    if os.path.isfile(stage_state):
+        try:
+            with open(stage_state) as f:
+                json.load(f)["partition_hashes"]
+            in_flight = True
+        except (ValueError, KeyError):
+            os.remove(stage_state)  # torn write: commit never started
+    if in_flight:
+        for live in (vertices_path, edges_path):
+            for s in sorted(glob.glob(glob.escape(live) + ".stage-*")):
+                _install_staged(s, live)
+        os.replace(stage_state, _graph_state_path(output_dir))
+    for live in (vertices_path, edges_path):
+        for s in glob.glob(glob.escape(live) + ".stage-*"):
+            shutil.rmtree(s, ignore_errors=True)
+        shutil.rmtree(live + ".retired", ignore_errors=True)
+    tmp = stage_state + ".tmp"
+    if os.path.isfile(tmp):
+        os.remove(tmp)
 
 
 def _bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -196,6 +273,9 @@ def build_kg(
     vertices_path = os.path.join(output_dir, "vertices")
     edges_path = os.path.join(output_dir, "edges")
     metrics_path = os.path.join(output_dir, "metrics")
+    # a prior attempt may have crashed mid graph-commit: finish or discard
+    # it BEFORE reading graph_state / deciding merge vs fresh
+    _recover_graph_commit(output_dir, vertices_path, edges_path)
 
     raw = _bucketed(read_transcripts(spark, input_path), n_buckets)
 
@@ -464,10 +544,16 @@ def build_kg(
             n_vertices, n_edges = fv.result(), fe.result()
             if merge_mode:
                 # staged MERGE landing: the plans read the prior files they
-                # replace (an Iceberg MERGE transaction on a real warehouse)
-                _swap_dir(vert_target, vertices_path)
-                _swap_dir(edge_target, edges_path)
-                _write_graph_state(output_dir, included | run_hashes)
+                # replace (an Iceberg MERGE transaction on a real warehouse);
+                # tables + state commit together behind one commit point
+                _commit_graph(
+                    output_dir,
+                    vert_target,
+                    vertices_path,
+                    edge_target,
+                    edges_path,
+                    included | run_hashes,
+                )
             else:
                 # a fresh (non-merge) write resets the graph to this run
                 _write_graph_state(output_dir, run_hashes)

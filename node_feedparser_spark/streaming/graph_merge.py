@@ -15,12 +15,15 @@ Exactly-once despite foreachBatch's at-least-once contract: Structured
 Streaming can REPLAY a batch after a crash between the sink write and the
 checkpoint commit, so the merge records the last applied batch_id in a
 state file that lives INSIDE the edges directory and is written into the
-staging dir BEFORE the swap — data and state install in the same rename,
+staging dir BEFORE the install — data and state land in the same rename,
 so there is no window where the merge landed but the batch looks
-unapplied (the separate-file ordering the batch pipeline needs
-graph_state replay logic for).  Replays of an applied batch are no-ops.
-The swap itself is the same local-FS emulation of an Iceberg RTAS commit
-that plans/pipeline.py uses.
+unapplied.  The install itself is retire-rename -> install-rename ->
+delete-retired (never rmtree of the only live copy): the commit point is
+the retire rename, after which the staged dir IS the table and _recover
+finishes the install on replay; before it, the stage is uncommitted
+garbage and the replay re-merges against the intact live table.  Replays
+of an applied batch are no-ops.  This is the same local-FS emulation of
+an Iceberg RTAS commit that plans/pipeline.py's _commit_graph uses.
 
 The merge is one map-side-combinable groupBy over prior + delta — the
 batch MERGE's plan shape and single-shuffle cost at any scale; the only
@@ -62,6 +65,40 @@ def _write_state(dir_path: str, batch_id: int) -> None:
         json.dump({"last_batch_id": batch_id}, f)
 
 
+def _recover(edges_path: str) -> None:
+    """Finish or discard a half-done install before touching the table.
+
+    Commit point of a merge is the instant the OLD live dir is retired
+    (renamed to .retired) — from then on the staged dir, which already
+    carries its state file, IS the table.  A crash between the retire
+    rename and the install rename therefore leaves edges_path missing and
+    a complete stage present: finish the install here.  A stage present
+    WHILE edges_path still exists was never committed (crash before the
+    retire rename) and is deleted; the replay rebuilds it from the intact
+    live table.  Leftover .retired dirs are post-commit garbage.
+    """
+    import glob
+    import shutil
+
+    stages = []
+    for s in glob.glob(glob.escape(edges_path) + ".stage-b*"):
+        try:
+            stages.append((int(s.rsplit(".stage-b", 1)[1]), s))
+        except ValueError:
+            continue
+    complete = [
+        (bid, s)
+        for bid, s in sorted(stages)
+        if os.path.isfile(os.path.join(s, _STATE_NAME))
+    ]
+    if not os.path.isdir(edges_path) and complete:
+        os.replace(complete[-1][1], edges_path)
+    for _bid, s in stages:
+        if os.path.isdir(s):
+            shutil.rmtree(s, ignore_errors=True)
+    shutil.rmtree(edges_path + ".retired", ignore_errors=True)
+
+
 def merge_batch_into_edges(
     spark: SparkSession, batch: DataFrame, batch_id: int, edges_path: str
 ) -> bool:
@@ -69,6 +106,9 @@ def merge_batch_into_edges(
     Returns False (no-op) when batch_id was already applied — the crash-
     replay guard.  The batch may be any slice of triples; prior weights
     sum with the delta exactly (disjoint slices)."""
+    import shutil
+
+    _recover(edges_path)
     if batch_id <= _last_batch(edges_path):
         return False
     delta = (
@@ -81,14 +121,15 @@ def merge_batch_into_edges(
         merged.write.mode("overwrite").parquet(stage)
     else:
         delta.write.mode("overwrite").parquet(stage)
-    # state INSIDE the staged dir: the rename below installs data + applied
-    # batch id together, so a crash-replay can never double-merge
+    # state INSIDE the staged dir: once the live dir is retired below, the
+    # stage (data + applied batch id together) is the committed table, so a
+    # crash-replay can never double-merge OR lose the merged aggregate
     _write_state(stage, batch_id)
+    retired = edges_path + ".retired"
     if os.path.isdir(edges_path):
-        import shutil
-
-        shutil.rmtree(edges_path)
+        os.replace(edges_path, retired)  # COMMIT: single atomic rename
     os.replace(stage, edges_path)
+    shutil.rmtree(retired, ignore_errors=True)
     return True
 
 

@@ -11,6 +11,7 @@ from node_feedparser_spark.functions.authors import (
     author_fields_sql,
     display_author,
     parse_address,
+    sql_trim,
 )
 
 # (input, name, address) — the addressparser shapes feeds actually use
@@ -23,11 +24,15 @@ TRUTH = [
     ("John Doe", "John Doe", ""),
     ("john@example.com, jane@example.com", "", "john@example.com"),
     ("  padded <p@e.com>  ", "padded", "p@e.com"),
+    # non-space whitespace: str.strip() vs trim() divergence regression
+    ("\tTabbed Name\n", "Tabbed Name", ""),
+    ("\t Mixed Pad <m@e.com> \r\n", "Mixed Pad", "m@e.com"),
     ("<bare@example.com>", "", "bare@example.com"),
     ("weird <>", "weird", ""),
     ("(Comment Only)", "Comment Only", ""),
     ("", "", ""),
     ("   ", "", ""),
+    ("\t\n", "", ""),
     (None, "", ""),
 ]
 
@@ -71,7 +76,8 @@ def test_duckdb_twin_matches_python():
     parts = author_fields_sql("value")
     out = con.execute(
         f"""
-        WITH b AS (SELECT row_id, value, trim(coalesce(value, '')) AS s
+        WITH b AS (SELECT row_id, value,
+                          {sql_trim("coalesce(value, '')")} AS s
                    FROM authors)
         SELECT row_id, {parts['name']} AS n, {parts['address']} AS a
         FROM b ORDER BY row_id

@@ -48,6 +48,9 @@ DISPATCH_TABLE = [
     ("guid", None, False),
     ("author", "xhtml", False),
     ("pubdate", "html", False),
+    # NULL field name must yield False, not a leaked NULL boolean
+    (None, None, False),
+    (None, "html", False),
 ]
 
 
