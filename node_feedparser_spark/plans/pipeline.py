@@ -444,15 +444,29 @@ def build_kg(
     # cached set — minutes of pure re-read at 30 M triples on 8 cores —
     # purely to get a number parquet footers already carry.)
     def _write_triples() -> None:
-        # co-locate each bucket into one task before the partitioned write:
+        # co-locate each bucket into FEW tasks before the partitioned write:
         # without this every task writes a file per bucket (tasks x buckets
-        # small files — a metadata storm at cluster scale).  DYNAMIC
-        # partition overwrite on (snap, bucket) makes a crash-replayed
-        # bucket REPLACE its partition instead of appending duplicates, and
-        # leaves other snapshots' partitions untouched (round 3).
+        # small files — a metadata storm at cluster scale).  Plain
+        # repartition(n_buckets, bucket) is NOT enough when n_buckets is
+        # close to the core count: 32 bucket values hash into 32 partitions
+        # balls-in-bins style (expected max ~3 buckets in one task, several
+        # tasks empty), so the write stage runs at a fraction of the
+        # cluster.  A deterministic conv-hash salt sub-splits each bucket
+        # until groups >= 4x parallelism — the scheduler then load-balances
+        # regardless of hash collisions, and files per bucket stay bounded
+        # by `sub`, not by task count.  DYNAMIC partition overwrite on
+        # (snap, bucket) makes a crash-replayed bucket REPLACE its
+        # partition instead of appending duplicates, and leaves other
+        # snapshots' partitions untouched (round 3).
+        par = spark.sparkContext.defaultParallelism
+        sub = max(1, -(-4 * par // n_buckets))
         (
             triples.withColumn("snap", F.lit(snap))
-            .repartition(n_buckets, "bucket")
+            .repartition(
+                n_buckets * sub,
+                F.col("bucket"),
+                F.pmod(F.xxhash64("conv_id"), F.lit(sub)),
+            )
             .write.partitionBy("snap", "bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -495,7 +509,11 @@ def build_kg(
     #                    after the triples write populated it (starting
     #                    earlier would race the cache and compute the join
     #                    twice);
-    #   metrics        — the commit marker, strictly last.
+    #   metrics agg    — also reads only the triples cache, so it
+    #                    MATERIALIZES concurrently with the aggregate
+    #                    writes (cache + count);
+    #   metrics append — the commit marker, strictly last: the tiny
+    #                    parquet append of the pre-materialized rows.
     # Row counts ride the writes themselves as Observations: zero extra
     # jobs, zero storage reads — the write that lands the table reports its
     # own row count (the round-2 footer glob was a driver listing storm on
@@ -522,7 +540,7 @@ def build_kg(
         vert_target, edge_target = vertices_path, edges_path
 
     t0 = time.monotonic()
-    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+    with cf.ThreadPoolExecutor(max_workers=3) as pool:
         ft = pool.submit(_write_triples)
         fv = (
             None
@@ -531,6 +549,11 @@ def build_kg(
         )
         ft.result()
         phases["write_triples"] = round(time.monotonic() - t0, 2)
+        # the metrics rows depend only on the now-populated triples cache:
+        # materialize them concurrently with the aggregate writes; only the
+        # commit-marker APPEND below stays strictly last
+        metrics = metrics.cache()
+        fm = pool.submit(metrics.count)
         t1 = time.monotonic()
         if replayed:
             # the aggregates already include every bucket this run
@@ -557,10 +580,12 @@ def build_kg(
             else:
                 # a fresh (non-merge) write resets the graph to this run
                 _write_graph_state(output_dir, run_hashes)
+        fm.result()
     phases["write_aggregates"] = round(time.monotonic() - t1, 2)
 
-    # metrics (the commit marker) last; its own write carries the triple
-    # count as an Observation — no cache + separate aggregate job
+    # metrics (the commit marker) last: an append of the already-cached
+    # rows; the Observation carries the triple count off that same scan —
+    # no separate aggregate job
     t0 = time.monotonic()
     obs_m = Observation()
     metrics.observe(
@@ -571,6 +596,7 @@ def build_kg(
     extracted.unpersist()
     mapping.unpersist()
     triples.unpersist()
+    metrics.unpersist()
     return {
         "run_id": run_id,
         "snapshot_id": snap,
