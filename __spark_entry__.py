@@ -1165,6 +1165,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-link score calibration (round 3,
+    operators/link_scoring.py): the north rule's 'entity-link scoring'
+    stage as a standalone operator — per-predicate min-max confidence over
+    the KG edge shape.  The per-predicate extrema are ONE tiny
+    map-side-combinable agg broadcast back onto the edges; a
+    Window.partitionBy(pred) would funnel the whole edge corpus into
+    #predicate tasks (plan pinned window-free + broadcast-joined in
+    tests/test_link_scoring.py)."""
+    from node_feedparser_spark.operators.link_scoring import (
+        calibrate_link_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.col("l_returnflag").alias("pred"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    ).agg(
+        F.round(F.sum(F.col("l_quantity").cast("double")), 6).alias("weight")
+    )
+    return calibrate_link_scores(edges)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (round 3,
     operators/dedupe.py jaccard_prefix_pairs): AllPairs prefix filtering —
@@ -1376,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-axis operators (round 3): bucketed sessionization + as-of join
         "sessionize": q_sessionize,
         "click_attribution": q_click_attribution,
+        # entity-link score calibration over the KG edge shape (round 3)
+        "link_calibrate": q_link_calibrate,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2182,6 +2208,22 @@ def _extra_oracles() -> dict[str, str]:
                        WHEN new_weight IS NULL THEN 'removed'
                        WHEN old_weight = new_weight THEN 'unchanged'
                        ELSE 'changed' END <> 'unchanged'
+        """,
+        "link_calibrate": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src_id,
+                       l_returnflag AS pred,
+                       'p' || l_partkey AS dst_id,
+                       ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS weight
+                FROM lineitem GROUP BY 1, 2, 3),
+            st AS (SELECT pred, MIN(weight) AS wmin, MAX(weight) AS wmax
+                   FROM e GROUP BY pred)
+            SELECT e.src_id, e.pred, e.dst_id, e.weight,
+                   ROUND(CASE WHEN st.wmax = st.wmin THEN 1.0
+                              ELSE (e.weight - st.wmin)
+                                   / (st.wmax - st.wmin) END,
+                         6) AS confidence
+            FROM e JOIN st ON e.pred = st.pred
         """,
         "pagerank": """
             WITH e AS (

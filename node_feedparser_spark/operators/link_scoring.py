@@ -1,0 +1,54 @@
+"""Entity-link score calibration — the north rule's "entity-link scoring"
+stage as a standalone operator over the KG edge shape.
+
+Raw edge weights (sum of per-mention extraction scores, see
+plans/pipeline.py edges) are not comparable across predicates: a weight of
+3.0 may be the strongest "mentions" link in the graph and a middling
+"invokes" one.  `calibrate_link_scores` rescales each weight to a [0, 1]
+confidence within its predicate via min-max calibration.
+
+Scale shape (the reason this is NOT a window): per-predicate extrema are
+ONE map-side-combinable aggregation over a handful of groups (#predicates
+is a vocabulary, not data-sized), broadcast back onto the edge set.  A
+`Window.partitionBy(pred)` would shuffle the whole edge corpus into
+#predicate tasks — a guaranteed mega-partition straggler at 10^12 turns.
+The plan is pinned window-free and broadcast-joined by
+tests/test_link_scoring.py.
+
+Reference analog: feedparser normalizes per-format fields into one
+comparable item schema (/root/reference/lib/feedparser.js:743-1030); this
+normalizes per-predicate weights into one comparable confidence scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def calibrate_link_scores(edges: DataFrame, round_dp: int = 6) -> DataFrame:
+    """(src_id, pred, dst_id, weight) -> + confidence in [0, 1].
+
+    confidence = (weight - min_pred) / (max_pred - min_pred), per predicate;
+    a degenerate predicate (all weights equal) calibrates to 1.0 — a link
+    that ties for strongest-of-its-kind is fully confident, and the
+    alternative (0/0) is meaningless.  Deterministic: pure IEEE double
+    arithmetic on exact aggregates, no sampling, no hash family.
+    """
+    stats = edges.groupBy("pred").agg(
+        F.min("weight").alias("_wmin"), F.max("weight").alias("_wmax")
+    )
+    conf = F.when(F.col("_wmax") == F.col("_wmin"), F.lit(1.0)).otherwise(
+        (F.col("weight") - F.col("_wmin"))
+        / (F.col("_wmax") - F.col("_wmin"))
+    )
+    return (
+        edges.join(F.broadcast(stats), "pred")
+        .select(
+            "src_id",
+            "pred",
+            "dst_id",
+            "weight",
+            F.round(conf, round_dp).alias("confidence"),
+        )
+    )
