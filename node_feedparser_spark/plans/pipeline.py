@@ -607,3 +607,28 @@ def build_kg(
         "output_dir": output_dir,
         "phases": phases,
     }
+
+
+def read_triples_snapshot(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot: str,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Snapshot-scoped (optionally bucket-scoped) read of the materialized
+    triples table — the Iceberg time-travel / partition-pruned scan analog.
+
+    The triples layout is directory-partitioned on (snap, bucket), so both
+    filters resolve at PLANNING time against the partition listing: a scan
+    of one snapshot touches zero bytes of any other snapshot, and a
+    single-bucket read (e.g. re-auditing one lineage partition) touches
+    exactly that directory.  Pinned by tests/test_snapshot_read.py, which
+    asserts the filters land in the scan's PartitionFilters, not in a
+    post-scan Filter node.
+    """
+    df = spark.read.parquet(os.path.join(output_dir, "triples")).filter(
+        F.col("snap") == snapshot
+    )
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin(buckets))
+    return df
