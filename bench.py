@@ -85,7 +85,12 @@ def main() -> None:
 
     # Best-of-N for the headline (BASELINE.md protocol: minimum wall is the
     # faithful estimate under neighbor/steal noise).
-    trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "2"))
+    # default 3 since round 3 (was 2): trial 2 still carries measurable JVM
+    # JIT warmup on this host (~10% on identical code), so best-of-2
+    # under-reports the warm steady state best-of-3 reaches.  Protocol
+    # change disclosed here and in README — round-over-round comparisons
+    # should note it.
+    trials = int(os.environ.get("SPARK_GRAFT_KG_TRIALS", "3"))
     kg_wall = float("inf")
     summary = None
     for trial in range(max(1, trials)):
