@@ -2223,7 +2223,7 @@ def _extra_oracles() -> dict[str, str]:
                               ELSE (e.weight - st.wmin)
                                    / (st.wmax - st.wmin) END,
                          6) AS confidence
-            FROM e JOIN st ON e.pred = st.pred
+            FROM e JOIN st ON e.pred IS NOT DISTINCT FROM st.pred
         """,
         "pagerank": """
             WITH e AS (

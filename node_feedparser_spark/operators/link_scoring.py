@@ -35,7 +35,7 @@ def calibrate_link_scores(edges: DataFrame, round_dp: int = 6) -> DataFrame:
     alternative (0/0) is meaningless.  Deterministic: pure IEEE double
     arithmetic on exact aggregates, no sampling, no hash family.
     """
-    stats = edges.groupBy("pred").agg(
+    stats = edges.groupBy(F.col("pred").alias("_pred")).agg(
         F.min("weight").alias("_wmin"), F.max("weight").alias("_wmax")
     )
     conf = F.when(F.col("_wmax") == F.col("_wmin"), F.lit(1.0)).otherwise(
@@ -43,7 +43,13 @@ def calibrate_link_scores(edges: DataFrame, round_dp: int = 6) -> DataFrame:
         / (F.col("_wmax") - F.col("_wmin"))
     )
     return (
-        edges.join(F.broadcast(stats), "pred")
+        # null-safe equality: groupBy keeps a NULL-pred group, and a plain
+        # equi-join (NULL != NULL) would silently DROP those edges instead
+        # of calibrating them — the operator is row-preserving by contract
+        edges.join(
+            F.broadcast(stats),
+            F.col("pred").eqNullSafe(F.col("_pred")),
+        )
         .select(
             "src_id",
             "pred",

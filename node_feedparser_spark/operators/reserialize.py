@@ -89,7 +89,11 @@ def serialize_subtrees(nodes: DataFrame) -> DataFrame:
     # One scalar to the driver: tree height, bounded by markup nesting.
     max_depth = nodes.agg(F.max("depth")).first()[0]
     if max_depth is None:
-        return nodes.select("doc_id", "pos", F.lit("").alias("ser")).limit(0)
+        empty = nodes.select(
+            "doc_id", "pos", F.lit("").alias("ser")
+        ).limit(0).localCheckpoint()
+        nodes.unpersist()
+        return empty
 
     acc: DataFrame | None = None  # serialized rows of depth d+1
     for d in range(int(max_depth), -1, -1):
@@ -128,7 +132,13 @@ def serialize_subtrees(nodes: DataFrame) -> DataFrame:
             # depth, analysis cost quadratic) — same per-iteration cut as
             # graph_algo.pagerank / khop
             acc = acc.localCheckpoint(eager=False)
-    return acc.select("doc_id", "pos", "ser")
+    # EAGER final checkpoint: the result (depth-0 rows only) materializes
+    # here, cutting every reference to the cached node table so the cache
+    # can be released before returning — a long-lived session calling this
+    # repeatedly must not accumulate pinned copies of node tables
+    result = acc.select("doc_id", "pos", "ser").localCheckpoint()
+    nodes.unpersist()
+    return result
 
 
 def container_inner(roots: DataFrame) -> DataFrame:

@@ -188,7 +188,17 @@ def _recover_graph_commit(
     An in-flight staged state file means a commit passed its commit point:
     install whatever table stages remain and promote the state.  Without
     one, leftover stage dirs were never committed — delete them; the run
-    will recompute against the intact live tables."""
+    will recompute against the intact live tables.
+
+    Namespace discipline: this protocol's stages are ``<table>.stage-run-*``
+    (run ids are ``run-<hex>``), and ONLY that pattern is touched here.
+    The streaming merge (streaming/graph_merge.py) stages as
+    ``<table>.stage-b<batch_id>`` with its own single-table protocol whose
+    commit point is the retire rename — its committed-but-uninstalled
+    stage must never be mistaken for this protocol's uncommitted garbage.
+    ``.retired`` dirs are safe to clear in BOTH protocols: each retires a
+    live dir only after its replacement is fully staged, so a retired copy
+    is superseded by construction."""
     import glob
     import json
     import shutil
@@ -204,11 +214,11 @@ def _recover_graph_commit(
             os.remove(stage_state)  # torn write: commit never started
     if in_flight:
         for live in (vertices_path, edges_path):
-            for s in sorted(glob.glob(glob.escape(live) + ".stage-*")):
+            for s in sorted(glob.glob(glob.escape(live) + ".stage-run-*")):
                 _install_staged(s, live)
         os.replace(stage_state, _graph_state_path(output_dir))
     for live in (vertices_path, edges_path):
-        for s in glob.glob(glob.escape(live) + ".stage-*"):
+        for s in glob.glob(glob.escape(live) + ".stage-run-*"):
             shutil.rmtree(s, ignore_errors=True)
         shutil.rmtree(live + ".retired", ignore_errors=True)
     tmp = stage_state + ".tmp"

@@ -45,7 +45,7 @@ def _fixture(tmp_path):
     _mk(vp, "v_old")
     _mk(ep, "e_old")
     pl._write_graph_state(out, {"h_old"})
-    vs, es = vp + ".stage-r1", ep + ".stage-r1"
+    vs, es = vp + ".stage-run-1", ep + ".stage-run-1"
     _mk(vs, "v_new")
     _mk(es, "e_new")
     return out, vp, ep, vs, es
@@ -68,11 +68,11 @@ def test_commit_graph_clean_path(tmp_path):
     "fail_when",
     [
         # crash installing the vertices stage (after its live dir retired)
-        lambda src, dst: src.endswith("vertices.stage-r1"),
+        lambda src, dst: src.endswith("vertices.stage-run-1"),
         # crash retiring the edges live dir (vertices already installed)
         lambda src, dst: src.endswith(os.sep + "edges"),
         # crash installing the edges stage (its live dir already retired)
-        lambda src, dst: src.endswith("edges.stage-r1"),
+        lambda src, dst: src.endswith("edges.stage-run-1"),
         # crash promoting the staged state (both tables installed)
         lambda src, dst: dst.endswith("graph_state.json")
         and src.endswith(".stage"),
@@ -220,3 +220,35 @@ def test_stream_merge_crash_replay(
     )
     assert not os.path.isdir(edges + ".retired")
     assert not os.path.isdir(edges + ".stage-b1")
+
+
+# ---------- cross-protocol namespace isolation ----------
+
+
+def test_batch_recovery_ignores_streaming_stages(tmp_path):
+    """_recover_graph_commit must not destroy the streaming merge's
+    committed-but-uninstalled stage: `edges.stage-b<N>` belongs to a
+    DIFFERENT protocol (streaming/graph_merge.py) whose commit point is
+    the retire rename — to the batch protocol it is someone else's
+    committed table, not uncommitted garbage."""
+    import json
+
+    out = str(tmp_path / "kg")
+    os.makedirs(out)
+    vp, ep = os.path.join(out, "vertices"), os.path.join(out, "edges")
+    _mk(vp, "v_live")
+    # streaming crash state: live edges retired away, complete stage pending
+    stream_stage = ep + ".stage-b3"
+    _mk(stream_stage, "e_stream_committed")
+    with open(os.path.join(stream_stage, gm._STATE_NAME), "w") as f:
+        json.dump({"last_batch_id": 3}, f)
+    _mk(ep + ".retired", "e_superseded")
+
+    pl._recover_graph_commit(out, vp, ep)
+    # the streaming stage survives; only the superseded retired copy goes
+    assert _tag(stream_stage) == "e_stream_committed"
+    assert not os.path.exists(ep + ".retired")
+    # streaming recovery can still finish its own install afterwards
+    gm._recover(ep)
+    assert _tag(ep) == "e_stream_committed"
+    assert gm._last_batch(ep) == 3

@@ -17,6 +17,9 @@ EDGES = [
     # degenerate pred: all weights equal
     ("a", "cites", "b", 7.0),
     ("b", "cites", "c", 7.0),
+    # NULL pred: its own calibration group, never dropped
+    ("a", None, "c", 2.0),
+    ("c", None, "b", 6.0),
 ]
 
 
@@ -40,6 +43,9 @@ def test_calibration_values(spark):
     # degenerate predicate -> fully confident, never 0/0
     assert got[("a", "cites", "b")] == 1.0
     assert got[("b", "cites", "c")] == 1.0
+    # NULL pred edges are calibrated within their own group, not dropped
+    assert got[("a", None, "c")] == pytest.approx(0.0)
+    assert got[("c", None, "b")] == pytest.approx(1.0)
 
 
 def test_confidence_bounds_and_weight_passthrough(spark):
