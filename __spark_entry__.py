@@ -1165,6 +1165,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a KG-shaped edge list
+    (operators/components.py — the north rule's 'iterative
+    large-star/small-star on DataFrames', here exposed as its own named
+    query instead of only inside canonicalize/near-dup).  The graph is
+    sparse and deterministic: customers with ADJACENT custkeys in the same
+    nation are linked, giving many chain components of varying length —
+    exactly the shape whose diameter makes naive label propagation slow
+    and star-contraction logarithmic.  component = min custkey of the
+    chain; isolated customers are their own component.  The DuckDB oracle
+    is an independent recursive-CTE reachability closure."""
+    from node_feedparser_spark.operators.components import (
+        connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    c1 = cust.select(
+        F.col("c_custkey").cast("long").alias("src"), "c_nationkey"
+    )
+    c2 = cust.select(
+        F.col("c_custkey").cast("long").alias("dst"),
+        F.col("c_nationkey").alias("nk2"),
+    )
+    edges = (
+        c1.withColumn("jk", F.col("src") + 1)
+        .join(c2, F.col("jk") == F.col("dst"))  # equi-join, never a BNLJ
+        .filter(F.col("c_nationkey") == F.col("nk2"))
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-link score calibration (round 3,
     operators/link_scoring.py): the north rule's 'entity-link scoring'
@@ -1402,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         # entity-link score calibration over the KG edge shape (round 3)
         "link_calibrate": q_link_calibrate,
+        # connected components as a first-class named query (round 3)
+        "kg_components": q_kg_components,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2208,6 +2246,24 @@ def _extra_oracles() -> dict[str, str]:
                        WHEN new_weight IS NULL THEN 'removed'
                        WHEN old_weight = new_weight THEN 'unchanged'
                        ELSE 'changed' END <> 'unchanged'
+        """,
+        "kg_components": """
+            WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                              c_nationkey AS nk
+                       FROM customer),
+            e0 AS (SELECT a.k AS src, b.k AS dst
+                   FROM c a JOIN c b ON b.k = a.k + 1 AND a.nk = b.nk),
+            edges AS (SELECT src AS a, dst AS b FROM e0
+                      UNION SELECT dst, src FROM e0),
+            reach(node, r) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT reach.node, edges.b
+                FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT node, LEAST(node, MIN(r)) AS component
+                     FROM reach GROUP BY node)
+            SELECT cc.k AS node, COALESCE(comp.component, cc.k) AS component
+            FROM c cc LEFT JOIN comp ON cc.k = comp.node
         """,
         "link_calibrate": """
             WITH e AS (
