@@ -55,6 +55,27 @@ def test_clean_build_passes_everything(spark, kg_dir):
     assert statuses == {"pass"}
 
 
+def test_split_ingest_passes_structurally(spark, corpus_pdf, tmp_path):
+    """After a two-run incremental merge every structural invariant still
+    holds; alias ownership may legitimately warn (incremental-ER
+    divergence, see tests/test_graph_merge.py) but must not fail."""
+    mask = corpus_pdf["conv_id"].map(lambda c: (sum(c.encode()) % 2) == 0)
+    out = str(tmp_path / "kg")
+    for i, half in enumerate((corpus_pdf[mask], corpus_pdf[~mask])):
+        p = str(tmp_path / f"half{i}.parquet")
+        half = half.copy()
+        half["ts"] = half["ts"].astype("datetime64[us]")
+        half.to_parquet(p, index=False)
+        build_kg(spark, p, out, n_buckets=4)
+    report = validate_kg(spark, out)
+    assert report["n_fail"] == 0, report
+    assert report["ok"]
+    by = _by_name(report)
+    assert by["metrics_reconcile_per_partition"]["status"] == "pass"
+    assert by["mention_mass_conserved"]["status"] == "pass"
+    assert by["weight_mass_conserved"]["status"] == "pass"
+
+
 def test_dropped_vertices_break_refs_and_mention_mass(spark, kg_copy):
     _rewrite(kg_copy, "vertices", lambda pdf: pdf.iloc[: len(pdf) // 2])
     by = _by_name(validate_kg(spark, kg_copy))
