@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--no-normalize", action="store_true",
                     help="raw mode: no canonical text repair on dirty rows "
                          "(reference normalize:false)")
+    ap.add_argument("--warmup-input", default=None,
+                    help="bench protocol: run one UNTIMED build over this "
+                         "(small) corpus first to JIT-warm the JVM, so the "
+                         "reported wall_s measures the warm steady state a "
+                         "long-running cluster job reaches within its first "
+                         "partitions; output goes to <output>.warmup and is "
+                         "deleted")
     args = ap.parse_args()
 
     from node_feedparser_spark.plans.pipeline import build_kg
@@ -44,6 +51,16 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    if args.warmup_input:
+        import shutil
+
+        wdir = args.output.rstrip("/") + ".warmup"
+        build_kg(
+            spark, args.warmup_input, wdir,
+            n_buckets=args.buckets, resume=False,
+            fail_fast=args.strict, normalize=not args.no_normalize,
+        )
+        shutil.rmtree(wdir, ignore_errors=True)
     t0 = time.monotonic()
     summary = build_kg(
         spark,
