@@ -39,21 +39,58 @@ from pyspark.sql import SparkSession, functions as F
 mode, n = sys.argv[1], int(sys.argv[2])
 corpus = sys.argv[3] if len(sys.argv) > 3 else None
 spark = SparkSession.builder.getOrCreate()
-t0 = time.monotonic()
-if mode == "compute":
-    out = (
-        spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+
+# warm-JIT protocol (late r3, same rationale as bench_scaling): run the
+# SAME workload once at ~1/10 size untimed before timing.  The probe
+# walls are short (tens of seconds), so cold-JVM compile time is a large
+# constant on the fast leg and the cold probe UNDERSTATES the ceiling --
+# the r3-warm pipeline pair measured 0.660 against a cold 'ceiling' of
+# 0.551, which is how this confound was caught.
+def compute(m):
+    return (
+        spark.range(0, m, 1, spark.sparkContext.defaultParallelism * 4)
         .select(F.xxhash64("id").alias("h"))
         .agg(F.expr("bit_xor(h)"))
         .collect()
     )
-else:
+
+def scan(unions):
     df = spark.read.parquet(corpus)
-    for _ in range(4):  # long enough that fixed stage overhead amortizes
+    for _ in range(unions):
         df = df.unionAll(spark.read.parquet(corpus))
-    out = df.agg(
+    return df.agg(
         F.count(F.lit(1)), F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))")
     ).collect()
+
+def write(m, tag):
+    # triple-shaped rows (a few short strings + a double), no shuffle:
+    # measures pure parquet encode + tmpfs write scalability
+    (
+        spark.range(0, m, 1, spark.sparkContext.defaultParallelism * 4)
+        .select(
+            F.concat(F.lit("conv-"), (F.col("id") % 100000)).alias("conv_id"),
+            (F.col("id") % 997).cast("int").alias("turn_idx"),
+            F.concat(F.lit("ent-"), F.xxhash64("id")).alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.concat(F.lit("ent-"), F.xxhash64("id", F.lit(1))).alias("obj"),
+            ((F.col("id") % 11) / 11.0 / 2 + 0.5).alias("score"),
+        )
+        .write.mode("overwrite")
+        .parquet("/dev/shm/host_ceiling_write_" + tag)
+    )
+
+if mode == "compute":
+    compute(max(n // 10, 1))  # untimed JIT warm
+    t0 = time.monotonic()
+    out = compute(n)
+elif mode == "write":
+    write(max(n // 10, 1), "warm")  # untimed JIT warm
+    t0 = time.monotonic()
+    out = write(n, "timed")
+else:
+    scan(0)  # untimed JIT warm: one corpus pass
+    t0 = time.monotonic()
+    out = scan(4)  # long enough that fixed stage overhead amortizes
 print(json.dumps({"wall_s": round(time.monotonic() - t0, 3)}))
 """
 
@@ -85,6 +122,8 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--n", type=int, default=100_000_000_000)
+    ap.add_argument("--n-write", type=int, default=100_000_000,
+                    help="rows for the parquet-write ceiling probe")
     ap.add_argument("--corpus", default="/dev/shm/bench_scaling/corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "host_ceiling.json"))
     args = ap.parse_args()
@@ -94,6 +133,7 @@ def main() -> None:
     ratio = args.high / args.low
     for mode, n, corpus in (
         ("compute", args.n, None),
+        ("write", args.n_write, None),
         ("scan", 0, args.corpus if os.path.isdir(args.corpus) else None),
     ):
         if mode == "scan" and corpus is None:
@@ -105,6 +145,10 @@ def main() -> None:
             "high_wall_s": hi,
             "efficiency": round((lo / hi) / ratio, 3),
         }
+    import shutil
+
+    for tag in ("warm", "timed"):
+        shutil.rmtree(f"/dev/shm/host_ceiling_write_{tag}", ignore_errors=True)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
