@@ -63,9 +63,12 @@ def scan(unions):
     ).collect()
 
 def write(m, tag):
-    # triple-shaped rows (a few short strings + a double), no shuffle:
-    # measures pure parquet encode + tmpfs write scalability
-    (
+    # triple-shaped rows, no shuffle: measures pure parquet encode +
+    # tmpfs write scalability.  mode 'write_wide' adds the full width of
+    # the pipeline's triples table (entity-id longs, a low-cardinality
+    # 64-hex lineage string, snap/bucket) so the probe's memory traffic
+    # per row matches the real write phase, not a slimmed-down ideal.
+    df = (
         spark.range(0, m, 1, spark.sparkContext.defaultParallelism * 4)
         .select(
             F.concat(F.lit("conv-"), (F.col("id") % 100000)).alias("conv_id"),
@@ -75,15 +78,25 @@ def write(m, tag):
             F.concat(F.lit("ent-"), F.xxhash64("id", F.lit(1))).alias("obj"),
             ((F.col("id") % 11) / 11.0 / 2 + 0.5).alias("score"),
         )
-        .write.mode("overwrite")
-        .parquet("/dev/shm/host_ceiling_write_" + tag)
     )
+    if mode == "write_wide":
+        df = (
+            df.withColumn("subj_id", F.xxhash64("subj"))
+            .withColumn("obj_id", F.xxhash64("obj"))
+            .withColumn(
+                "lineage",
+                F.sha2((F.col("turn_idx") % 32).cast("string"), 256),
+            )
+            .withColumn("snap", F.lit("snap-0123456789abcdef"))
+            .withColumn("bucket", (F.col("turn_idx") % 32))
+        )
+    df.write.mode("overwrite").parquet("/dev/shm/host_ceiling_write_" + tag)
 
 if mode == "compute":
     compute(max(n // 10, 1))  # untimed JIT warm
     t0 = time.monotonic()
     out = compute(n)
-elif mode == "write":
+elif mode in ("write", "write_wide"):
     write(max(n // 10, 1), "warm")  # untimed JIT warm
     t0 = time.monotonic()
     out = write(n, "timed")
@@ -134,6 +147,7 @@ def main() -> None:
     for mode, n, corpus in (
         ("compute", args.n, None),
         ("write", args.n_write, None),
+        ("write_wide", args.n_write, None),
         ("scan", 0, args.corpus if os.path.isdir(args.corpus) else None),
     ):
         if mode == "scan" and corpus is None:
