@@ -378,21 +378,19 @@ def build_kg(
     bucket_hash = F.array(
         *[F.lit(partition_hash(snap, n_buckets, b)) for b in range(n_buckets)]
     )
+    # NOTE lineage/snap are NOT part of this frame: both are per-row
+    # constants derivable from `bucket`, and attaching them here would (a)
+    # ship ~90 B/row of redundant low-cardinality strings through the
+    # write's repartition shuffle — roughly doubling shuffle bytes on rows
+    # whose real payload is ~100-130 B — and (b) bloat the cache the edge/
+    # metrics aggregates re-read.  _write_triples attaches them AFTER the
+    # exchange, where they cost one dictionary-encoded parquet column.
     triples = (
         triples_ok.join(m_subj, "subj")
         .join(m_obj, "obj")
-        .withColumn(
-            "lineage",
-            F.struct(
-                F.element_at(bucket_hash, F.col("bucket") + 1).alias(
-                    "partition_hash"
-                ),
-                F.lit(snap).alias("snapshot_id"),
-            ),
-        )
         .select(
             "conv_id", "turn_idx", "subj", "pred", "obj", "score",
-            "subj_id", "obj_id", "lineage", "bucket",
+            "subj_id", "obj_id", "bucket",
         )
     )
     triples.cache()
@@ -468,14 +466,30 @@ def build_kg(
         # (snap, bucket) makes a crash-replayed bucket REPLACE its
         # partition instead of appending duplicates, and leaves other
         # snapshots' partitions untouched (round 3).
+        # lineage + snap attach AFTER the exchange: both are per-row
+        # constants keyed by `bucket`, so shuffling them would double the
+        # exchange's bytes for zero information (see the `triples` select).
         par = spark.sparkContext.defaultParallelism
         sub = max(1, -(-4 * par // n_buckets))
         (
-            triples.withColumn("snap", F.lit(snap))
-            .repartition(
+            triples.repartition(
                 n_buckets * sub,
                 F.col("bucket"),
                 F.pmod(F.xxhash64("conv_id"), F.lit(sub)),
+            )
+            .withColumn(
+                "lineage",
+                F.struct(
+                    F.element_at(bucket_hash, F.col("bucket") + 1).alias(
+                        "partition_hash"
+                    ),
+                    F.lit(snap).alias("snapshot_id"),
+                ),
+            )
+            .withColumn("snap", F.lit(snap))
+            .select(
+                "conv_id", "turn_idx", "subj", "pred", "obj", "score",
+                "subj_id", "obj_id", "lineage", "bucket", "snap",
             )
             .write.partitionBy("snap", "bucket")
             .option("partitionOverwriteMode", "dynamic")
