@@ -471,11 +471,18 @@ def build_kg(
         # exchange's bytes for zero information (see the `triples` select).
         par = spark.sparkContext.defaultParallelism
         sub = max(1, -(-4 * par // n_buckets))
+        # the salt hash MUST be decorrelated from the bucket hash: bucket is
+        # xxhash64(conv_id) % n_buckets, so xxhash64(conv_id) % sub would be
+        # fully determined by bucket whenever sub divides n_buckets (the
+        # common case: sub=4, n_buckets=32) and every bucket would collapse
+        # into ONE write task — the sub-splitting this salt exists for would
+        # silently never happen.  Prepending a literal changes the hash
+        # input, giving an independent uniform salt.
         (
             triples.repartition(
                 n_buckets * sub,
                 F.col("bucket"),
-                F.pmod(F.xxhash64("conv_id"), F.lit(sub)),
+                F.pmod(F.xxhash64(F.lit(0x5A17), F.col("conv_id")), F.lit(sub)),
             )
             .withColumn(
                 "lineage",
