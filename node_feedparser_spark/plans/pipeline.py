@@ -226,6 +226,57 @@ def _recover_graph_commit(
         os.remove(tmp)
 
 
+def triples_write_frame(
+    triples: DataFrame, snap: str, n_buckets: int, par: int
+) -> DataFrame:
+    """The exact frame `build_kg` writes to the triples table: the salted
+    co-locating exchange with the per-row-constant columns attached ABOVE
+    it.  Module-level (not a closure) so tests can pin the two plan
+    properties that matter at scale:
+
+    - the Project computing `lineage`/`snap` sits above the Exchange —
+      those strings are derivable from `bucket`, and shuffling them would
+      roughly double exchange bytes (they cost one dictionary-encoded
+      parquet column instead);
+    - the sub-split salt is DECORRELATED from the bucket hash: bucket is
+      xxhash64(conv_id) % n_buckets, so a salt of xxhash64(conv_id) % sub
+      would be fully determined by the bucket whenever sub divides
+      n_buckets (the common case) and every bucket would collapse into
+      ONE write task.  Prepending a literal changes the hash input,
+      giving an independent uniform salt and real 4x-parallelism write
+      granularity.
+
+    `sub` sizes each bucket's sub-split so groups >= 4x parallelism: the
+    scheduler then load-balances regardless of hash collisions, and files
+    per bucket stay bounded by `sub`, not by task count.
+    """
+    sub = max(1, -(-4 * par // n_buckets))
+    bucket_hash = F.array(
+        *[F.lit(partition_hash(snap, n_buckets, b)) for b in range(n_buckets)]
+    )
+    return (
+        triples.repartition(
+            n_buckets * sub,
+            F.col("bucket"),
+            F.pmod(F.xxhash64(F.lit(0x5A17), F.col("conv_id")), F.lit(sub)),
+        )
+        .withColumn(
+            "lineage",
+            F.struct(
+                F.element_at(bucket_hash, F.col("bucket") + 1).alias(
+                    "partition_hash"
+                ),
+                F.lit(snap).alias("snapshot_id"),
+            ),
+        )
+        .withColumn("snap", F.lit(snap))
+        .select(
+            "conv_id", "turn_idx", "subj", "pred", "obj", "score",
+            "subj_id", "obj_id", "lineage", "bucket", "snap",
+        )
+    )
+
+
 def _bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
@@ -465,38 +516,12 @@ def build_kg(
         # by `sub`, not by task count.  DYNAMIC partition overwrite on
         # (snap, bucket) makes a crash-replayed bucket REPLACE its
         # partition instead of appending duplicates, and leaves other
-        # snapshots' partitions untouched (round 3).
-        # lineage + snap attach AFTER the exchange: both are per-row
-        # constants keyed by `bucket`, so shuffling them would double the
-        # exchange's bytes for zero information (see the `triples` select).
-        par = spark.sparkContext.defaultParallelism
-        sub = max(1, -(-4 * par // n_buckets))
-        # the salt hash MUST be decorrelated from the bucket hash: bucket is
-        # xxhash64(conv_id) % n_buckets, so xxhash64(conv_id) % sub would be
-        # fully determined by bucket whenever sub divides n_buckets (the
-        # common case: sub=4, n_buckets=32) and every bucket would collapse
-        # into ONE write task — the sub-splitting this salt exists for would
-        # silently never happen.  Prepending a literal changes the hash
-        # input, giving an independent uniform salt.
+        # snapshots' partitions untouched (round 3).  The salted sub-split
+        # + above-exchange lineage/snap attach live in triples_write_frame
+        # (plan properties pinned by tests/test_write_plan.py).
         (
-            triples.repartition(
-                n_buckets * sub,
-                F.col("bucket"),
-                F.pmod(F.xxhash64(F.lit(0x5A17), F.col("conv_id")), F.lit(sub)),
-            )
-            .withColumn(
-                "lineage",
-                F.struct(
-                    F.element_at(bucket_hash, F.col("bucket") + 1).alias(
-                        "partition_hash"
-                    ),
-                    F.lit(snap).alias("snapshot_id"),
-                ),
-            )
-            .withColumn("snap", F.lit(snap))
-            .select(
-                "conv_id", "turn_idx", "subj", "pred", "obj", "score",
-                "subj_id", "obj_id", "lineage", "bucket", "snap",
+            triples_write_frame(
+                triples, snap, n_buckets, spark.sparkContext.defaultParallelism
             )
             .write.partitionBy("snap", "bucket")
             .option("partitionOverwriteMode", "dynamic")
