@@ -1,0 +1,222 @@
+"""Snapshot expiry for a built KG — the Iceberg ``expire_snapshots``
+analog (reference parallel: feedparser's resumed stream dropping items
+the caller has already consumed; here the unit is one ingested input
+snapshot).
+
+``build_kg`` ingests are additive: each input snapshot lands its own
+triples partitions, its metrics lineage rows, and its contribution to the
+vertex/edge aggregates (disjoint-bucket merge, plans/pipeline.py).  A
+long-lived graph eventually needs to RETIRE old snapshots — GDPR deletes,
+superseded crawls, storage budgets.  Expiry must remove a snapshot from
+all four tables while keeping every conserved invariant the integrity
+audit checks (plans/validate.py): per-(snap, bucket) metrics reconcile,
+mention mass = 2x triples, weight mass = score mass, graph_state ==
+metrics hashes.
+
+How the aggregates shrink: both aggregate tables are EXACTLY derivable
+from the triples table — a vertex's n_mentions is its subj/obj occurrence
+count and an edge's weight is round(sum(score), 6) over its
+(subj_id, pred, obj_id) — so expiry RECOMPUTES them from the surviving
+triples (partition-pruned scan that never touches the expired bytes)
+instead of attempting inexact subtraction from rounded aggregates.
+``canonical_name`` and ``aliases`` are NOT derivable from triples (they
+come from each run's canonicalization mapping), so they carry over from
+the prior vertex row by entity_id join; aliases therefore keep
+retained-superset semantics (an alias observed only in the expired
+snapshot lingers on its surviving entity) — same documented divergence
+class as incremental ER, and warn-severity in the audit.
+
+Crash safety mirrors the graph commit two-phase protocol
+(pipeline._commit_graph), extended to three tables plus a data delete:
+every staged table is FULLY written before the commit point (the staged
+expire-state rename), and every post-commit step — install renames, the
+expired partition delete, the state promotion — is idempotent, so
+``recover_expire`` replays any crash point to either a clean no-op (pre
+commit point: stages dropped, live tables untouched) or a finished
+expiry.  Namespace discipline: expiry stages are ``<table>.stage-expire-*``;
+the graph-commit protocol only ever touches ``<table>.stage-run-*``, and
+``build_kg`` runs ``recover_expire`` FIRST so its blanket ``.retired``
+cleanup never sees a half-installed expiry.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import _graph_state_path, _install_staged
+
+_STATE_SUFFIX = ".expire-stage"
+_STAGE_MARK = ".stage-expire-"
+
+
+def _expire_state_path(output_dir: str) -> str:
+    return _graph_state_path(output_dir) + _STATE_SUFFIX
+
+
+def _tables(output_dir: str) -> dict[str, str]:
+    return {
+        t: os.path.join(output_dir, t) for t in ("vertices", "edges", "metrics")
+    }
+
+
+def recover_expire(output_dir: str) -> None:
+    """Finish or discard a half-done expiry.  Called by expire_snapshot
+    and by build_kg (before its own graph-commit recovery)."""
+    state = _expire_state_path(output_dir)
+    tables = _tables(output_dir)
+    in_flight = None
+    if os.path.isfile(state):
+        try:
+            with open(state) as f:
+                in_flight = json.load(f)
+            in_flight["partition_hashes"], in_flight["expired_snapshot"]
+        except (ValueError, KeyError):
+            os.remove(state)  # torn write: the commit never started
+            in_flight = None
+    if in_flight is not None:
+        for live in tables.values():
+            for s in sorted(glob.glob(glob.escape(live) + _STAGE_MARK + "*")):
+                _install_staged(s, live)
+        _delete_snapshot_partitions(output_dir, in_flight["expired_snapshot"])
+        tmp = _graph_state_path(output_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"partition_hashes": in_flight["partition_hashes"]}, f
+            )
+        os.replace(tmp, _graph_state_path(output_dir))
+        os.remove(state)
+    for live in tables.values():
+        for s in glob.glob(glob.escape(live) + _STAGE_MARK + "*"):
+            shutil.rmtree(s, ignore_errors=True)
+        shutil.rmtree(live + ".retired", ignore_errors=True)
+    tmp = state + ".tmp"
+    if os.path.isfile(tmp):
+        os.remove(tmp)
+
+
+def _delete_snapshot_partitions(output_dir: str, snapshot: str) -> None:
+    shutil.rmtree(
+        os.path.join(output_dir, "triples", f"snap={snapshot}"),
+        ignore_errors=True,
+    )
+
+
+def expire_snapshot(
+    spark: SparkSession, output_dir: str, snapshot: str
+) -> dict:
+    """Remove one ingested snapshot from triples, metrics, graph_state and
+    the vertex/edge aggregates.  Returns a summary dict.  Idempotent: an
+    unknown/already-expired snapshot is a no-op."""
+    recover_expire(output_dir)
+
+    triples_path = os.path.join(output_dir, "triples")
+    tables = _tables(output_dir)
+    if not os.path.isdir(tables["metrics"]):
+        return {
+            "output_dir": output_dir,
+            "expired_snapshot": snapshot,
+            "expired_partitions": 0,
+            "noop": True,
+        }
+    metrics = spark.read.parquet(tables["metrics"])
+    hash_rows = (
+        metrics.select("snapshot_id", "partition_hash").distinct().collect()
+    )
+    expired_hashes = sorted(
+        r["partition_hash"] for r in hash_rows if r["snapshot_id"] == snapshot
+    )
+    remaining_hashes = sorted(
+        r["partition_hash"] for r in hash_rows if r["snapshot_id"] != snapshot
+    )
+    target_dir = os.path.join(triples_path, f"snap={snapshot}")
+    if not expired_hashes and not os.path.isdir(target_dir):
+        return {
+            "output_dir": output_dir,
+            "expired_snapshot": snapshot,
+            "expired_partitions": 0,
+            "noop": True,
+        }
+
+    # surviving data: partition-pruned scan, the expired bytes are never
+    # read.  Both aggregates recompute EXACTLY (same agg shapes as
+    # build_kg/merge_edges), names/aliases carry over by entity_id.
+    remaining = spark.read.parquet(triples_path).filter(
+        F.col("snap") != snapshot
+    )
+    edges_new = (
+        remaining.groupBy("subj_id", "pred", "obj_id")
+        .agg(F.round(F.sum("score"), 6).alias("weight"))
+        .select(
+            F.col("subj_id").alias("src_id"), "pred",
+            F.col("obj_id").alias("dst_id"), "weight",
+        )
+    )
+    mentions = (
+        remaining.select(
+            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+        )
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    vertices_new = (
+        spark.read.parquet(tables["vertices"])
+        .drop("n_mentions")
+        .join(mentions, "entity_id")  # inner: zero-mention vertices drop out
+        .select("entity_id", "canonical_name", "aliases", "n_mentions")
+    )
+    metrics_new = metrics.filter(F.col("snapshot_id") != snapshot)
+
+    run = uuid.uuid4().hex[:12]
+    staged = {}
+    for name, df in (
+        ("vertices", vertices_new),
+        ("edges", edges_new),
+        ("metrics", metrics_new),
+    ):
+        stage = f"{tables[name]}{_STAGE_MARK}{run}"
+        df.write.mode("overwrite").parquet(stage)
+        staged[name] = stage
+
+    n_remaining = spark.read.parquet(staged["metrics"]).agg(
+        F.coalesce(F.sum("n_triples"), F.lit(0)).alias("n")
+    ).collect()[0]["n"]
+
+    # COMMIT POINT: the staged expire-state rename.  Everything after is
+    # an idempotent rename/delete that recover_expire can replay.
+    state = _expire_state_path(output_dir)
+    tmp = state + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "partition_hashes": remaining_hashes,
+                "expired_snapshot": snapshot,
+            },
+            f,
+        )
+    os.replace(tmp, state)
+    for name in ("vertices", "edges", "metrics"):
+        _install_staged(staged[name], tables[name])
+    _delete_snapshot_partitions(output_dir, snapshot)
+    tmp = _graph_state_path(output_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"partition_hashes": remaining_hashes}, f)
+    os.replace(tmp, _graph_state_path(output_dir))
+    os.remove(state)
+    for live in tables.values():
+        shutil.rmtree(live + ".retired", ignore_errors=True)
+
+    return {
+        "output_dir": output_dir,
+        "expired_snapshot": snapshot,
+        "expired_partitions": len(expired_hashes),
+        "remaining_partitions": len(remaining_hashes),
+        "n_triples_remaining": int(n_remaining),
+        "noop": False,
+    }

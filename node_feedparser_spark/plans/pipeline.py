@@ -334,8 +334,14 @@ def build_kg(
     vertices_path = os.path.join(output_dir, "vertices")
     edges_path = os.path.join(output_dir, "edges")
     metrics_path = os.path.join(output_dir, "metrics")
-    # a prior attempt may have crashed mid graph-commit: finish or discard
-    # it BEFORE reading graph_state / deciding merge vs fresh
+    # a prior attempt may have crashed mid graph-commit OR mid snapshot
+    # expiry: finish or discard both BEFORE reading graph_state / metrics.
+    # Expiry recovery runs FIRST so this function's blanket .retired
+    # cleanup never sees a half-installed expiry (lazy import: expire.py
+    # imports this module's rename primitives).
+    from .expire import recover_expire
+
+    recover_expire(output_dir)
     _recover_graph_commit(output_dir, vertices_path, edges_path)
 
     raw = _bucketed(read_transcripts(spark, input_path), n_buckets)
