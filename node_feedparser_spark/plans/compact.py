@@ -64,14 +64,35 @@ def _data_files(part_dir: str) -> list[str]:
 
 
 def _partition_dirs(triples_path: str, snapshot: str | None) -> list[str]:
+    """LIVE partition paths, including ones currently represented only by
+    crash remnants: a crash inside _swap can leave `bucket=B.retired` and/or
+    `bucket=B.compact-stage-*` with the live dir missing, and recovery must
+    still be invoked for bucket=B — deriving the live path from the remnant
+    names is what makes every crash point reachable by _recover_partition."""
     snap_glob = f"snap={snapshot}" if snapshot else "snap=*"
-    return sorted(
-        d
-        for d in glob.glob(
-            os.path.join(glob.escape(triples_path), snap_glob, "bucket=*")
-        )
-        if os.path.isdir(d) and _STAGE_MARK not in d and not d.endswith(".retired")
-    )
+    seen = set()
+    for d in glob.glob(
+        os.path.join(glob.escape(triples_path), snap_glob, "bucket=*")
+    ):
+        if not os.path.isdir(d):
+            continue
+        if _STAGE_MARK in d:
+            d = d.split(_STAGE_MARK, 1)[0]
+        elif d.endswith(".retired"):
+            d = d[: -len(".retired")]
+        seen.add(d)
+    return sorted(seen)
+
+
+def recover_compaction(output_dir: str, snapshot: str | None = None) -> None:
+    """Finish or discard any half-done compaction swaps.  Run by
+    compact_triples itself, and by build_kg / expire_snapshot before they
+    read the triples table raw: a crash leftover (`bucket=B.retired`, or a
+    torn stage) would otherwise be parsed by Spark's partition discovery
+    as an extra partition value — duplicate rows and a string-typed bucket
+    column."""
+    for live in _partition_dirs(os.path.join(output_dir, "triples"), snapshot):
+        _recover_partition(live)
 
 
 def _recover_partition(live: str) -> None:
@@ -126,9 +147,12 @@ def compact_triples(
     nothing above the threshold and rewrites nothing.
     """
     triples_path = os.path.join(output_dir, "triples")
-    parts = _partition_dirs(triples_path, snapshot)
-    for live in parts:
-        _recover_partition(live)
+    recover_compaction(output_dir, snapshot)
+    # recovery restores any remnant-only partitions, so re-list and keep
+    # only dirs that actually exist now
+    parts = [
+        d for d in _partition_dirs(triples_path, snapshot) if os.path.isdir(d)
+    ]
 
     run = uuid.uuid4().hex[:12]
     todo: list[tuple[str, list[str], int]] = []

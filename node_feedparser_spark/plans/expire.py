@@ -77,8 +77,10 @@ def recover_expire(output_dir: str) -> None:
             with open(state) as f:
                 in_flight = json.load(f)
             in_flight["partition_hashes"], in_flight["expired_snapshot"]
-        except (ValueError, KeyError):
-            os.remove(state)  # torn write: the commit never started
+        except (ValueError, KeyError, TypeError):
+            # torn or non-conforming write (TypeError: JSON root not an
+            # object): the commit never started — remove and proceed
+            os.remove(state)
             in_flight = None
     if in_flight is not None:
         for live in tables.values():
@@ -108,13 +110,122 @@ def _delete_snapshot_partitions(output_dir: str, snapshot: str) -> None:
     )
 
 
+def _write_expire_state(
+    output_dir: str, remaining_hashes: list[str], snapshot: str
+) -> str:
+    """Atomically land the staged expire-state — the COMMIT POINT of the
+    three-table protocol.  Everything after this rename is an idempotent
+    rename/delete that recover_expire can replay."""
+    state = _expire_state_path(output_dir)
+    tmp = state + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "partition_hashes": remaining_hashes,
+                "expired_snapshot": snapshot,
+            },
+            f,
+        )
+    os.replace(tmp, state)
+    return state
+
+
+def _stage_expiry(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot: str,
+    remaining_hashes: list[str],
+    run: str,
+) -> tuple[dict[str, str], int]:
+    """Build and FULLY write the three staged tables for expiring
+    `snapshot`; returns ({table: stage_path}, n_triples_remaining).
+    Shared by expire_snapshot and the crash-recovery tests so the staged
+    shapes cannot drift from the product recompute.
+
+    The surviving-triples scan is restricted to COMMITTED partitions
+    (lineage hash ∈ the metrics-derived remaining set): a crashed build
+    may have landed triples partitions whose metrics commit never ran,
+    and counting those into the aggregates would double them when that
+    build later resumes (metrics is the commit marker everywhere else;
+    expiry honors it too)."""
+    triples_path = os.path.join(output_dir, "triples")
+    tables = _tables(output_dir)
+    remaining = (
+        spark.read.parquet(triples_path)
+        .filter(F.col("snap") != snapshot)
+        .filter(F.col("lineage.partition_hash").isin(remaining_hashes))
+        .cache()
+    )
+    edges_new = (
+        remaining.groupBy("subj_id", "pred", "obj_id")
+        .agg(F.round(F.sum("score"), 6).alias("weight"))
+        .select(
+            F.col("subj_id").alias("src_id"), "pred",
+            F.col("obj_id").alias("dst_id"), "weight",
+        )
+    )
+    mentions = (
+        remaining.select(
+            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+        )
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    vertices_new = (
+        spark.read.parquet(tables["vertices"])
+        .drop("n_mentions")
+        .join(mentions, "entity_id")  # inner: zero-mention vertices drop out
+        .select("entity_id", "canonical_name", "aliases", "n_mentions")
+    )
+    metrics_new = spark.read.parquet(tables["metrics"]).filter(
+        F.col("snapshot_id") != snapshot
+    )
+    staged = {
+        name: f"{tables[name]}{_STAGE_MARK}{run}"
+        for name in ("vertices", "edges", "metrics")
+    }
+
+    # the edges write populates the `remaining` cache; the metrics write
+    # is independent, so the two run concurrently.  The vertices write
+    # (two scans of the cache via mentions) starts once the cache exists
+    # — starting it alongside edges would race the cache and compute the
+    # filter twice (same discipline as pipeline.py's write block).  The
+    # remaining-triples count rides the metrics write as an Observation:
+    # no extra job.
+    import concurrent.futures as cf
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(
+            lambda: edges_new.write.mode("overwrite").parquet(staged["edges"])
+        )
+        fm = pool.submit(
+            lambda: metrics_new.observe(
+                obs, F.coalesce(F.sum("n_triples"), F.lit(0)).alias("n")
+            )
+            .write.mode("overwrite")
+            .parquet(staged["metrics"])
+        )
+        fe.result()
+        vertices_new.write.mode("overwrite").parquet(staged["vertices"])
+        fm.result()
+    n_remaining = int(obs.get["n"])
+    remaining.unpersist()
+    return staged, n_remaining
+
+
 def expire_snapshot(
     spark: SparkSession, output_dir: str, snapshot: str
 ) -> dict:
     """Remove one ingested snapshot from triples, metrics, graph_state and
     the vertex/edge aggregates.  Returns a summary dict.  Idempotent: an
     unknown/already-expired snapshot is a no-op."""
+    from .compact import recover_compaction
+
     recover_expire(output_dir)
+    recover_compaction(output_dir)
 
     triples_path = os.path.join(output_dir, "triples")
     tables = _tables(output_dir)
@@ -144,63 +255,18 @@ def expire_snapshot(
             "noop": True,
         }
 
-    # surviving data: partition-pruned scan, the expired bytes are never
-    # read.  Both aggregates recompute EXACTLY (same agg shapes as
-    # build_kg/merge_edges), names/aliases carry over by entity_id.
-    remaining = spark.read.parquet(triples_path).filter(
-        F.col("snap") != snapshot
-    )
-    edges_new = (
-        remaining.groupBy("subj_id", "pred", "obj_id")
-        .agg(F.round(F.sum("score"), 6).alias("weight"))
-        .select(
-            F.col("subj_id").alias("src_id"), "pred",
-            F.col("obj_id").alias("dst_id"), "weight",
-        )
-    )
-    mentions = (
-        remaining.select(
-            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
-        )
-        .groupBy("entity_id")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
-    )
-    vertices_new = (
-        spark.read.parquet(tables["vertices"])
-        .drop("n_mentions")
-        .join(mentions, "entity_id")  # inner: zero-mention vertices drop out
-        .select("entity_id", "canonical_name", "aliases", "n_mentions")
-    )
-    metrics_new = metrics.filter(F.col("snapshot_id") != snapshot)
-
+    # surviving data: partition-pruned, committed-only scan — the
+    # aggregates recompute EXACTLY (same agg shapes as build_kg /
+    # merge_edges), names/aliases carry over by entity_id (see
+    # _stage_expiry for the recompute and the committed-partition rule)
     run = uuid.uuid4().hex[:12]
-    staged = {}
-    for name, df in (
-        ("vertices", vertices_new),
-        ("edges", edges_new),
-        ("metrics", metrics_new),
-    ):
-        stage = f"{tables[name]}{_STAGE_MARK}{run}"
-        df.write.mode("overwrite").parquet(stage)
-        staged[name] = stage
-
-    n_remaining = spark.read.parquet(staged["metrics"]).agg(
-        F.coalesce(F.sum("n_triples"), F.lit(0)).alias("n")
-    ).collect()[0]["n"]
+    staged, n_remaining = _stage_expiry(
+        spark, output_dir, snapshot, remaining_hashes, run
+    )
 
     # COMMIT POINT: the staged expire-state rename.  Everything after is
     # an idempotent rename/delete that recover_expire can replay.
-    state = _expire_state_path(output_dir)
-    tmp = state + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "partition_hashes": remaining_hashes,
-                "expired_snapshot": snapshot,
-            },
-            f,
-        )
-    os.replace(tmp, state)
+    state = _write_expire_state(output_dir, remaining_hashes, snapshot)
     for name in ("vertices", "edges", "metrics"):
         _install_staged(staged[name], tables[name])
     _delete_snapshot_partitions(output_dir, snapshot)

@@ -334,14 +334,19 @@ def build_kg(
     vertices_path = os.path.join(output_dir, "vertices")
     edges_path = os.path.join(output_dir, "edges")
     metrics_path = os.path.join(output_dir, "metrics")
-    # a prior attempt may have crashed mid graph-commit OR mid snapshot
-    # expiry: finish or discard both BEFORE reading graph_state / metrics.
-    # Expiry recovery runs FIRST so this function's blanket .retired
-    # cleanup never sees a half-installed expiry (lazy import: expire.py
-    # imports this module's rename primitives).
+    # a prior attempt may have crashed mid graph-commit, mid snapshot
+    # expiry, or mid compaction: finish or discard all three BEFORE
+    # reading graph_state / metrics / the raw triples table.  Expiry
+    # recovery runs before this function's own recovery so the blanket
+    # .retired cleanup never sees a half-installed expiry; compaction
+    # recovery runs before any raw triples read so crash remnants are
+    # never parsed as extra partitions.  (Lazy imports: expire.py imports
+    # this module's rename primitives.)
+    from .compact import recover_compaction
     from .expire import recover_expire
 
     recover_expire(output_dir)
+    recover_compaction(output_dir)
     _recover_graph_commit(output_dir, vertices_path, edges_path)
 
     raw = _bucketed(read_transcripts(spark, input_path), n_buckets)

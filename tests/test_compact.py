@@ -102,20 +102,40 @@ def test_recover_torn_stage_is_dropped(spark, kg_many_files):
 
 
 def test_recover_complete_stage_with_live_missing_installs(spark, kg_many_files):
+    """Crash between the retire and install renames leaves ONLY remnant
+    dirs (live missing) — recovery must still reach that partition when
+    invoked through compact_triples, which derives the live path from the
+    remnant names."""
     out = kg_many_files
     before = _triple_set(spark, out)
     live = _first_partition(out)
-    # simulate a crash between the retire and install renames: the stage
-    # is a COMPLETE copy (identical rows), live was renamed to .retired
     stage = live + ".compact-stage-cafef00d"
     shutil.copytree(live, stage)
     open(os.path.join(stage, "_SUCCESS"), "w").close()
     os.replace(live, live + ".retired")
-    _recover_partition(live)
+    compact_triples(spark, out, max_files=10_000)  # recovery only
     assert os.path.isdir(live)
     assert not os.path.isdir(stage)
     assert not os.path.isdir(live + ".retired")
     assert _triple_set(spark, out) == before
+
+
+def test_build_kg_recovers_compaction_leftovers(spark, corpus_path, kg_many_files):
+    """A crash after the install rename but before the retired delete
+    leaves bucket=B.retired next to the live dir; Spark partition
+    discovery would read it as an extra partition value.  build_kg runs
+    compaction recovery before any raw triples read, so a resume neither
+    double-reads nor degrades the bucket column."""
+    out = kg_many_files
+    before = _triple_set(spark, out)
+    live = _first_partition(out)
+    shutil.copytree(live, live + ".retired")
+    summary = build_kg(spark, corpus_path, out, n_buckets=4)
+    assert summary["skipped_buckets"] == [0, 1, 2, 3]  # clean resume
+    assert not os.path.isdir(live + ".retired")
+    assert _triple_set(spark, out) == before
+    report = validate_kg(spark, out)
+    assert report["ok"] and report["n_fail"] == 0
 
 
 def test_recover_complete_stage_with_live_present_discards(spark, kg_many_files):

@@ -1,6 +1,7 @@
 """Snapshot expiry: conserved invariants after expiry, idempotence,
-round-trip re-ingest, crash recovery of the three-table commit, and the
-degenerate last-snapshot case (plans/expire.py)."""
+round-trip re-ingest, crash recovery of the three-table commit,
+uncommitted-partition exclusion, and the degenerate last-snapshot case
+(plans/expire.py)."""
 
 import glob
 import json
@@ -12,6 +13,8 @@ from pyspark.sql import functions as F
 
 from node_feedparser_spark.plans.expire import (
     _expire_state_path,
+    _stage_expiry,
+    _write_expire_state,
     expire_snapshot,
     recover_expire,
 )
@@ -43,6 +46,17 @@ def _snap_dirs(out):
         os.path.basename(d)
         for d in glob.glob(os.path.join(out, "triples", "snap=*"))
         if os.path.isdir(d)
+    )
+
+
+def _remaining_hashes(spark, out, snapshot):
+    return sorted(
+        r["partition_hash"]
+        for r in spark.read.parquet(os.path.join(out, "metrics"))
+        .filter(F.col("snapshot_id") != snapshot)
+        .select("partition_hash")
+        .distinct()
+        .collect()
     )
 
 
@@ -113,6 +127,52 @@ def test_expire_unknown_snapshot_is_noop(spark, split_kg):
     } == state
 
 
+def test_expire_excludes_uncommitted_partitions(spark, split_kg):
+    """A crashed build can land triples partitions whose metrics commit
+    never ran.  Expiry must NOT count those into the recomputed
+    aggregates (metrics is the commit marker): otherwise the crashed
+    build's later resume merges them a second time."""
+    out, snap_a, snap_b, _, _ = split_kg
+    # simulate an uncommitted partition: clone one of B's bucket dirs into
+    # a fake third snapshot with NO metrics rows, rewriting the lineage to
+    # the hashes that crashed build would have stamped (NOT in metrics)
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    src = sorted(
+        glob.glob(os.path.join(out, "triples", f"snap={snap_b}", "bucket=*"))
+    )[0]
+    fake = os.path.join(out, "triples", "snap=snap-uncommitted000", "bucket=0")
+    os.makedirs(fake, exist_ok=True)
+    pdf = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    pdf["lineage"] = [
+        {"partition_hash": "f" * 40, "snapshot_id": "snap-uncommitted000"}
+    ] * len(pdf)
+    pdf.to_parquet(os.path.join(fake, "part-0.parquet"), index=False)
+
+    expire_snapshot(spark, out, snap_a)
+    # the recomputed aggregates cover exactly the committed (= snap_b)
+    # partitions: weight mass equals committed triple score mass
+    committed_scores = (
+        spark.read.parquet(os.path.join(out, "triples"))
+        .filter(F.col("snap") == snap_b)
+        .agg(F.sum("score").alias("s"))
+        .collect()[0]["s"]
+    )
+    edge_mass = (
+        spark.read.parquet(os.path.join(out, "edges"))
+        .agg(F.sum("weight").alias("w"))
+        .collect()[0]["w"]
+    )
+    assert abs(edge_mass - committed_scores) < 1e-3
+    shutil.rmtree(os.path.join(out, "triples", "snap=snap-uncommitted000"))
+    report = validate_kg(spark, out)
+    assert report["n_fail"] == 0, report
+
+
 def test_recover_preserves_precommit_state(spark, split_kg):
     """Stages without a committed expire-state are uncommitted garbage:
     recovery drops them and the live graph is untouched."""
@@ -127,55 +187,29 @@ def test_recover_preserves_precommit_state(spark, split_kg):
     assert after["n_triples"] == before["n_triples"]
 
 
+def test_recover_rejects_torn_state_file(spark, split_kg):
+    """A torn or non-conforming expire-state file (including a JSON root
+    that is not an object) means the commit never started: recovery
+    removes it and the graph is untouched."""
+    out = split_kg[0]
+    for payload in ('{"partition_hashes": [', '["snap-x"]', '"oops"'):
+        with open(_expire_state_path(out), "w") as f:
+            f.write(payload)
+        recover_expire(out)
+        assert not os.path.isfile(_expire_state_path(out))
+    report = validate_kg(spark, out)
+    assert report["n_fail"] == 0
+
+
 def test_recover_finishes_postcommit_crash(spark, split_kg):
     """Crash immediately after the commit point (state staged, nothing
     installed, triples not yet deleted): recovery must finish the expiry
-    and leave an audit-green graph."""
+    and leave an audit-green graph.  Stages come from the SAME
+    _stage_expiry the product runs, so the test cannot drift from it."""
     out, snap_a, snap_b, _, _ = split_kg
-    # build the staged tables exactly as expire_snapshot would
-    remaining = spark.read.parquet(os.path.join(out, "triples")).filter(
-        F.col("snap") != snap_a
-    )
-    edges_new = (
-        remaining.groupBy("subj_id", "pred", "obj_id")
-        .agg(F.round(F.sum("score"), 6).alias("weight"))
-        .select(
-            F.col("subj_id").alias("src_id"), "pred",
-            F.col("obj_id").alias("dst_id"), "weight",
-        )
-    )
-    mentions = (
-        remaining.select(
-            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
-        )
-        .groupBy("entity_id")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
-    )
-    vertices_new = (
-        spark.read.parquet(os.path.join(out, "vertices"))
-        .drop("n_mentions")
-        .join(mentions, "entity_id")
-        .select("entity_id", "canonical_name", "aliases", "n_mentions")
-    )
-    metrics = spark.read.parquet(os.path.join(out, "metrics"))
-    metrics_new = metrics.filter(F.col("snapshot_id") != snap_a)
-    remaining_hashes = sorted(
-        r["partition_hash"]
-        for r in metrics_new.select("partition_hash").distinct().collect()
-    )
-    for name, df in (
-        ("vertices", vertices_new),
-        ("edges", edges_new),
-        ("metrics", metrics_new),
-    ):
-        df.write.mode("overwrite").parquet(
-            os.path.join(out, f"{name}.stage-expire-cafe01")
-        )
-    with open(_expire_state_path(out), "w") as f:
-        json.dump(
-            {"partition_hashes": remaining_hashes, "expired_snapshot": snap_a},
-            f,
-        )
+    remaining_hashes = _remaining_hashes(spark, out, snap_a)
+    _stage_expiry(spark, out, snap_a, remaining_hashes, "cafe01")
+    _write_expire_state(out, remaining_hashes, snap_a)
     # crash here; next build_kg (or expire) run recovers
     recover_expire(out)
     assert _snap_dirs(out) == [f"snap={snap_b}"]
@@ -189,56 +223,14 @@ def test_recover_finishes_halfinstalled_crash(spark, split_kg):
     pending, triples deleted): every remaining step is an idempotent
     rename, so recovery finishes cleanly."""
     out, snap_a, snap_b, _, _ = split_kg
-    # stage the tables as expire would, then hand-execute the post-commit
-    # sequence up to the crash point
-    remaining = spark.read.parquet(os.path.join(out, "triples")).filter(
-        F.col("snap") != snap_a
-    )
-    mentions = (
-        remaining.select(
-            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
-        )
-        .groupBy("entity_id")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
-    )
-    vertices_new = (
-        spark.read.parquet(os.path.join(out, "vertices"))
-        .drop("n_mentions")
-        .join(mentions, "entity_id")
-        .select("entity_id", "canonical_name", "aliases", "n_mentions")
-    )
-    edges_new = (
-        remaining.groupBy("subj_id", "pred", "obj_id")
-        .agg(F.round(F.sum("score"), 6).alias("weight"))
-        .select(
-            F.col("subj_id").alias("src_id"), "pred",
-            F.col("obj_id").alias("dst_id"), "weight",
-        )
-    )
-    metrics = spark.read.parquet(os.path.join(out, "metrics"))
-    metrics_new = metrics.filter(F.col("snapshot_id") != snap_a)
-    remaining_hashes = sorted(
-        r["partition_hash"]
-        for r in metrics_new.select("partition_hash").distinct().collect()
-    )
-    for name, df in (
-        ("vertices", vertices_new),
-        ("edges", edges_new),
-        ("metrics", metrics_new),
-    ):
-        df.write.mode("overwrite").parquet(
-            os.path.join(out, f"{name}.stage-expire-cafe02")
-        )
-    with open(_expire_state_path(out), "w") as f:
-        json.dump(
-            {"partition_hashes": remaining_hashes, "expired_snapshot": snap_a},
-            f,
-        )
+    remaining_hashes = _remaining_hashes(spark, out, snap_a)
+    staged = _stage_expiry(spark, out, snap_a, remaining_hashes, "cafe02")[0]
+    _write_expire_state(out, remaining_hashes, snap_a)
     # hand-run part of the post-commit sequence, then "crash":
     # edges fully installed...
     edges_live = os.path.join(out, "edges")
     os.replace(edges_live, edges_live + ".retired")
-    os.replace(os.path.join(out, "edges.stage-expire-cafe02"), edges_live)
+    os.replace(staged["edges"], edges_live)
     # ...vertices retired but its stage NOT yet installed...
     vert_live = os.path.join(out, "vertices")
     os.replace(vert_live, vert_live + ".retired")
@@ -249,6 +241,22 @@ def test_recover_finishes_halfinstalled_crash(spark, split_kg):
     assert os.path.isdir(vert_live)
     assert not os.path.isfile(_expire_state_path(out))
     assert _snap_dirs(out) == [f"snap={snap_b}"]
+    report = validate_kg(spark, out)
+    assert report["n_fail"] == 0, report
+
+
+def test_build_kg_recovers_crashed_expiry(spark, split_kg):
+    """build_kg on a dir holding a committed-but-unfinished expiry first
+    finishes the expiry, then ingests — the lazy-import wiring in
+    pipeline.py."""
+    out, snap_a, snap_b, path_a, _ = split_kg
+    remaining_hashes = _remaining_hashes(spark, out, snap_a)
+    _stage_expiry(spark, out, snap_a, remaining_hashes, "cafe03")
+    _write_expire_state(out, remaining_hashes, snap_a)
+    # crash; now a plain build of A runs: expiry finishes first, so A is
+    # fully re-ingested (no committed buckets) and the result audits green
+    summary = build_kg(spark, path_a, out, n_buckets=4)
+    assert summary["skipped_buckets"] == []
     report = validate_kg(spark, out)
     assert report["n_fail"] == 0, report
 
