@@ -534,6 +534,24 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified 80/10/10 train/val/test split:
+    hash-ranked prefix cut at exact floor(cum_weight * n) boundaries per
+    stratum (bucketed two-level rank — no single-task language windows)."""
+    from node_feedparser_spark.operators.curation import stratified_split
+
+    return stratified_split(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf * ln(N/df), ties by token asc):
+    two map-side-combinable aggs + a vocabulary join + a per-doc-bounded
+    window — no corpus-sized window partitions."""
+    from node_feedparser_spark.operators.text_analysis import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Remaining SURVEY.md §2 operator shapes over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -1410,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "mixture_weights": q_mixture_weights,
+        "stratified_split": q_stratified_split,
+        "tfidf_topk": q_tfidf_topk,
         # remaining SURVEY.md §2 shapes
         "anti_join": q_anti_join,
         "link_reassembly": q_link_reassembly,
@@ -2464,5 +2484,49 @@ def _extra_oracles() -> dict[str, str]:
                    ROUND(pow(p, 0.3) / (SELECT SUM(pow(p, 0.3)) FROM p), 6)
                        AS mix_weight
             FROM p
+        """,
+        # boundaries embed the Spark side's EXACT accumulated Python floats
+        # (0.8, then 0.8+0.1 = 0.9000000000000001): FLOOR(cum * n) must be
+        # computed on bit-identical doubles in both engines or an n where
+        # cum*n lands on an integer boundary flips a doc between splits
+        "stratified_split": f"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       {portable_hash60_sql_("CAST(doc_id AS VARCHAR)", 7)} AS h
+                FROM documents),
+            r AS (
+                SELECT doc_id, lang,
+                       CAST(ROW_NUMBER() OVER (
+                            PARTITION BY lang
+                            ORDER BY h % 32, h, doc_id) AS BIGINT) AS rank,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM base)
+            SELECT doc_id, lang AS stratum, rank,
+                   CASE WHEN rank <= FLOOR({0.8!r} * n) THEN 'train'
+                        WHEN rank <= FLOOR({0.8 + 0.1!r} * n) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
+        """,
+        "tfidf_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS n_tf
+                   FROM tok GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS n_df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            s AS (SELECT tf.doc_id, tf.token,
+                         ROUND(tf.n_tf * ln(CAST(n.n_docs AS DOUBLE) / df.n_df),
+                               6) AS tfidf
+                  FROM tf JOIN df USING (token) CROSS JOIN n),
+            r AS (SELECT doc_id, token, tfidf,
+                         CAST(ROW_NUMBER() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
+                  FROM s)
+            SELECT doc_id, token, tfidf, rank FROM r WHERE rank <= 3
         """,
     }

@@ -248,3 +248,80 @@ def decontaminate(
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# hash-family seed for the split assignment: distinct from the (unseeded)
+# token_budget_sample priority so "which split a doc lands in" and "whether
+# the budget sampler keeps it" are independent draws, not the same number
+SPLIT_SEED = 7
+
+
+def stratified_split(
+    docs: DataFrame,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within each
+    stratum, documents are ranked by a content-independent 60-bit hash of
+    their id and the rank prefix is cut at EXACT per-stratum boundaries
+    (floor(cum_weight * n)) — so every stratum's split proportions hold
+    exactly, not just in hash expectation, and the assignment is stable
+    under re-runs, repartitioning, and corpus append order (a doc's rank
+    only moves if the stratum's membership changes).
+
+    Reference analog: the reference's first-wins-under-a-stable-order
+    discipline (guid dedupe, lib/feedparser.js:1007-1011) applied to split
+    assignment instead of dedupe.
+
+    Scale shape: the per-stratum rank is the same bucketed two-level
+    cumulative pattern as token_budget_sample (local ROW_NUMBER within
+    (stratum, hash-bucket) + tiny offset table broadcast back), so no task
+    ever windows more than ~1/n_buckets of a stratum even when one language
+    is most of a 100 TB corpus; the per-stratum totals are one map-side
+    combinable count agg, broadcast.
+    """
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must match names and sum to 1")
+    h = portable_hash60(F.col(id_col).cast("string"), seed=SPLIT_SEED)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w_local = Window.partitionBy("stratum", "bucket").orderBy("h", "doc_id")
+    local = base.withColumn("local_rank", F.row_number().over(w_local))
+    counts = base.groupBy("stratum", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("bucket_n").over(w_off), F.lit(0))
+    ).select("stratum", "bucket", "offset")
+    totals = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), ["stratum", "bucket"])
+        .join(F.broadcast(totals), "stratum")
+        .withColumn("rank", (F.col("offset") + F.col("local_rank")).cast("long"))
+    )
+    # exact prefix boundaries: floor of the cumulative weight — identical
+    # IEEE-double arithmetic in the DuckDB oracle, so the cut agrees bitwise
+    split = None
+    cum = 0.0
+    for w, name in zip(weights[:-1], names[:-1]):
+        cum += w
+        cond = F.col("rank") <= F.floor(F.lit(cum) * F.col("n"))
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    split = (
+        F.lit(names[0]) if split is None else split.otherwise(names[-1])
+    )
+    return ranked.select(
+        "doc_id", F.col("stratum"), "rank", split.alias("split")
+    )

@@ -164,3 +164,62 @@ def fingerprints(
         F.element_at("hs", 1).alias("fingerprint"),
         F.slice("hs", 1, n_keep).alias("bottom_k"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF: tf = occurrences
+    of the (lowercased, whitespace-split) token within the document, idf =
+    ln(N / df) over the corpus, score = tf * idf rounded to 6 dp; ties cut
+    deterministically by (score DESC, token ASC).  The standard keyword /
+    topic-signature extractor a training pipeline runs for corpus
+    inspection and mixture diagnostics.
+
+    Reference analog: the reference's per-item category accumulation — a
+    per-document distinct term set with document-order determinism
+    (lib/feedparser.js:730-760) — weighted by corpus rarity.
+
+    Scale shape (all JVM, three declared shuffles, none corpus-squared):
+    - tf: one partial/final count agg keyed (doc, token) — map-side
+      combined, so the explode never shuffles raw token occurrences;
+    - df: a second partial/final agg over tf keyed token (vocabulary-sized
+      input, not corpus-sized);
+    - tf ⋈ df on token: both sides are already token-keyed aggregates, and
+      AQE broadcast-converts the vocabulary side when it fits;
+    - N: one scalar agg, cross-joined as a broadcast literal — never a
+      window over the corpus;
+    - the top-k window partitions by doc_id, bounded by per-document
+      vocabulary — no stratum-sized partition can exist by construction.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n_tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("n_df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("n_tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("n_df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

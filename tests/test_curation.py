@@ -139,3 +139,97 @@ def test_decontaminate_flags_overlap_and_only_overlap(spark):
     assert got[3] == (1, True)
     # every doc labeled exactly once
     assert set(got) == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# stratified_split
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_split_exact_proportions_per_stratum(spark):
+    from node_feedparser_spark.operators.curation import stratified_split
+
+    docs = _docs(
+        spark,
+        [(i, ["en", "fr", "zh"][i % 3], f"text {i}") for i in range(300)],
+    )
+    out = stratified_split(docs).collect()
+    assert len(out) == 300
+    per = {}
+    for r in out:
+        per.setdefault(r.stratum, {}).setdefault(r.split, 0)
+        per[r.stratum][r.split] += 1
+    for lang, counts in per.items():
+        n = sum(counts.values())
+        # exact prefix boundaries: floor(0.8n) train, floor(0.9n)-floor(0.8n)
+        # val, rest test
+        import math
+
+        b1 = math.floor(0.8 * n)
+        b2 = math.floor((0.8 + 0.1) * n)
+        assert counts.get("train", 0) == b1, (lang, counts)
+        assert counts.get("val", 0) == b2 - b1, (lang, counts)
+        assert counts.get("test", 0) == n - b2, (lang, counts)
+
+
+def test_stratified_split_deterministic_and_membership_stable(spark):
+    """A doc's split assignment never depends on partitioning, and adding
+    docs to ANOTHER stratum never moves it (rank is per-stratum)."""
+    from node_feedparser_spark.operators.curation import stratified_split
+
+    base = [(i, "en" if i % 2 else "fr", f"t {i}") for i in range(100)]
+    a = stratified_split(_docs(spark, base))
+    b = stratified_split(_docs(spark, base).repartition(13))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # append 50 docs to a NEW stratum: en/fr assignments unchanged
+    more = base + [(1000 + i, "de", f"x {i}") for i in range(50)]
+    c = {
+        r.doc_id: r.split
+        for r in stratified_split(_docs(spark, more)).collect()
+        if r.stratum in ("en", "fr")
+    }
+    orig = {r.doc_id: r.split for r in a.collect()}
+    assert c == orig
+
+
+def test_stratified_split_equals_naive_single_window(spark):
+    """The bucketed two-level rank must equal the naive ROW_NUMBER over one
+    per-stratum partition under the same (bucket, h, id) total order."""
+    from node_feedparser_spark.operators.curation import (
+        SPLIT_SEED,
+        stratified_split,
+    )
+
+    docs = _docs(
+        spark, [(i, "en" if i % 4 else "fr", f"d {i}") for i in range(157)]
+    )
+    got = {(r.doc_id): (r.rank, r.split) for r in stratified_split(docs).collect()}
+    h = portable_hash60(F.col("doc_id").cast("string"), seed=SPLIT_SEED)
+    w = Window.partitionBy("lang").orderBy(
+        F.pmod(h, F.lit(32)), h, "doc_id"
+    )
+    naive = (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .withColumn(
+            "split",
+            F.when(F.col("rank") <= F.floor(F.lit(0.8) * F.col("n")), "train")
+            .when(
+                F.col("rank") <= F.floor(F.lit(0.8 + 0.1) * F.col("n")), "val"
+            )
+            .otherwise("test"),
+        )
+    )
+    want = {r.doc_id: (r.rank, r.split) for r in naive.collect()}
+    assert got == want
+
+
+def test_stratified_split_rejects_bad_weights(spark):
+    from node_feedparser_spark.operators.curation import stratified_split
+
+    docs = _docs(spark, [(1, "en", "a")])
+    with pytest.raises(ValueError):
+        stratified_split(docs, weights=(0.5, 0.2), names=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        stratified_split(docs, weights=(0.5, 0.2), names=("a", "b"))

@@ -369,3 +369,52 @@ def test_prefix_filter_prunes_stopword_gram_candidates(spark):
         map(tuple, dd.jaccard_prefix_pairs(docs, threshold=0.4).collect())
     )
     assert got == brute_force_jaccard_pairs(rows_py, 0.4)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """3-doc corpus with hand-derivable scores: 'rare' appears only in doc 1
+    (idf ln(3)), 'the' in all three (idf 0 -> never a top term unless the
+    doc has nothing else)."""
+    import math
+
+    from node_feedparser_spark.operators.text_analysis import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the rare rare word"),
+            (2, "the word word common"),
+            (3, "the common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    got = {(r.doc_id, r.rank): (r.token, r.tfidf) for r in out.collect()}
+    ln3 = math.log(3.0)
+    ln15 = math.log(3.0 / 2.0)
+    # doc 1: rare tf=2 df=1 -> 2*ln3; word tf=1 df=2 -> ln(1.5)
+    assert got[(1, 1)] == ("rare", round(2 * ln3, 6))
+    assert got[(1, 2)] == ("word", round(ln15, 6))
+    # doc 2: word tf=2 -> 2*ln1.5 ; common tf=1 -> ln1.5
+    assert got[(2, 1)] == ("word", round(2 * ln15, 6))
+    assert got[(2, 2)] == ("common", round(ln15, 6))
+    # doc 3: common ln1.5 beats the (idf 0); 'the' still ranks 2nd of 2
+    assert got[(3, 1)] == ("common", round(ln15, 6))
+    assert got[(3, 2)] == ("the", 0.0)
+    # ranks stop at k
+    assert all(rank <= 2 for (_, rank) in got)
+
+
+def test_tfidf_topk_tie_break_and_case_fold(spark):
+    """Equal scores cut by token ASC; tokens are case-folded before tf."""
+    from node_feedparser_spark.operators.text_analysis import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "Beta alpha BETA Alpha"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): r.token for r in tfidf_topk(docs, k=2).collect()
+    }
+    # doc 1: alpha tf=2, beta tf=2, both df=1 -> tie, alpha first
+    assert out[(1, 1)] == "alpha"
+    assert out[(1, 2)] == "beta"
