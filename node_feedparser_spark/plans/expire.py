@@ -103,15 +103,22 @@ def recover_expire(output_dir: str) -> None:
         os.remove(tmp)
 
 
-def _delete_snapshot_partitions(output_dir: str, snapshot: str) -> None:
-    shutil.rmtree(
-        os.path.join(output_dir, "triples", f"snap={snapshot}"),
-        ignore_errors=True,
-    )
+def _delete_snapshot_partitions(
+    output_dir: str, snapshots: str | list[str]
+) -> None:
+    # str accepted for state files written before multi-snapshot expiry
+    # existed (rollback): recovery must replay either format
+    if isinstance(snapshots, str):
+        snapshots = [snapshots]
+    for snapshot in snapshots:
+        shutil.rmtree(
+            os.path.join(output_dir, "triples", f"snap={snapshot}"),
+            ignore_errors=True,
+        )
 
 
 def _write_expire_state(
-    output_dir: str, remaining_hashes: list[str], snapshot: str
+    output_dir: str, remaining_hashes: list[str], snapshot: str | list[str]
 ) -> str:
     """Atomically land the staged expire-state — the COMMIT POINT of the
     three-table protocol.  Everything after this rename is an idempotent
@@ -133,12 +140,14 @@ def _write_expire_state(
 def _stage_expiry(
     spark: SparkSession,
     output_dir: str,
-    snapshot: str,
+    snapshot: str | list[str],
     remaining_hashes: list[str],
     run: str,
 ) -> tuple[dict[str, str], int]:
     """Build and FULLY write the three staged tables for expiring
-    `snapshot`; returns ({table: stage_path}, n_triples_remaining).
+    `snapshot` (one id or a list — a multi-snapshot rollback recomputes
+    the aggregates ONCE, not once per dropped snapshot); returns
+    ({table: stage_path}, n_triples_remaining).
     Shared by expire_snapshot and the crash-recovery tests so the staged
     shapes cannot drift from the product recompute.
 
@@ -148,11 +157,12 @@ def _stage_expiry(
     and counting those into the aggregates would double them when that
     build later resumes (metrics is the commit marker everywhere else;
     expiry honors it too)."""
+    snapshots = [snapshot] if isinstance(snapshot, str) else list(snapshot)
     triples_path = os.path.join(output_dir, "triples")
     tables = _tables(output_dir)
     remaining = (
         spark.read.parquet(triples_path)
-        .filter(F.col("snap") != snapshot)
+        .filter(~F.col("snap").isin(snapshots))
         .filter(F.col("lineage.partition_hash").isin(remaining_hashes))
         .cache()
     )
@@ -178,7 +188,7 @@ def _stage_expiry(
         .select("entity_id", "canonical_name", "aliases", "n_mentions")
     )
     metrics_new = spark.read.parquet(tables["metrics"]).filter(
-        F.col("snapshot_id") != snapshot
+        ~F.col("snapshot_id").isin(snapshots)
     )
     staged = {
         name: f"{tables[name]}{_STAGE_MARK}{run}"
@@ -222,17 +232,31 @@ def expire_snapshot(
     """Remove one ingested snapshot from triples, metrics, graph_state and
     the vertex/edge aggregates.  Returns a summary dict.  Idempotent: an
     unknown/already-expired snapshot is a no-op."""
+    summary = expire_snapshots(spark, output_dir, [snapshot])
+    summary["expired_snapshot"] = snapshot
+    return summary
+
+
+def expire_snapshots(
+    spark: SparkSession, output_dir: str, snapshots: list[str]
+) -> dict:
+    """Remove a SET of ingested snapshots in one three-table transaction —
+    the aggregates recompute once over the union of survivors, and a crash
+    at any point replays as one finished (or one never-started) expiry,
+    never a half-rolled-back graph.  Idempotent: snapshots already absent
+    contribute nothing, and an all-absent set is a no-op."""
     from .compact import recover_compaction
 
     recover_expire(output_dir)
     recover_compaction(output_dir)
 
+    snapshots = sorted(set(snapshots))
     triples_path = os.path.join(output_dir, "triples")
     tables = _tables(output_dir)
     if not os.path.isdir(tables["metrics"]):
         return {
             "output_dir": output_dir,
-            "expired_snapshot": snapshot,
+            "expired_snapshots": snapshots,
             "expired_partitions": 0,
             "noop": True,
         }
@@ -240,20 +264,25 @@ def expire_snapshot(
     hash_rows = (
         metrics.select("snapshot_id", "partition_hash").distinct().collect()
     )
+    drop = set(snapshots)
     expired_hashes = sorted(
-        r["partition_hash"] for r in hash_rows if r["snapshot_id"] == snapshot
+        r["partition_hash"] for r in hash_rows if r["snapshot_id"] in drop
     )
     remaining_hashes = sorted(
-        r["partition_hash"] for r in hash_rows if r["snapshot_id"] != snapshot
+        r["partition_hash"] for r in hash_rows if r["snapshot_id"] not in drop
     )
-    target_dir = os.path.join(triples_path, f"snap={snapshot}")
-    if not expired_hashes and not os.path.isdir(target_dir):
+    any_dir = any(
+        os.path.isdir(os.path.join(triples_path, f"snap={s}"))
+        for s in snapshots
+    )
+    if not expired_hashes and not any_dir:
         return {
             "output_dir": output_dir,
-            "expired_snapshot": snapshot,
+            "expired_snapshots": snapshots,
             "expired_partitions": 0,
             "noop": True,
         }
+    snapshot = snapshots  # the staged/committed unit is the whole set
 
     # surviving data: partition-pruned, committed-only scan — the
     # aggregates recompute EXACTLY (same agg shapes as build_kg /
@@ -280,9 +309,60 @@ def expire_snapshot(
 
     return {
         "output_dir": output_dir,
-        "expired_snapshot": snapshot,
+        "expired_snapshots": snapshots,
         "expired_partitions": len(expired_hashes),
         "remaining_partitions": len(remaining_hashes),
         "n_triples_remaining": int(n_remaining),
         "noop": False,
     }
+
+
+def rollback_keep(
+    spark: SparkSession, output_dir: str, keep: list[str]
+) -> dict:
+    """Roll the graph back to exactly the `keep` snapshot set — the
+    Iceberg ``rollback_to_snapshot`` analog over this layout's additive
+    ingests: every OTHER ingested snapshot (metrics-committed or a
+    crash-stranded bare triples partition) is retired in ONE expiry
+    transaction, after which the four tables are byte-equivalent to having
+    only ever ingested `keep` (aggregates recompute from the surviving
+    committed triples; canonical names/aliases carry over by entity_id
+    with the documented retained-superset semantics).
+
+    Unknown ids in `keep` raise instead of silently rolling back to less
+    than the caller asked to preserve."""
+    recover_expire(output_dir)
+    tables = _tables(output_dir)
+    known: set[str] = set()
+    if os.path.isdir(tables["metrics"]):
+        known = {
+            r["snapshot_id"]
+            for r in spark.read.parquet(tables["metrics"])
+            .select("snapshot_id")
+            .distinct()
+            .collect()
+        }
+    stranded = {
+        os.path.basename(d)[len("snap="):]
+        for d in glob.glob(os.path.join(output_dir, "triples", "snap=*"))
+        if os.path.isdir(d)
+    }
+    keep_set = set(keep)
+    unknown = keep_set - (known | stranded)
+    if unknown:
+        raise ValueError(
+            f"rollback --keep names snapshots absent from {output_dir}: "
+            f"{sorted(unknown)}"
+        )
+    drop = sorted((known | stranded) - keep_set)
+    if not drop:
+        return {
+            "output_dir": output_dir,
+            "kept_snapshots": sorted(keep_set),
+            "expired_snapshots": [],
+            "expired_partitions": 0,
+            "noop": True,
+        }
+    summary = expire_snapshots(spark, output_dir, drop)
+    summary["kept_snapshots"] = sorted(keep_set)
+    return summary
