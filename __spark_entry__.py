@@ -552,6 +552,32 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency line removal: per-source header lines
+    and a shared subscribe footer (planted deterministically — the classic
+    nav-bar/banner case) each hit >= 5 distinct docs and are scrubbed from
+    every document; the doc's own body line and the per-doc unique footer
+    survive.  The frequent-line dim is counted on 8-byte hashes and
+    BROADCAST; the corpus pays exactly one shuffle (per-doc reassembly)."""
+    from node_feedparser_spark.operators.curation import boilerplate_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("=== "), F.col("source"), F.lit(" newsletter ===")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("subscribe at example.com/news")
+            ).otherwise(
+                F.concat(F.lit("footer "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return boilerplate_scrub(aug, min_docs=5)
+
+
 # ---------------------------------------------------------------------------
 # Remaining SURVEY.md §2 operator shapes over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -1430,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "stratified_split": q_stratified_split,
         "tfidf_topk": q_tfidf_topk,
+        "boilerplate_scrub": q_boilerplate_scrub,
         # remaining SURVEY.md §2 shapes
         "anti_join": q_anti_join,
         "link_reassembly": q_link_reassembly,
@@ -2528,5 +2555,39 @@ def _extra_oracles() -> dict[str, str]:
                               ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
                   FROM s)
             SELECT doc_id, token, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        # compares on the line STRING (the engine counts 60-bit line hashes;
+        # a collision would surface here as a value mismatch)
+        "boilerplate_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       '=== ' || source || ' newsletter ===' || chr(10) ||
+                       text || chr(10) ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'subscribe at example.com/news'
+                            ELSE 'footer ' || CAST(doc_id AS VARCHAR)
+                       END AS text
+                FROM documents),
+            d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+            l0 AS (SELECT doc_id,
+                          unnest(list_transform(ls, (x, i) -> {'l': x, 'p': i}))
+                              AS u
+                   FROM d),
+            l AS (SELECT doc_id, u.l AS line, CAST(u.p AS BIGINT) - 1 AS pos
+                  FROM l0),
+            freq AS (SELECT line FROM (
+                        SELECT line, COUNT(DISTINCT doc_id) AS n
+                        FROM l GROUP BY line) t
+                     WHERE n >= 5),
+            m AS (SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS boiler
+                  FROM l LEFT JOIN freq f ON l.line = f.line)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_boilerplate,
+                   COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                       AS clean_text
+            FROM m GROUP BY doc_id
         """,
     }

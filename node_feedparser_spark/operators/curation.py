@@ -250,6 +250,77 @@ def decontaminate(
     )
 
 
+def boilerplate_scrub(
+    docs: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency line deduplication (the CCNet / C4 boilerplate rule):
+    a line that appears in >= ``min_docs`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, share buttons) and is removed from every
+    document; per-document line order is preserved in ``clean_text``.
+
+    Reference analog: stripHtml's whitelist discipline (lib/utils.js:367-382)
+    lifted from tag-level to corpus-frequency line-level — the filter a web
+    corpus runs before any quality scoring, because boilerplate dominates
+    raw page text.
+
+    Plan, and why it survives 100 TB:
+    - document frequency per line: each doc contributes its DISTINCT lines
+      (``array_distinct`` in-row — no pre-shuffle dedupe), explode, then ONE
+      map-side-combinable count keyed by the line's portable 60-bit hash.
+      Counting hashes, not strings, keeps the shuffle rows 8 bytes wide.
+    - the frequent-line dim is output-bounded: <= total_line_instances /
+      min_docs rows, and it carries ONLY the hash — so it broadcasts even
+      when the corpus does not (same discipline as decontaminate's eval
+      grams).  The corpus is never shuffled to learn what is frequent.
+    - the scrub itself: posexplode lines, mark via the broadcast hash join,
+      reassemble with one groupBy(doc) — the single corpus-linear shuffle,
+      keyed by the document id (same key as every other per-doc agg here,
+      so AQE can reuse the exchange).
+    - 60-bit hash collisions: same portability argument as exact_dedupe —
+      the oracle compares on the line string; a collision would surface as
+      a hash mismatch there.
+    """
+    lines = F.split(F.col(text_col), sep)
+    lh = portable_hash60(F.col("line"))
+    freq = (
+        docs.select(F.explode(F.array_distinct(lines)).alias("line"))
+        .select(lh.alias("bh"))
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("bh")
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).withColumn("lh", lh)
+    marked = exploded.join(
+        F.broadcast(freq), exploded.lh == freq.bh, "left"
+    ).withColumn("boiler", F.col("bh").isNotNull())
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("boiler").cast("int")).cast("long").alias("n_boilerplate"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("boiler"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+
+
 # hash-family seed for the split assignment: distinct from the (unseeded)
 # token_budget_sample priority so "which split a doc lands in" and "whether
 # the budget sampler keeps it" are independent draws, not the same number

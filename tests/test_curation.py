@@ -233,3 +233,89 @@ def test_stratified_split_rejects_bad_weights(spark):
         stratified_split(docs, weights=(0.5, 0.2), names=("a", "b", "c"))
     with pytest.raises(ValueError):
         stratified_split(docs, weights=(0.5, 0.2), names=("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_scrub — corpus-frequency line removal (CCNet/C4 rule)
+# ---------------------------------------------------------------------------
+
+
+def _line_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_scrub_values(spark):
+    from node_feedparser_spark.operators.curation import boilerplate_scrub
+
+    hot = "click to subscribe"
+    warm = "almost frequent"
+    docs = _line_docs(
+        spark,
+        # hot appears in docs 1-3 (>= min_docs=3) -> scrubbed everywhere;
+        # warm appears in docs 1-2 (< 3) -> kept; bodies unique -> kept
+        [
+            (1, f"{hot}\nbody one\n{warm}"),
+            (2, f"{warm}\n{hot}\nbody two"),
+            (3, f"body three\n{hot}"),
+            (4, "body four"),
+        ],
+    )
+    got = {r.doc_id: r for r in boilerplate_scrub(docs, min_docs=3).collect()}
+    assert got[1].n_lines == 3 and got[1].n_boilerplate == 1
+    assert got[1].clean_text == f"body one\n{warm}"
+    assert got[2].clean_text == f"{warm}\nbody two"  # order preserved
+    assert got[3].clean_text == "body three"
+    assert got[4].n_boilerplate == 0 and got[4].clean_text == "body four"
+
+
+def test_boilerplate_scrub_counts_distinct_docs_not_occurrences(spark):
+    """A line repeated 5x INSIDE one doc is not corpus boilerplate: document
+    frequency counts distinct docs, so it survives."""
+    from node_feedparser_spark.operators.curation import boilerplate_scrub
+
+    docs = _line_docs(
+        spark,
+        [(1, "echo\necho\necho\necho\necho"), (2, "other")],
+    )
+    got = {r.doc_id: r for r in boilerplate_scrub(docs, min_docs=3).collect()}
+    assert got[1].n_boilerplate == 0
+    assert got[1].clean_text == "echo\necho\necho\necho\necho"
+
+
+def test_boilerplate_scrub_all_boiler_doc_empties(spark):
+    from node_feedparser_spark.operators.curation import boilerplate_scrub
+
+    docs = _line_docs(
+        spark, [(i, "banner") for i in range(1, 6)] + [(9, "banner\nreal")]
+    )
+    got = {r.doc_id: r for r in boilerplate_scrub(docs, min_docs=5).collect()}
+    assert got[1].clean_text == "" and got[1].n_boilerplate == 1
+    assert got[9].clean_text == "real"
+
+
+def test_boilerplate_scrub_threshold_boundary(spark):
+    """Exactly min_docs distinct docs IS boilerplate; min_docs-1 is not."""
+    from node_feedparser_spark.operators.curation import boilerplate_scrub
+
+    docs = _line_docs(
+        spark,
+        [(1, "at\nbelow"), (2, "at\nbelow"), (3, "at\nbody")],
+    )
+    got = {r.doc_id: r for r in boilerplate_scrub(docs, min_docs=3).collect()}
+    assert got[3].clean_text == "body"        # 'at' in 3 docs -> scrubbed
+    assert got[1].clean_text == "below"       # 'below' in 2 docs -> kept
+
+
+def test_boilerplate_scrub_broadcasts_frequent_dim(spark):
+    """The frequent-line dim must broadcast (the corpus never shuffles to
+    learn what is frequent): the join against it is a BroadcastHashJoin."""
+    from node_feedparser_spark.operators.curation import boilerplate_scrub
+
+    docs = _line_docs(spark, [(1, "a\nb"), (2, "a")])
+    plan = (
+        boilerplate_scrub(docs, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
