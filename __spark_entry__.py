@@ -312,6 +312,18 @@ def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cluster the embedding space
+    (argmax-cosine against the deterministic first-16 centroids), connect
+    within-cluster pairs with cosine >= 0.4, transitively close, keep the
+    min-id representative per group.  No driver collect, per-cell block
+    matmuls only; the DuckDB oracle replays the same assignment + a
+    recursive-CTE closure independently."""
+    from node_feedparser_spark.operators.similarity import semantic_dedupe
+
+    return semantic_dedupe(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-probe ANN: deterministic centroids (vec_id<16), probe 4 of
     16 cells, top-5 — the scale path whose plan partitions by cell."""
@@ -1437,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
+        "semantic_dedupe": q_semantic_dedupe,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "language_id": q_language_id,
@@ -1787,6 +1800,38 @@ def _extra_oracles() -> dict[str, str]:
             JOIN e ea ON ea.vec_id = p.doc_a
             JOIN e eb ON eb.vec_id = p.doc_b
             WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+        """,
+        # single-cell (n_probe=1) assignment + within-cell pairs + an
+        # independent recursive-CTE transitive closure — the SemDeDup shape
+        "semantic_dedupe": f"""
+            WITH RECURSIVE {cosine_cte},
+            cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                  c.cell ASC) AS rn
+                FROM e CROSS JOIN cents c) t WHERE rn = 1),
+            p AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+                  FROM assign a JOIN assign b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  JOIN e ea ON ea.vec_id = a.vec_id
+                  JOIN e eb ON eb.vec_id = b.vec_id
+                  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
+            edges AS (SELECT pa AS a, pb AS b FROM p
+                      UNION SELECT pb, pa FROM p),
+            reach(node, r) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT reach.node, edges.b
+                FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (SELECT node, LEAST(node, MIN(r)) AS group_id
+                     FROM reach GROUP BY node)
+            SELECT e.vec_id, assign.cell,
+                   COALESCE(cm.group_id, e.vec_id) AS group_id,
+                   COALESCE(cm.group_id, e.vec_id) = e.vec_id AS is_keeper
+            FROM e JOIN assign USING (vec_id)
+            LEFT JOIN comp cm ON e.vec_id = cm.node
         """,
         "ivf_ann_topk": f"""
             WITH {cosine_cte},

@@ -285,6 +285,61 @@ def cosine_threshold_pairs_blocked(
     return pairs.distinct()
 
 
+def semantic_dedupe(
+    corpus: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    connect within-cluster pairs with rounded cosine >= ``threshold``,
+    transitively close, and keep ONE representative per semantic-duplicate
+    group.  Output: (vec_id, cell, group_id, is_keeper) for every corpus
+    vector — group_id = min vec_id of the component (singletons label
+    themselves), is_keeper = first-wins (lowest id survives, the repo-wide
+    keeper discipline; the SemDeDup paper keeps the lowest-centroid-cosine
+    member instead — a one-line ORDER BY swap, first-wins keeps the oracle
+    and the reference's guid rule aligned).
+
+    Plan, and why it survives 100 TB: this is the embedding analog of
+    near_dup_groups —
+    - within-cluster pairs come from cosine_threshold_pairs_blocked with
+      n_probe=1, i.e. exactly one cell per vector (its argmax-cosine
+      centroid, ties to the lowest cell id — identical to ivf_assign, both
+      are stable first-max argsorts): one narrow shuffle of (cell, emb)
+      rows, one per-cell block matmul, NO driver collect, no cross-cell
+      O(n^2).
+    - the pair graph is output-sized (semantic dups ≪ corpus), so the
+      connected-components closure runs over a tiny edge list.
+    - labeling is one left join of the corpus ids against the label table.
+    Recall < 1 by construction (a qualifying pair split across two cells is
+    missed — the SemDeDup trade); the exact twin is cosine_threshold_pairs
+    + components, which tests pin on small corpora.  n_cells scales with
+    the corpus (~10^4-10^5 vectors per cell) like the blocked pair join.
+    """
+    from .components import connected_components
+
+    assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    pairs = cosine_threshold_pairs_blocked(
+        corpus, threshold, n_cells=n_cells, n_probe=1,
+        id_col=id_col, vec_col=vec_col,
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges).withColumnRenamed("node", "vec_id")
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(assigned, "vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("component", F.col("vec_id")).alias("group_id"),
+        )
+        .withColumn("is_keeper", F.col("group_id") == F.col("vec_id"))
+    )
+
+
 def _first_n_centroids(
     corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:
