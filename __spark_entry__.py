@@ -1221,6 +1221,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap link prediction (KG completion) over the
+    supplier-part shipment graph: for non-adjacent node pairs sharing a
+    neighbor, common-neighbor count + Adamic-Adar + Jaccard.  max_degree=40
+    caps wedge pivots (the d^2 celebrity blow-up — suppliers ship hundreds
+    of parts and are excluded as pivots; parts have bounded supplier fan-in
+    and drive the wedges), so the output is supplier-pair affinity via
+    shared parts.  The oracle replays the same cap."""
+    from node_feedparser_spark.operators.graph_algo import link_predict
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    return link_predict(edges, max_degree=40)
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a KG-shaped edge list
     (operators/components.py — the north rule's 'iterative
@@ -1500,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_calibrate": q_link_calibrate,
         # connected components as a first-class named query (round 3)
         "kg_components": q_kg_components,
+        "link_predict": q_link_predict,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1832,6 +1851,35 @@ def _extra_oracles() -> dict[str, str]:
                    COALESCE(cm.group_id, e.vec_id) = e.vec_id AS is_keeper
             FROM e JOIN assign USING (vec_id)
             LEFT JOIN comp cm ON e.vec_id = cm.node
+        """,
+        # independent wedge join over the same undirected simple graph,
+        # replaying the max_degree=40 pivot cap
+        "link_predict": """
+            WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                                'p' || CAST(l_partkey AS VARCHAR) AS b
+                         FROM lineitem),
+            und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                    FROM raw WHERE a <> b),
+            adj AS (SELECT u AS z, v AS n FROM und
+                    UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT z AS node, COUNT(*) AS d FROM adj GROUP BY z),
+            piv AS (SELECT adj.z, adj.n, deg.d
+                    FROM adj JOIN deg ON adj.z = deg.node
+                    WHERE deg.d <= 40),
+            w AS (SELECT a.n AS na, b.n AS nb, a.d AS dz
+                  FROM piv a JOIN piv b ON a.z = b.z AND a.n < b.n),
+            s AS (SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_common,
+                         SUM(1.0 / ln(dz)) AS aa
+                  FROM w GROUP BY na, nb),
+            nonadj AS (SELECT s.* FROM s
+                       LEFT JOIN und ON s.na = und.u AND s.nb = und.v
+                       WHERE und.u IS NULL)
+            SELECT na AS node_a, nb AS node_b, n_common,
+                   ROUND(aa, 6) AS aa_score,
+                   ROUND(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common),
+                         6) AS jaccard
+            FROM nonadj JOIN deg da ON nonadj.na = da.node
+                        JOIN deg db ON nonadj.nb = db.node
         """,
         "ivf_ann_topk": f"""
             WITH {cosine_cte},

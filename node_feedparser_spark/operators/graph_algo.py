@@ -352,3 +352,91 @@ def snapshot_diff(
         )
         .drop("_in_old", "_in_new")
     )
+
+
+def link_predict(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over the UNDIRECTED simple
+    graph: for every NON-adjacent node pair (a < b) sharing at least one
+    neighbor, emit
+
+    - ``n_common`` — number of common neighbors,
+    - ``aa_score`` — Adamic-Adar: sum over common neighbors z of
+      1 / ln(deg(z)) (a shared rare neighbor is stronger evidence than a
+      shared hub; deg(z) >= 2 for any common neighbor, so ln never hits 0),
+    - ``jaccard`` — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over FULL degrees.
+
+    This is the KG-completion primitive ("which entities should probably
+    be linked?") run over the edge aggregate the pipeline materializes.
+
+    Skew, and why ``max_degree`` exists: wedge generation self-joins the
+    adjacency list on the pivot z, so a celebrity pivot of degree d emits
+    d^2/2 candidate pairs — THE scale killer on power-law graphs.  With
+    ``max_degree`` set, pivots with deg > max_degree are excluded from
+    wedge generation (only as pivots — they still count toward endpoint
+    degrees and can appear as endpoints).  AA already discounts hub
+    evidence toward 1/ln(d) ~ 0, so the cap loses the least-informative
+    wedges first; n_common/jaccard become lower bounds for pairs whose
+    only shared neighbors are hubs — the standard trade, stated rather
+    than hidden.  With max_degree=None the result is exact.
+
+    Plan: canonical distinct undirected edges (one shuffle), degree agg
+    (map-side combinable), pivot self-join keyed on z (deg(z) carried on
+    the build side, so no per-wedge degree lookup), one (a, b) agg, an
+    anti-join against the edge list to drop already-adjacent pairs, and
+    two |V|-sized degree joins for jaccard.  Every shuffle is linear in
+    wedges or edges; nothing touches the driver.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("z"), F.col("v").alias("n")).union(
+        und.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy(F.col("z").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    piv = adj.join(deg.withColumnRenamed("node", "z"), "z")
+    if max_degree is not None:
+        piv = piv.filter(F.col("d") <= max_degree)
+    l = piv.select("z", F.col("n").alias("pa"), F.col("d").alias("dz"))
+    r = piv.select("z", F.col("n").alias("pb"))
+    scores = (
+        l.join(r, "z")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("dz"))).alias("_aa"),
+        )
+    )
+    non_adj = scores.join(
+        und,
+        (scores.pa == und.u) & (scores.pb == und.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    return (
+        non_adj.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.col("pa").alias("node_a"),
+            F.col("pb").alias("node_b"),
+            "n_common",
+            F.round("_aa", 6).alias("aa_score"),
+            F.round(
+                F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -337,3 +337,81 @@ def test_lpa_matches_python_reference(spark):
             nxt[n] = best
         labels = nxt
     assert _lp(spark, pairs, n_iter=2) == labels
+
+
+# ---------------------------------------------------------------------------
+# link_predict — common-neighbor / Adamic-Adar / Jaccard over non-adjacent
+# pairs of the undirected simple graph
+# ---------------------------------------------------------------------------
+
+import math
+
+from node_feedparser_spark.operators.graph_algo import link_predict
+
+
+def _lpe(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs],
+        "src_id string, dst_id string, weight double",
+    )
+
+
+def _lpd(df):
+    return {(r.node_a, r.node_b): r for r in df.collect()}
+
+
+def test_link_predict_square(spark):
+    # 4-cycle a-b-c-d-a: the two diagonals are the only predictions
+    got = _lpd(link_predict(_lpe(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])))
+    assert set(got) == {("a", "c"), ("b", "d")}
+    r = got[("a", "c")]
+    assert r.n_common == 2
+    assert r.aa_score == pytest.approx(round(2 / math.log(2), 6), abs=1e-9)
+    assert r.jaccard == 1.0  # N(a) = N(c) = {b, d}
+
+
+def test_link_predict_path_and_triangle(spark):
+    # path x-y-z: (x,z) predicted; triangle: all adjacent, nothing predicted
+    got = _lpd(link_predict(_lpe(spark, [("x", "y"), ("y", "z")])))
+    assert set(got) == {("x", "z")}
+    assert got[("x", "z")].n_common == 1
+    assert got[("x", "z")].aa_score == pytest.approx(
+        round(1 / math.log(2), 6), abs=1e-9
+    )
+    assert _lpd(link_predict(_lpe(spark, [("a", "b"), ("b", "c"), ("c", "a")]))) == {}
+
+
+def test_link_predict_direction_and_parallel_edges_collapse(spark):
+    base = [("x", "y"), ("y", "z")]
+    noisy = base + [("y", "x"), ("y", "x"), ("z", "y")]
+    a = _lpd(link_predict(_lpe(spark, base)))
+    b = _lpd(link_predict(_lpe(spark, noisy)))
+    assert {k: (v.n_common, v.aa_score, v.jaccard) for k, v in a.items()} == {
+        k: (v.n_common, v.aa_score, v.jaccard) for k, v in b.items()
+    }
+
+
+def test_link_predict_max_degree_caps_pivots_not_endpoints(spark):
+    """Hub h (deg 5) is excluded as a wedge pivot under max_degree=3, so
+    pairs whose ONLY common neighbor is h vanish; a pair also sharing the
+    small pivot w survives with n_common counting only w — while jaccard
+    still uses FULL endpoint degrees (h is not erased from the graph)."""
+    hub = [("h", n) for n in ("n1", "n2", "n3", "n4", "n5")]
+    small = [("w", "n1"), ("w", "n2")]
+    exact = _lpd(link_predict(_lpe(spark, hub + small)))
+    capped = _lpd(link_predict(_lpe(spark, hub + small), max_degree=3))
+    assert exact[("n1", "n2")].n_common == 2  # {h, w}
+    # h-only pairs (n1,n3), (n2,n5), ... are gone; what survives is the
+    # pair sharing the small pivot w, plus (h,w) themselves — non-adjacent,
+    # sharing the deg-2 pivots n1 and n2 (the cap removes h as a PIVOT,
+    # not as an endpoint)
+    assert set(capped) == {("n1", "n2"), ("h", "w")}
+    r = capped[("n1", "n2")]
+    assert r.n_common == 1
+    assert r.aa_score == pytest.approx(round(1 / math.log(2), 6), abs=1e-9)
+    # deg(n1) = deg(n2) = 2 ({h, w}) even though h was capped as a pivot
+    assert r.jaccard == pytest.approx(round(1 / 3, 6), abs=1e-9)
+    hw = capped[("h", "w")]
+    assert hw.n_common == 2
+    # deg(h)=5, deg(w)=2 -> jaccard 2/(5+2-2)
+    assert hw.jaccard == pytest.approx(0.4, abs=1e-9)
