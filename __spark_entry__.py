@@ -1239,6 +1239,23 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_predict(edges, max_degree=40)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec/DeepWalk sampling over the undirected
+    supplier<->part graph: 2 walks of length 3 from every node, each step
+    a hash-indexed neighbor choice (seed 11) — the graph-embedding
+    training-corpus generator, reproducible enough that the DuckDB oracle
+    unrolls the identical walks in SQL."""
+    from node_feedparser_spark.operators.graph_algo import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id")))
+    return random_walks(edges, walk_len=3, walks_per_node=2, seed=11)
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a KG-shaped edge list
     (operators/components.py — the north rule's 'iterative
@@ -1519,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected components as a first-class named query (round 3)
         "kg_components": q_kg_components,
         "link_predict": q_link_predict,
+        "random_walks": q_random_walks,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1735,6 +1753,49 @@ def _author_parse_oracle() -> str:
     """
 
 
+def _random_walks_oracle(walk_len: int = 3, seed: int = 11) -> str:
+    """DuckDB twin of q_random_walks: same bipartite graph, same ranked
+    neighbor lists, same hash-indexed choice at every unrolled step."""
+    h_sql, _, _, _ = _oracle_builders()
+    steps, selects = [], [
+        "SELECT start_node, walk_k, CAST(0 AS BIGINT) AS step, node FROM w0"
+    ]
+    for t in range(1, walk_len + 1):
+        prev = f"w{t - 1}"
+        hexpr = h_sql(
+            f"concat_ws(chr(31), '{seed}', {prev}.start_node, "
+            f"CAST({prev}.walk_k AS VARCHAR), '{t}', {prev}.node)"
+        )
+        steps.append(f"""w{t} AS (SELECT {prev}.start_node, {prev}.walk_k,
+                       nbr.n AS node
+                FROM {prev} JOIN degs ON {prev}.node = degs.u
+                JOIN nbr ON {prev}.node = nbr.u
+                 AND nbr.idx = ({hexpr}) % degs.deg)""")
+        selects.append(
+            f"SELECT start_node, walk_k, CAST({t} AS BIGINT) AS step, node "
+            f"FROM w{t}"
+        )
+    step_ctes = ",\n        ".join(steps)
+    unioned = " UNION ALL ".join(selects)
+    return f"""
+        WITH raw AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                                     'p' || CAST(l_partkey AS VARCHAR) AS n
+                     FROM lineitem),
+        dedges AS (SELECT u, n FROM raw UNION SELECT n, u FROM raw),
+        nbr AS (SELECT u, n,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY n)
+                            AS BIGINT) - 1 AS idx
+                FROM dedges),
+        degs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM dedges GROUP BY u),
+        w0 AS (SELECT u AS start_node, CAST(k AS BIGINT) AS walk_k, u AS node
+               FROM (SELECT DISTINCT u FROM dedges) nodes
+               CROSS JOIN (VALUES (0), (1)) ks(k)),
+        {step_ctes}
+        {unioned}
+    """
+
+
 def _extra_oracles() -> dict[str, str]:
     from node_feedparser_spark.operators.curation import (
         EMAIL_RE as EMAIL_RE_,
@@ -1881,6 +1942,9 @@ def _extra_oracles() -> dict[str, str]:
             FROM nonadj JOIN deg da ON nonadj.na = da.node
                         JOIN deg db ON nonadj.nb = db.node
         """,
+        # the identical hash-indexed walks unrolled as SQL (seed 11,
+        # walks_per_node 2, walk_len 3)
+        "random_walks": _random_walks_oracle(),
         "ivf_ann_topk": f"""
             WITH {cosine_cte},
             cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),

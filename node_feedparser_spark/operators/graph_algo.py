@@ -37,7 +37,7 @@ vectors — one more scalar agg — but is deliberately not the oracle query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -440,3 +440,100 @@ def link_predict(
             ).alias("jaccard"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    seed: int = 11,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Deterministic random-walk corpus over the DIRECTED simple graph —
+    the node2vec/DeepWalk sampling stage of a graph-embedding training
+    pipeline, made reproducible: step t of walk k from node s moves to
+    neighbor number
+
+        portable_hash60(seed \\x1f s \\x1f k \\x1f t \\x1f current) mod outdeg(current)
+
+    of the current node's neighbor list ordered by neighbor id.  Hash-indexed
+    choice instead of an RNG means the same walk corpus on every run, every
+    partitioning, and in the DuckDB oracle (which unrolls the steps as SQL).
+    Walks stop early at dangling nodes (no out-edges).
+
+    Output: one row per visited position — (start_node, walk_k, step, node),
+    step 0 = the start node itself; every node starts walks_per_node walks.
+
+    Plan: neighbor lists are ranked once (ROW_NUMBER per src over dst — the
+    ONE per-node window in the job; a celebrity node pays its degree once
+    at build time, never per step) and out-degrees are one map-side
+    combinable agg.  Each step is then two equi-joins: a 1:1 degree lookup
+    (node-sized table — no skew) that computes choice = h mod deg, and a
+    join of the frontier against the ranked neighbor table on the composite
+    key (node, idx) — which spreads a celebrity node's adjacency across its
+    whole neighbor list instead of funneling deg(u) rows into one task.
+    walk_len step rounds total, each linear in |frontier|; no driver-side
+    state, no RNG state to synchronize.  At 100 TB the frontier is
+    nodes x walks_per_node rows regardless of edge count.
+    """
+    from ..functions.hashing import portable_hash60
+
+    dedges = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("n"))
+        .filter(F.col("u") != F.col("n"))
+        .distinct()
+    )
+    w_rank = Window.partitionBy("u").orderBy("n")
+    nbr = dedges.select(
+        "u", "n", (F.row_number().over(w_rank) - 1).alias("idx")
+    )
+    degs = dedges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        dedges.select(F.col("u").alias("node"))
+        .union(dedges.select(F.col("n").alias("node")))
+        .distinct()
+    )
+    ks = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+    ).alias("walk_k")
+    frontier = nodes.select(
+        F.col("node").alias("start_node"), ks
+    ).withColumn("node", F.col("start_node"))
+    out = frontier.select(
+        "start_node", "walk_k", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, int(walk_len) + 1):
+        h = portable_hash60(
+            F.concat_ws(
+                "\x1f",
+                F.lit(str(seed)),
+                F.col("start_node"),
+                F.col("walk_k").cast("string"),
+                F.lit(str(t)),
+                F.col("node"),
+            )
+        )
+        # two-phase step: (1) 1:1 degree lookup (node-sized table, no
+        # skew), choice = h mod deg; (2) EQUI-join on (node, idx), which
+        # spreads a celebrity node's adjacency across its whole neighbor
+        # list instead of funneling deg(u) rows into one task per step
+        frontier = (
+            frontier.join(degs, frontier.node == degs.u)
+            .withColumn("choice", F.pmod(h, F.col("deg")))
+            .select("start_node", "walk_k", "node", "choice")
+            .join(
+                nbr,
+                (F.col("node") == nbr.u) & (F.col("choice") == nbr.idx),
+            )
+            .select("start_node", "walk_k", F.col("n").alias("node"))
+        )
+        out = out.union(
+            frontier.select(
+                "start_node",
+                "walk_k",
+                F.lit(t).cast("long").alias("step"),
+                "node",
+            )
+        )
+    return out.withColumn("walk_k", F.col("walk_k").cast("long"))

@@ -415,3 +415,84 @@ def test_link_predict_max_degree_caps_pivots_not_endpoints(spark):
     assert hw.n_common == 2
     # deg(h)=5, deg(w)=2 -> jaccard 2/(5+2-2)
     assert hw.jaccard == pytest.approx(0.4, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# random_walks — deterministic node2vec/DeepWalk sampling
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from node_feedparser_spark.operators.graph_algo import random_walks
+
+
+def _rw(df):
+    return {(r.start_node, r.walk_k, r.step): r.node for r in df.collect()}
+
+
+def _choice(seed, start, k, t, cur, deg):
+    s = "\x1f".join([str(seed), start, str(k), str(t), cur])
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % deg
+
+
+def test_walks_stop_at_dangling_and_cover_every_node(spark):
+    # a -> b, b has no out-edges: walks from a reach b at step 1 and stop;
+    # walks from b are their lone start row
+    e = spark.createDataFrame([("a", "b")], "src_id string, dst_id string")
+    got = _rw(random_walks(e, walk_len=3, walks_per_node=2, seed=11))
+    assert got == {
+        ("a", 0, 0): "a", ("a", 0, 1): "b",
+        ("a", 1, 0): "a", ("a", 1, 1): "b",
+        ("b", 0, 0): "b", ("b", 1, 0): "b",
+    }
+
+
+def test_walks_follow_cycle_full_length(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src_id string, dst_id string"
+    )
+    got = _rw(random_walks(e, walk_len=3, walks_per_node=1, seed=11))
+    assert got[("a", 0, 0)] == "a" and got[("a", 0, 1)] == "b"
+    assert got[("a", 0, 2)] == "a" and got[("a", 0, 3)] == "b"
+
+
+def test_walk_choice_matches_portable_hash(spark):
+    """The neighbor picked at each step is EXACTLY hash mod degree into the
+    id-ordered neighbor list — recomputed here with hashlib directly."""
+    e = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z")], "src_id string, dst_id string"
+    )
+    got = _rw(random_walks(e, walk_len=1, walks_per_node=4, seed=11))
+    nbrs = ["x", "y", "z"]
+    for k in range(4):
+        want = nbrs[_choice(11, "a", k, 1, "a", 3)]
+        assert got[("a", k, 1)] == want
+    # different walk_k values must be able to diverge (not all identical)
+    picks = {got[("a", k, 1)] for k in range(4)}
+    assert len(picks) > 1
+
+
+def test_walks_deterministic_and_partition_invariant(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = list({
+        (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}") for _ in range(40)
+    })
+    e = spark.createDataFrame(rows, "src_id string, dst_id string")
+    a = _rw(random_walks(e, walk_len=3, walks_per_node=2, seed=5))
+    b = _rw(random_walks(e.repartition(7), walk_len=3, walks_per_node=2, seed=5))
+    assert a == b
+    # a different seed reroutes at least one walk
+    c = _rw(random_walks(e, walk_len=3, walks_per_node=2, seed=6))
+    assert a != c
+
+
+def test_walks_ignore_self_loops_and_parallel_edges(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")],
+        "src_id string, dst_id string",
+    )
+    got = _rw(random_walks(e, walk_len=2, walks_per_node=1, seed=11))
+    # a's only real neighbor is b (self-loop dropped, duplicate collapsed)
+    assert got[("a", 0, 1)] == "b" and got[("a", 0, 2)] == "c"
