@@ -1256,6 +1256,27 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walk_len=3, walks_per_node=2, seed=11)
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, n_pairs) training pairs (window 2) from
+    the deterministic walk corpus of q_random_walks — the full
+    graph-embedding data pipeline (walks -> pairs) as one declarative plan.
+    Pair generation is array-local over assembled walks; the oracle
+    self-joins the same unrolled-SQL walks on |step diff| <= 2."""
+    from node_feedparser_spark.operators.graph_algo import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id")))
+    walks = random_walks(edges, walk_len=3, walks_per_node=2, seed=11)
+    return skipgram_pairs(walks, window=2)
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a KG-shaped edge list
     (operators/components.py — the north rule's 'iterative
@@ -1537,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": q_kg_components,
         "link_predict": q_link_predict,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1945,6 +1967,17 @@ def _extra_oracles() -> dict[str, str]:
         # the identical hash-indexed walks unrolled as SQL (seed 11,
         # walks_per_node 2, walk_len 3)
         "random_walks": _random_walks_oracle(),
+        # independent pair construction: self-join of the same unrolled
+        # walks on |step diff| <= window, vs the engine's array-local plan
+        "skipgram_pairs": f"""
+            WITH walks AS ({_random_walks_oracle()}),
+            p AS (SELECT a.node AS center, b.node AS context
+                  FROM walks a JOIN walks b
+                    ON a.start_node = b.start_node AND a.walk_k = b.walk_k
+                   AND a.step <> b.step AND ABS(a.step - b.step) <= 2)
+            SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY center, context
+        """,
         "ivf_ann_topk": f"""
             WITH {cosine_cte},
             cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),

@@ -537,3 +537,57 @@ def random_walks(
             )
         )
     return out.withColumn("walk_k", F.col("walk_k").cast("long"))
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) co-occurrence pairs from a walk corpus — the
+    skip-gram training examples a node-embedding model (node2vec/DeepWalk)
+    consumes.  For every walk, every ordered position pair (i, j) with
+    i != j and |i - j| <= window yields one (node_i, node_j) pair; the
+    output is the aggregated multiset (center, context, n_pairs).
+
+    Index-pair generation is deliberate: pairing VALUES and filtering
+    context != center would silently drop self-pairs of revisited nodes
+    (walks on cycles legitimately emit (a, a) when the walk returns within
+    the window) — the index comparison keeps them.
+
+    Plan: ONE shuffle assembles each walk into an in-row array (walks are
+    walk_len+1 long, so collect_list is bounded); pair generation is
+    array-local JVM (sequence/transform/filter over indices — the node
+    array is materialized as a plain column first, so element_at is an
+    O(1) access, not a re-evaluated expression); then one map-side
+    combinable count agg.  Nothing is quadratic in anything but the
+    window, which is a small constant.
+    """
+    seq = walks.groupBy("start_node", "walk_k").agg(
+        F.array_sort(F.collect_list(F.struct("step", "node"))).alias("sq")
+    )
+    arr = seq.select(
+        F.transform("sq", lambda s: s["node"]).alias("arr")
+    )
+    idx = F.sequence(F.lit(0), F.size("arr") - 1)
+    w = F.lit(int(window))
+    pairs = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.filter(
+                            F.sequence(F.lit(0), F.size("arr") - 1),
+                            lambda j: (j != i) & (F.abs(j - i) <= w),
+                        ),
+                        lambda j: F.struct(
+                            F.element_at(F.col("arr"), i + 1).alias("center"),
+                            F.element_at(F.col("arr"), j + 1).alias("context"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -496,3 +496,57 @@ def test_walks_ignore_self_loops_and_parallel_edges(spark):
     got = _rw(random_walks(e, walk_len=2, walks_per_node=1, seed=11))
     # a's only real neighbor is b (self-loop dropped, duplicate collapsed)
     assert got[("a", 0, 1)] == "b" and got[("a", 0, 2)] == "c"
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs — (center, context) training pairs from walks
+# ---------------------------------------------------------------------------
+
+from node_feedparser_spark.operators.graph_algo import skipgram_pairs
+
+
+def _walks(spark, rows):
+    return spark.createDataFrame(
+        rows, "start_node string, walk_k long, step long, node string"
+    )
+
+
+def _sg(df):
+    return {(r.center, r.context): r.n_pairs for r in df.collect()}
+
+
+def test_skipgram_window1_chain(spark):
+    w = _walks(spark, [("x", 0, 0, "x"), ("x", 0, 1, "y"), ("x", 0, 2, "z")])
+    got = _sg(skipgram_pairs(w, window=1))
+    assert got == {
+        ("x", "y"): 1, ("y", "x"): 1, ("y", "z"): 1, ("z", "y"): 1,
+    }
+
+
+def test_skipgram_window2_adds_distance2_pairs(spark):
+    w = _walks(spark, [("x", 0, 0, "x"), ("x", 0, 1, "y"), ("x", 0, 2, "z")])
+    got = _sg(skipgram_pairs(w, window=2))
+    assert got[("x", "z")] == 1 and got[("z", "x")] == 1
+    assert sum(got.values()) == 6
+
+
+def test_skipgram_cycle_walk_keeps_self_pairs(spark):
+    """A walk revisiting a node within the window legitimately emits (a, a):
+    index-pair generation must not collapse them."""
+    w = _walks(spark, [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "a")])
+    got = _sg(skipgram_pairs(w, window=2))
+    assert got[("a", "a")] == 2  # (step0, step2) and (step2, step0)
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+
+
+def test_skipgram_counts_aggregate_across_walks(spark):
+    w = _walks(
+        spark,
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"),
+         ("a", 1, 0, "a"), ("a", 1, 1, "b"),
+         ("c", 0, 0, "c"), ("c", 0, 1, "b")],
+    )
+    got = _sg(skipgram_pairs(w, window=1))
+    assert got[("a", "b")] == 2  # two separate walks, never cross-walk
+    assert got[("c", "b")] == 1
+    assert ("a", "c") not in got
