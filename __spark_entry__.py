@@ -484,6 +484,17 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans: maximal token ranges covered by
+    5-grams occurring in >= 2 distinct documents — the text an exact
+    cross-document dedup pass would cut (the planted near-duplicate docs
+    produce spans up to ~90 tokens).  Gram dim joins on 8-byte hashes (NOT
+    assumed broadcastable); interval merge is an in-row fold."""
+    from node_feedparser_spark.operators.dedupe import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals: distinct-token fraction,
     modal-token fraction, duplicate-3-gram fraction.  Array-local fractions
@@ -1518,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_dedupe": q_payload_dedupe,
         # training-corpus curation
         "near_dup_groups": q_near_dup_groups,
+        "duplicate_spans": q_duplicate_spans,
         "repetition_metrics": q_repetition_metrics,
         "token_budget_sample": q_token_budget_sample,
         "pii_scrub": q_pii_scrub,
@@ -1967,6 +1979,39 @@ def _extra_oracles() -> dict[str, str]:
         # the identical hash-indexed walks unrolled as SQL (seed 11,
         # walks_per_node 2, walk_len 3)
         "random_walks": _random_walks_oracle(),
+        # gaps-and-islands interval merge over string-compared grams (the
+        # engine folds intervals in-row over hash-matched hits)
+        "duplicate_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            g0 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ts) - 5 + 2),
+                                 i -> {'pos': i,
+                                       'gram': array_to_string(ts[i:i+5-1], ' ')}))
+                              AS u
+                   FROM toks WHERE len(ts) >= 5),
+            g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gram FROM g0),
+            dup AS (SELECT gram FROM (
+                        SELECT gram, COUNT(DISTINCT doc_id) AS nd
+                        FROM g GROUP BY gram) t
+                    WHERE nd >= 2),
+            hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            s AS (SELECT doc_id, pos,
+                         CASE WHEN pos <= COALESCE(MAX(pos) OVER (
+                                    PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), -99999) + 5
+                              THEN 0 ELSE 1 END AS brk
+                  FROM hits),
+            grp AS (SELECT doc_id, pos,
+                           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                               AS gid
+                    FROM s)
+            SELECT doc_id, MIN(pos) AS start_tok,
+                   CAST(MAX(pos) + 5 - 1 AS BIGINT) AS end_tok,
+                   CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+            FROM grp GROUP BY doc_id, gid
+        """,
         # independent pair construction: self-join of the same unrolled
         # walks on |step diff| <= window, vs the engine's array-local plan
         "skipgram_pairs": f"""

@@ -424,3 +424,96 @@ def near_dup_groups(
         )
         .withColumn("is_keeper", F.col("group_id") == F.col("doc_id"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring spans (the "Deduplicating Training Data
+    Makes Language Models Better" operation, token-granular): for every
+    document, the maximal token ranges covered by k-grams that also occur
+    in at least ``min_docs - 1`` OTHER documents.  Output one row per
+    maximal span: (doc_id, start_tok, end_tok, span_tokens), 1-based
+    inclusive token positions; documents with no cross-document duplicate
+    k-gram are absent.  WITHIN-document repetition alone does not qualify
+    (that signal is repetition_metrics); this operator finds the text a
+    cross-document exact-dedup pass would cut.
+
+    Plan: positional k-grams via the zip-of-k-slices construction (array
+    local, no per-element re-split), ONE posexplode carrying (doc, pos,
+    gram-hash); the duplicated-gram dim is a distinct-project + count on
+    the 8-byte hash (two map-side-combinable shuffles) and joins back as a
+    plain shuffle hash join — it is corpus-vocabulary sized, NOT assumed
+    broadcastable (unlike boilerplate lines, duplicated grams can be a
+    large fraction of a crawl).  Hit positions then collapse per document:
+    one collect_list of bigints per doc (bounded by doc length), interval
+    merge as an in-row fold — [p, p+k-1] merges into the last interval
+    when p <= last_e + 1, and positions arrive sorted so the running end
+    only ever grows.  60-bit hash collisions: the oracle joins on the gram
+    STRING, so a collision surfaces as a mismatch there (exact_dedupe's
+    portability argument).
+    """
+    from ..functions.hashing import portable_hash60
+    from .curation import _grams  # positional (non-distinct) k-gram builder
+
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_grams(toks, k)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            portable_hash60(F.col("gram")).alias("gh"),
+        )
+    )
+    dup = (
+        base.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = base.join(dup, "gh").select("doc_id", "pos")
+    empty_ivs = F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)")
+    kk = F.lit(int(k))
+
+    def _merge(acc, p):
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"), (p + kk - 1).alias("e")
+                )
+            ),
+        )
+        start = F.concat(
+            acc,
+            F.array(F.struct(p.alias("s"), (p + kk - 1).alias("e"))),
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"] + 1), extend
+        ).otherwise(start)
+
+    spans = (
+        hits.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.explode(F.aggregate(F.col("ps"), empty_ivs, _merge)).alias("iv"),
+        )
+        .select(
+            "doc_id",
+            F.col("iv.s").alias("start_tok"),
+            F.col("iv.e").alias("end_tok"),
+            (F.col("iv.e") - F.col("iv.s") + 1).alias("span_tokens"),
+        )
+    )
+    return spans
