@@ -1288,6 +1288,28 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks, window=2)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (node2vec) biased walks over the triangle-rich part
+    co-purchase graph (parts sharing an order are linked): step 1 uniform,
+    step 2 weighted 1/2/1 by the candidate's relation to the previous node
+    (return / closes-a-triangle / outward) — integer weights, hash-indexed
+    pick, so the DuckDB oracle unrolls the identical walks including both
+    window cumulative-weight ranges."""
+    from node_feedparser_spark.operators.graph_algo import biased_walks
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.concat(F.lit("p"), F.col("a.l_partkey")).alias("src_id"),
+            F.concat(F.lit("p"), F.col("b.l_partkey")).alias("dst_id"),
+        )
+    )
+    return biased_walks(edges, walk_len=2, walks_per_node=1, seed=13)
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a KG-shaped edge list
     (operators/components.py — the north rule's 'iterative
@@ -1571,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "node2vec_walks": q_node2vec_walks,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1830,6 +1853,71 @@ def _random_walks_oracle(walk_len: int = 3, seed: int = 11) -> str:
     """
 
 
+def _biased_walks_oracle(seed: int = 13) -> str:
+    """DuckDB twin of q_node2vec_walks: same co-purchase graph, uniform
+    step 1, and the step-2 cumulative-weight pick (1/2/1) unrolled."""
+    h_sql, _, _, _ = _oracle_builders()
+    h1 = h_sql(
+        f"concat_ws(chr(31), '{seed}', w0.start_node, "
+        "CAST(w0.walk_k AS VARCHAR), '1', w0.node)"
+    )
+    h2 = h_sql(
+        f"concat_ws(chr(31), '{seed}', s2.start_node, "
+        "CAST(s2.walk_k AS VARCHAR), '2', s2.prev, s2.node)"
+    )
+    return f"""
+        WITH pp AS (SELECT DISTINCT
+                        'p' || CAST(a.l_partkey AS VARCHAR) AS sa,
+                        'p' || CAST(b.l_partkey AS VARCHAR) AS sb
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                    WHERE a.l_partkey < b.l_partkey),
+        und AS (SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b
+                FROM pp),
+        dedges AS (SELECT a AS u, b AS n FROM und
+                   UNION ALL SELECT b, a FROM und),
+        nbr AS (SELECT u, n,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY n)
+                            AS BIGINT) - 1 AS idx
+                FROM dedges),
+        degs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM dedges GROUP BY u),
+        w0 AS (SELECT u AS start_node, CAST(0 AS BIGINT) AS walk_k, u AS node
+               FROM (SELECT DISTINCT u FROM dedges) nodes),
+        w1 AS (SELECT w0.start_node, w0.walk_k,
+                      w0.node AS prev, nbr.n AS node
+               FROM w0 JOIN degs ON w0.node = degs.u
+               JOIN nbr ON w0.node = nbr.u
+                AND nbr.idx = ({h1}) % degs.deg),
+        c2 AS (SELECT w1.start_node, w1.walk_k, w1.prev, w1.node,
+                      nbr.n, nbr.idx,
+                      CAST(CASE WHEN nbr.n = w1.prev THEN 1
+                                WHEN ex.a IS NOT NULL THEN 2
+                                ELSE 1 END AS BIGINT) AS wt
+               FROM w1 JOIN nbr ON w1.node = nbr.u
+               LEFT JOIN und ex
+                 ON ex.a = LEAST(w1.prev, nbr.n)
+                AND ex.b = GREATEST(w1.prev, nbr.n)),
+        s2 AS (SELECT *,
+                      SUM(wt) OVER (PARTITION BY start_node, walk_k
+                                    ORDER BY idx
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                      SUM(wt) OVER (PARTITION BY start_node, walk_k) AS tot
+               FROM c2),
+        w2 AS (SELECT start_node, walk_k, node AS prev, n AS node
+               FROM s2
+               WHERE tot > 0
+                 AND ({h2}) % tot >= cum - wt
+                 AND ({h2}) % tot < cum)
+        SELECT start_node, walk_k, CAST(0 AS BIGINT) AS step, node FROM w0
+        UNION ALL
+        SELECT start_node, walk_k, CAST(1 AS BIGINT) AS step, node FROM w1
+        UNION ALL
+        SELECT start_node, walk_k, CAST(2 AS BIGINT) AS step, node FROM w2
+    """
+
+
 def _extra_oracles() -> dict[str, str]:
     from node_feedparser_spark.operators.curation import (
         EMAIL_RE as EMAIL_RE_,
@@ -1979,6 +2067,7 @@ def _extra_oracles() -> dict[str, str]:
         # the identical hash-indexed walks unrolled as SQL (seed 11,
         # walks_per_node 2, walk_len 3)
         "random_walks": _random_walks_oracle(),
+        "node2vec_walks": _biased_walks_oracle(),
         # gaps-and-islands interval merge over string-compared grams (the
         # engine folds intervals in-row over hash-matched hits)
         "duplicate_spans": """

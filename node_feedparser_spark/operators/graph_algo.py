@@ -607,3 +607,168 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def biased_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    seed: int = 13,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_out: int = 1,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Second-order (node2vec-style) biased random walks over the
+    UNDIRECTED simple graph.  Step 1 is uniform (no previous node); from
+    step 2 on, each neighbor x of the current node is weighted by where it
+    sits relative to the PREVIOUS node — the node2vec 1/p / 1 / 1/q search
+    bias, expressed as INTEGER weights so the deterministic choice (and the
+    DuckDB oracle) are exact:
+
+        x == prev                      -> w_return   (node2vec 1/p)
+        x adjacent to prev             -> w_common   (node2vec 1)
+        otherwise                      -> w_out      (node2vec 1/q)
+
+    The defaults (1, 2, 1) correspond to p = q = 2 scaled by 2.  The pick
+    is r = portable_hash60(seed, start, k, t, prev, cur) mod total_weight,
+    mapped into the cumulative-weight ranges of the id-ordered neighbor
+    list — same hash-indexed discipline as random_walks, so the corpus is
+    identical across runs, partitionings, and the unrolled-SQL oracle.
+
+    Cost shape (intrinsic to second-order walks): a step at node u must
+    weigh ALL deg(u) neighbors (the bias depends on each one's relation to
+    prev), so per-step work is sum over frontier of deg(cur) — unlike
+    first-order walks' O(1) indexed pick.  The plan pays it as: one
+    (cur = u) join against the ranked adjacency, one broadcast-eligible
+    LEFT join against the canonical edge set for the is-adjacent-to-prev
+    test keyed on (least, greatest), and ONE window over (start, k) whose
+    partitions are exactly one node's neighborhood — bounded by max
+    degree, the same bound node2vec's alias tables pay in memory.
+    Dangling nodes end walks early; walks on an undirected graph never
+    dangle after step 1 (prev is always a neighbor).
+    """
+    from ..functions.hashing import portable_hash60
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dedges = und.select(F.col("a").alias("u"), F.col("b").alias("n")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("n"))
+    )
+    w_rank = Window.partitionBy("u").orderBy("n")
+    nbr = dedges.select(
+        "u", "n", (F.row_number().over(w_rank) - 1).alias("idx")
+    )
+    degs = dedges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = dedges.select(F.col("u").alias("node")).distinct()
+    ks = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+    ).alias("walk_k")
+    cur0 = nodes.select(F.col("node").alias("start_node"), ks).withColumn(
+        "node", F.col("start_node")
+    )
+    out = cur0.select(
+        "start_node",
+        F.col("walk_k").cast("long").alias("walk_k"),
+        F.lit(0).cast("long").alias("step"),
+        "node",
+    )
+    if walk_len < 1:
+        return out
+
+    # step 1: uniform indexed pick (no prev yet) — random_walks shape
+    h1 = portable_hash60(
+        F.concat_ws(
+            "\x1f",
+            F.lit(str(seed)),
+            F.col("start_node"),
+            F.col("walk_k").cast("string"),
+            F.lit("1"),
+            F.col("node"),
+        )
+    )
+    frontier = (
+        cur0.join(degs, cur0.node == degs.u)
+        .withColumn("choice", F.pmod(h1, F.col("deg")))
+        .select("start_node", "walk_k", "node", "choice")
+        .join(nbr, (F.col("node") == nbr.u) & (F.col("choice") == nbr.idx))
+        .select(
+            "start_node", "walk_k",
+            F.col("node").alias("prev"), F.col("n").alias("node"),
+        )
+    )
+    out = out.union(
+        frontier.select(
+            "start_node",
+            F.col("walk_k").cast("long"),
+            F.lit(1).cast("long").alias("step"),
+            "node",
+        )
+    )
+
+    wt = (
+        F.when(F.col("n") == F.col("prev"), F.lit(int(w_return)))
+        .when(F.col("_adj").isNotNull(), F.lit(int(w_common)))
+        .otherwise(F.lit(int(w_out)))
+        .cast("long")
+    )
+    adj = und.select(
+        F.col("a").alias("_pa"), F.col("b").alias("_pb"),
+        F.lit(1).alias("_adj"),
+    )
+    for t in range(2, int(walk_len) + 1):
+        cand = frontier.join(nbr, frontier.node == nbr.u).join(
+            adj,
+            (F.least(F.col("prev"), F.col("n")) == F.col("_pa"))
+            & (F.greatest(F.col("prev"), F.col("n")) == F.col("_pb")),
+            "left",
+        ).withColumn("wt", wt)
+        w_walk = Window.partitionBy("start_node", "walk_k")
+        w_cum = w_walk.orderBy("idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ht = portable_hash60(
+            F.concat_ws(
+                "\x1f",
+                F.lit(str(seed)),
+                F.col("start_node"),
+                F.col("walk_k").cast("string"),
+                F.lit(str(t)),
+                F.col("prev"),
+                F.col("node"),
+            )
+        )
+        picked = (
+            cand.withColumn("cum", F.sum("wt").over(w_cum))
+            .withColumn("tot", F.sum("wt").over(w_walk))
+            # tot = 0 (every candidate weighted 0, e.g. w_return=0 at a
+            # degree-1 dead end) legally ends the walk: NULL r fails both
+            # range predicates, and ANSI mode would reject pmod(h, 0)
+            .withColumn(
+                "r", F.when(F.col("tot") > 0, F.pmod(ht, F.col("tot")))
+            )
+            .filter(
+                (F.col("r") >= F.col("cum") - F.col("wt"))
+                & (F.col("r") < F.col("cum"))
+            )
+        )
+        frontier = picked.select(
+            "start_node", "walk_k",
+            F.col("node").alias("prev"), F.col("n").alias("node"),
+        )
+        out = out.union(
+            frontier.select(
+                "start_node",
+                F.col("walk_k").cast("long"),
+                F.lit(t).cast("long").alias("step"),
+                "node",
+            )
+        )
+    return out

@@ -550,3 +550,87 @@ def test_skipgram_counts_aggregate_across_walks(spark):
     assert got[("a", "b")] == 2  # two separate walks, never cross-walk
     assert got[("c", "b")] == 1
     assert ("a", "c") not in got
+
+
+# ---------------------------------------------------------------------------
+# biased_walks — second-order (node2vec p,q) walks
+# ---------------------------------------------------------------------------
+
+from node_feedparser_spark.operators.graph_algo import biased_walks
+
+
+def _bw(df):
+    return {(r.start_node, r.walk_k, r.step): r.node for r in df.collect()}
+
+
+def _h60(parts):
+    s = "\x1f".join(parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_biased_step2_on_path_uses_return_vs_out_weights(spark):
+    """Path a-b-c: from a, step 1 must go to b (only neighbor); at b with
+    prev=a the candidates are a (w_return=1) and c (w_out=1), cumulative
+    ranges [0,1) and [1,2) over id order — recomputed with hashlib."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_id string, dst_id string"
+    )
+    got = _bw(biased_walks(e, walk_len=2, walks_per_node=1, seed=13))
+    assert got[("a", 0, 1)] == "b"
+    r = _h60(["13", "a", "0", "2", "a", "b"]) % 2
+    assert got[("a", 0, 2)] == ("a" if r == 0 else "c")
+
+
+def test_biased_step2_on_triangle_weights_common_neighbor_double(spark):
+    """Triangle a-b-c with defaults (w_return=1, w_common=2): at step 2 the
+    non-prev neighbor closes a triangle, so ranges are prev [0,1) and the
+    common neighbor [1,3) in id order of b's/c's adjacency."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src_id string, dst_id string"
+    )
+    got = _bw(biased_walks(e, walk_len=2, walks_per_node=1, seed=13))
+    first = got[("a", 0, 1)]
+    assert first == ["b", "c"][_h60(["13", "a", "0", "1", "a"]) % 2]
+    nxt = got[("a", 0, 2)]
+    other = "c" if first == "b" else "b"
+    nbrs = sorted(["a", other])  # id-ordered adjacency of `first`
+    r = _h60(["13", "a", "0", "2", "a", first]) % 3
+    # weights in id order: a (prev) -> 1, other (common) -> 2
+    ranges = {}
+    cum = 0
+    for n in nbrs:
+        w = 1 if n == "a" else 2
+        ranges[n] = (cum, cum + w)
+        cum += w
+    want = next(n for n, (lo, hi) in ranges.items() if lo <= r < hi)
+    assert nxt == want
+
+
+def test_biased_never_return_with_zero_weight(spark):
+    """w_return=0 makes the return range empty: on a path the walk must
+    always move outward."""
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    e = spark.createDataFrame(chain, "src_id string, dst_id string")
+    for sd in (1, 2, 3, 4, 5):
+        got = _bw(biased_walks(e, walk_len=3, walks_per_node=1, seed=sd,
+                               w_return=0))
+        assert got[("a", 0, 1)] == "b"
+        assert got[("a", 0, 2)] == "c"   # never back to a
+        assert got[("a", 0, 3)] == "d"   # never back to b
+
+
+def test_biased_deterministic_and_partition_invariant(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = list({
+        (f"n{rng.randrange(10)}", f"n{rng.randrange(10)}") for _ in range(30)
+    })
+    e = spark.createDataFrame(rows, "src_id string, dst_id string")
+    a = _bw(biased_walks(e, walk_len=3, walks_per_node=2, seed=4))
+    b = _bw(biased_walks(e.repartition(5), walk_len=3, walks_per_node=2, seed=4))
+    assert a == b
+    # every walk emits exactly one node per (start, k, step) it reaches
+    import collections
+    c = collections.Counter((k[0], k[1], k[2]) for k in a)
+    assert all(v == 1 for v in c.values())
