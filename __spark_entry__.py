@@ -287,6 +287,22 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over the int8-QUANTIZED corpus (per-dim min-max scalar
+    quantization, dequantized in-row for scoring; queries stay float) —
+    the memory-bound ANN plan for a corpus that only fits quantized.  The
+    oracle replays the identical quantize/dequantize arithmetic
+    relationally (exact aggregates, one IEEE division, half-up rounding
+    of non-negative values — bit-equal across engines)."""
+    from node_feedparser_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tk = quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return tk.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.4, size-dispatched (r3)
     — exact broadcast matmul below the 50k cutoff (this oracle's regime),
@@ -1536,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
+        "quantized_topk": q_quantized_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
@@ -1972,6 +1989,30 @@ def _extra_oracles() -> dict[str, str]:
             s AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                          ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
                   FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 10),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rnk FROM s)
+            SELECT query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 5
+        """,
+        # identical per-dim min-max quantize -> dequantize arithmetic,
+        # replayed relationally; queries stay float (q.v)
+        "quantized_topk": f"""
+            WITH {cosine_cte},
+            x AS (SELECT vec_id, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            st AS (SELECT pos, MIN(x) AS mn,
+                          (MAX(x) - MIN(x)) / 255.0 AS sc
+                   FROM x GROUP BY pos),
+            dqv AS (SELECT x.vec_id,
+                           list(CASE WHEN st.sc > 0
+                                     THEN st.mn + ROUND((x.x - st.mn) / st.sc)
+                                          * st.sc
+                                     ELSE st.mn END ORDER BY x.pos) AS dv
+                    FROM x JOIN st USING (pos) GROUP BY x.vec_id),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                         ROUND(list_cosine_similarity(q.v, c.dv), 6) AS score
+                  FROM e q JOIN dqv c ON c.vec_id <> q.vec_id
                   WHERE q.vec_id < 10),
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                              ORDER BY score DESC, vec_id ASC) AS rnk FROM s)

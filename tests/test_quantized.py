@@ -1,0 +1,62 @@
+"""Scalar embedding quantization + quantized ANN: roundtrip error bound,
+constant-dimension guard, and measured recall vs the float baseline."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from node_feedparser_spark.operators.similarity import (
+    cosine_topk,
+    quantize_embeddings,
+    quantized_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_range_and_roundtrip_error_bound(spark):
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.uniform(-3, 7, 8)]) for i in range(40)]
+    docs = _emb(spark, rows)
+    q = {r.vec_id: r.qvec for r in quantize_embeddings(docs).collect()}
+    flat = [v for qs in q.values() for v in qs]
+    assert min(flat) >= 0 and max(flat) <= 255
+    # per-dim stats recomputed here; dequantized error <= scale/2
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    sc = (mx - mn) / 255.0
+    for i, vec in rows:
+        dq = mn + np.array(q[i], dtype=np.float64) * sc
+        assert np.all(np.abs(dq - np.asarray(vec, dtype=np.float64))
+                      <= sc / 2 + 1e-9)
+
+
+def test_constant_dimension_quantizes_to_zero(spark):
+    docs = _emb(spark, [(1, [5.0, 1.0]), (2, [5.0, 3.0]), (3, [5.0, 2.0])])
+    q = {r.vec_id: r.qvec for r in quantize_embeddings(docs).collect()}
+    assert all(qs[0] == 0 for qs in q.values())  # dim 0 constant
+    assert q[1][1] == 0 and q[2][1] == 255       # dim 1 spans min..max
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    quant = quantized_topk(emb, queries, k=5)
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in quant.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, recall
+
+
+def test_quantized_topk_partition_invariant(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = {(r.query_id, r.rank): r.vec_id
+         for r in quantized_topk(emb, queries, k=3).collect()}
+    b = {(r.query_id, r.rank): r.vec_id
+         for r in quantized_topk(emb.repartition(13), queries, k=3).collect()}
+    assert a == b
