@@ -340,6 +340,29 @@ def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedupe(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact and IVF top-5 lists (c=60):
+    heterogeneous retrieval strategies combined without comparable scores.
+    Output-sized all the way — union of two top-k lists, one sum agg, one
+    bounded window.  The oracle fuses the two existing oracle queries."""
+    from node_feedparser_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the fused inputs ARE the two named queries verbatim (including their
+    # different query sets: exact vec_id<10, IVF vec_id<8), so the oracle
+    # composes their oracle SQL unchanged — queries 8-9 fuse from the
+    # exact list alone, a legitimate RRF case (a strategy missing a query)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    ivf = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4
+    )
+    return rrf_fuse([exact, ivf], k=5)
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-probe ANN: deterministic centroids (vec_id<16), probe 4 of
     16 cells, top-5 — the scale path whose plan partitions by cell."""
@@ -1557,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "rrf_fusion": q_rrf_fusion,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1952,7 +1976,7 @@ def _extra_oracles() -> dict[str, str]:
                         WHEN 'src2' THEN 'audio/wav'
                         WHEN 'src3' THEN 'video/mp4'
                         ELSE 'application/octet-stream' END"""
-    return {
+    d = {
         "minhash_near_dup": f"""
             WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles
                         FROM documents),
@@ -2956,3 +2980,18 @@ def _extra_oracles() -> dict[str, str]:
             FROM m GROUP BY doc_id
         """,
     }
+    # composed independently from the two retrieval oracles it fuses
+    d["rrf_fusion"] = f"""
+        WITH a AS ({d['embedding_topk']}),
+        b AS ({d['ivf_ann_topk']}),
+        u AS (SELECT query_id, vec_id, rank FROM a
+              UNION ALL SELECT query_id, vec_id, rank FROM b),
+        s AS (SELECT query_id, vec_id,
+                     ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf_score
+              FROM u GROUP BY query_id, vec_id),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_score DESC, vec_id ASC) AS BIGINT) AS rnk
+              FROM s)
+        SELECT query_id, vec_id, rrf_score, rnk AS rank FROM r WHERE rnk <= 5
+    """
+    return d

@@ -622,3 +622,37 @@ def quantized_topk(
         corpus_dq, queries, k=k,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 5, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard way
+    to combine heterogeneous ANN/retrieval strategies (exact, IVF,
+    quantized, lexical) without comparable scores: each list contributes
+    1/(c + rank) per (query, candidate), fused score = the sum, re-ranked
+    top-k with the repo's (score desc, vec_id asc) tie-break.
+
+    Inputs are (query_id, vec_id, rank) frames (cosine_topk / ivf_topk /
+    quantized_topk shapes).  Plan: one union (no recompute of the inputs
+    beyond their own plans), one map-side-combinable sum keyed by
+    (query, candidate) — output-sized, since every input is already a
+    top-k list — and one window over per-query groups bounded by
+    k * len(rankings).  Nothing here ever touches the corpus.
+    """
+    u = rankings[0].select("query_id", "vec_id", "rank")
+    for r in rankings[1:]:
+        u = u.union(r.select("query_id", "vec_id", "rank"))
+    fused = u.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum(1.0 / (F.lit(int(c)) + F.col("rank"))), 6).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rrf_score", "rank")
+    )

@@ -60,3 +60,35 @@ def test_quantized_topk_partition_invariant(spark):
     b = {(r.query_id, r.rank): r.vec_id
          for r in quantized_topk(emb.repartition(13), queries, k=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse — reciprocal-rank fusion of ranked lists
+# ---------------------------------------------------------------------------
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, vec_id long, rank long")
+
+
+def test_rrf_both_lists_beat_single_list(spark):
+    from node_feedparser_spark.operators.similarity import rrf_fuse
+
+    a = _rank_df(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _rank_df(spark, [(1, 10, 2), (1, 12, 1)])
+    got = {r.vec_id: (r.rrf_score, r.rank) for r in rrf_fuse([a, b], k=3).collect()}
+    # 10 in both lists: 1/61 + 1/62; 12 in one at rank 1: 1/61; 11: 1/62
+    assert got[10] == (round(1 / 61 + 1 / 62, 6), 1)
+    assert got[12] == (round(1 / 61, 6), 2)
+    assert got[11] == (round(1 / 62, 6), 3)
+
+
+def test_rrf_ties_break_by_vec_id_and_k_cuts(spark):
+    from node_feedparser_spark.operators.similarity import rrf_fuse
+
+    a = _rank_df(spark, [(1, 30, 1), (1, 20, 1)])  # same rank, same score
+    b = _rank_df(spark, [(1, 40, 1)])
+    out = rrf_fuse([a, b], k=2).collect()
+    assert len(out) == 2
+    got = {r.rank: r.vec_id for r in out}
+    assert got[1] == 20 and got[2] == 30  # vec_id asc on the tie; 40 ties too
