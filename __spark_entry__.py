@@ -588,6 +588,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
 
 
+def q_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-suite contamination matrix: two planted eval suites (doc_id%97
+    and doc_id%89 — overlapping at %8633, so some docs hit BOTH) against
+    the corpus; one corpus explode regardless of suite count, broadcast
+    (set, gram) dim, hit-pairs-only output."""
+    from node_feedparser_spark.operators.curation import decontaminate_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.lit("suiteA").alias("eval_set"), "text"
+    ).union(
+        docs.filter(F.col("doc_id") % 89 == 0).select(
+            F.lit("suiteB").alias("eval_set"), "text"
+        )
+    )
+    return decontaminate_multi(docs, ev)
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.3) per-source training-mixture weights
     from per-source token totals."""
@@ -1597,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "decontaminate_multi": q_decontaminate_multi,
         "mixture_weights": q_mixture_weights,
         "stratified_split": q_stratified_split,
         "tfidf_topk": q_tfidf_topk,
@@ -2885,6 +2904,22 @@ def _extra_oracles() -> dict[str, str]:
                    COALESCE(h.n_overlap, 0) AS n_overlap,
                    COALESCE(h.n_overlap, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontaminate_multi": f"""
+            WITH ev AS (
+                SELECT DISTINCT eval_set, g FROM (
+                    SELECT 'suiteA' AS eval_set,
+                           unnest({shingles_sql('text', 3)}) AS g
+                    FROM documents WHERE doc_id % 97 = 0
+                    UNION ALL
+                    SELECT 'suiteB' AS eval_set,
+                           unnest({shingles_sql('text', 3)}) AS g
+                    FROM documents WHERE doc_id % 89 = 0) t),
+            dg AS (
+                SELECT doc_id, unnest({shingles_sql('text', 3)}) AS g
+                FROM documents)
+            SELECT doc_id, eval_set, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM dg JOIN ev USING (g) GROUP BY doc_id, eval_set
         """,
         "mixture_weights": """
             WITH per AS (

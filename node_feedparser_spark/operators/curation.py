@@ -250,6 +250,47 @@ def decontaminate(
     )
 
 
+def decontaminate_multi(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    set_col: str = "eval_set",
+) -> DataFrame:
+    """Per-suite contamination matrix: for every (training doc, eval SET)
+    pair sharing at least one token k-gram, the overlapping-gram count —
+    the report a data team reads to decide WHICH benchmark forced a
+    document out, where `decontaminate` only answers whether any did.
+
+    Same shape and same scale argument as decontaminate: the eval side
+    collapses to DISTINCT (set, gram) pairs and BROADCASTS (eval suites
+    are tiny next to the corpus); the corpus explodes its per-doc distinct
+    grams ONCE regardless of how many suites there are, the join fans each
+    gram out only to the suites containing it, and one map-side-combinable
+    count agg keys on (doc, set).  Output is hit-pairs only (no doc x set
+    cross product materializes).
+    """
+    from ..functions.hashing import token_shingles
+
+    ev = (
+        eval_docs.select(
+            F.col(set_col).alias("eval_set"),
+            F.explode(token_shingles(text_col, k)).alias("g"),
+        )
+        .distinct()
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(token_shingles(text_col, k)).alias("g"),
+        )
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "eval_set")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 def boilerplate_scrub(
     docs: DataFrame,
     min_docs: int = 5,

@@ -319,3 +319,27 @@ def test_boilerplate_scrub_broadcasts_frequent_dim(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_multi_per_suite_counts(spark):
+    from node_feedparser_spark.operators.curation import decontaminate_multi
+
+    docs = _line_docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),   # hits A (1 shared 3-gram x2 pos? distinct grams)
+            (2, "epsilon zeta eta theta"),   # hits B
+            (3, "alpha beta gamma epsilon zeta eta"),  # hits BOTH
+            (4, "nothing shared here at all"),
+        ],
+    )
+    ev = spark.createDataFrame(
+        [("A", "alpha beta gamma"), ("B", "epsilon zeta eta")],
+        "eval_set string, text string",
+    )
+    got = {(r.doc_id, r.eval_set): r.n_overlap
+           for r in decontaminate_multi(docs, ev).collect()}
+    assert got[(1, "A")] == 1 and (1, "B") not in got
+    assert got[(2, "B")] == 1 and (2, "A") not in got
+    assert got[(3, "A")] == 1 and got[(3, "B")] == 1
+    assert not any(d == 4 for d, _ in got)
