@@ -1345,6 +1345,28 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks, window=2)
 
 
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (3-round Bellman-Ford) from suppliers
+    s1-s3 over the undirected supplier<->part shipment graph, edge weight
+    = min l_quantity per pair: one dist-join-min relaxation per round
+    with a changed-rows frontier; the oracle unrolls the same three
+    full-table relaxations (frontier vs full-table are semantically
+    identical — the frontier is only a work saver)."""
+    from node_feedparser_spark.operators.graph_algo import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+        F.col("l_quantity").cast("double").alias("weight"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id"), F.col("weight")))
+    seeds = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") <= 3
+    ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    return shortest_paths(edges, seeds, max_hops=3)
+
+
 def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order (node2vec) biased walks over the triangle-rich part
     co-purchase graph (parts sharing an order are linked): step 1 uniform,
@@ -1654,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "node2vec_walks": q_node2vec_walks,
+        "shortest_paths": q_shortest_paths,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2152,6 +2175,35 @@ def _extra_oracles() -> dict[str, str]:
         # walks_per_node 2, walk_len 3)
         "random_walks": _random_walks_oracle(),
         "node2vec_walks": _biased_walks_oracle(),
+        # three full-table relaxation rounds (the engine's changed-rows
+        # frontier is a work saver with identical semantics)
+        "shortest_paths": """
+            WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                                'p' || CAST(l_partkey AS VARCHAR) AS v,
+                                CAST(l_quantity AS DOUBLE) AS w
+                         FROM lineitem),
+            eb AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
+            e AS (SELECT u, v, MIN(w) AS w FROM eb GROUP BY u, v),
+            d0 AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+                          0.0 AS dist
+                   FROM supplier WHERE s_suppkey <= 3),
+            d1 AS (SELECT node, MIN(dist) AS dist FROM (
+                     SELECT node, dist FROM d0
+                     UNION ALL
+                     SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON d0.node = e.u
+                   ) t GROUP BY node),
+            d2 AS (SELECT node, MIN(dist) AS dist FROM (
+                     SELECT node, dist FROM d1
+                     UNION ALL
+                     SELECT e.v, d1.dist + e.w FROM d1 JOIN e ON d1.node = e.u
+                   ) t GROUP BY node),
+            d3 AS (SELECT node, MIN(dist) AS dist FROM (
+                     SELECT node, dist FROM d2
+                     UNION ALL
+                     SELECT e.v, d2.dist + e.w FROM d2 JOIN e ON d2.node = e.u
+                   ) t GROUP BY node)
+            SELECT node, dist FROM d3
+        """,
         # gaps-and-islands interval merge over string-compared grams (the
         # engine folds intervals in-row over hash-matched hits)
         "duplicate_spans": """

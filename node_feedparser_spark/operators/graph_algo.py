@@ -772,3 +772,78 @@ def biased_walks(
             )
         )
     return out
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    weight: str = "weight",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths, bounded to
+    ``max_hops`` relaxation rounds — Bellman-Ford on DataFrames.  Output:
+    (node, dist) for every node reachable from any seed within max_hops
+    directed hops, dist = minimum total edge weight (seeds at 0.0).
+
+    khop's unweighted cousin: where khop expands a delta frontier (set
+    semantics), weighted relaxation must revisit nodes whose DISTANCE
+    improves, so each round is
+
+        dist' = min(dist, min over edges (u,v,w) of dist[u] + w)
+
+    — one join of the current distance table with the static min-weight
+    edge list plus one map-side-combinable min agg.  Parallel edges
+    collapse to their minimum weight up front (any heavier duplicate can
+    never win a relaxation).  The frontier optimization: only rows whose
+    distance CHANGED last round are joined against the edges (improved
+    set), so settled regions stop costing — the classic delta refinement,
+    same reason khop tracks a frontier.  localCheckpoint per round
+    truncates lineage (components.py discipline).  All arithmetic is
+    IEEE additions of the same operands in both engines, so the DuckDB
+    oracle's unrolled rounds agree exactly.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .groupBy("_s", "_d")
+        .agg(F.min("_w").alias("_w"))
+    )
+    e = e.localCheckpoint() if checkpoint else e.cache()
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+    )
+    if checkpoint:
+        dist = dist.localCheckpoint()
+    improved = dist
+    for _ in range(int(max_hops)):
+        relaxed = (
+            improved.join(e, improved.node == e._s)
+            .select(F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        nxt = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint()
+        improved = nxt.join(
+            dist.withColumnRenamed("dist", "_old"), "node", "left"
+        ).filter(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).select("node", "dist")
+        if checkpoint:
+            improved = improved.localCheckpoint()
+        if improved.isEmpty():
+            return nxt
+        dist = nxt
+    return dist

@@ -634,3 +634,68 @@ def test_biased_deterministic_and_partition_invariant(spark):
     import collections
     c = collections.Counter((k[0], k[1], k[2]) for k in a)
     assert all(v == 1 for v in c.values())
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths — bounded weighted Bellman-Ford
+# ---------------------------------------------------------------------------
+
+from node_feedparser_spark.operators.graph_algo import shortest_paths
+
+
+def _sp(spark, pairs, seeds, hops):
+    e = spark.createDataFrame(pairs, "src_id string, dst_id string, weight double")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {r.node: r.dist for r in shortest_paths(e, s, max_hops=hops).collect()}
+
+
+def test_sp_chain_and_hop_bound(spark):
+    pairs = [("a", "b", 1.0), ("b", "c", 2.0)]
+    assert _sp(spark, pairs, ["a"], 2) == {"a": 0.0, "b": 1.0, "c": 3.0}
+    assert _sp(spark, pairs, ["a"], 1) == {"a": 0.0, "b": 1.0}
+
+
+def test_sp_two_hop_path_beats_direct_edge(spark):
+    pairs = [("a", "b", 1.0), ("b", "d", 1.0), ("a", "d", 3.0)]
+    got = _sp(spark, pairs, ["a"], 3)
+    assert got["d"] == 2.0  # improved in round 2 after 3.0 in round 1
+
+
+def test_sp_parallel_edges_take_min_and_directed(spark):
+    pairs = [("a", "b", 5.0), ("a", "b", 2.0), ("b", "a", 1.0)]
+    got = _sp(spark, pairs, ["a"], 2)
+    assert got["b"] == 2.0
+    # directed: seeds at b reach a via the 1.0 edge, not the reverse 2.0
+    assert _sp(spark, pairs, ["b"], 1)["a"] == 1.0
+
+
+def test_sp_multi_seed_min_and_early_stop_cycle(spark):
+    pairs = [("a", "b", 10.0), ("c", "b", 1.0), ("b", "a", 1.0)]
+    got = _sp(spark, pairs, ["a", "c"], 10)  # cycle, far more hops than needed
+    assert got == {"a": 0.0, "c": 0.0, "b": 1.0}
+    # b reached cheaper from c; a stays 0 (its own seed beats c->b->a = 2)
+
+
+def test_sp_matches_python_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [
+        (f"n{rng.randrange(15)}", f"n{rng.randrange(15)}", float(rng.randint(1, 9)))
+        for _ in range(60)
+    ]
+    pairs = [(a, b, w) for a, b, w in pairs if a != b]
+    hops, seeds = 4, ["n0", "n1"]
+    got = _sp(spark, pairs, seeds, hops)
+    # python Bellman-Ford, k rounds, min parallel edge
+    w = {}
+    for a, b, x in pairs:
+        w[(a, b)] = min(w.get((a, b), float("inf")), x)
+    dist = {s: 0.0 for s in seeds}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for (a, b), x in w.items():
+            if a in dist and dist[a] + x < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + x
+        dist = nxt
+    assert got == dist
