@@ -1596,6 +1596,130 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_truth_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion (round 3): conflicting (subj, pred) -> obj claims
+    resolved by 2-iteration source-trust voting (operators/fusion.py).
+    Claims: each supplier asserts a part's returnflag and linestatus —
+    many sources, genuine conflicts.  The oracle unrolls the identical
+    trust/confidence fixed-point in SQL, so every semantic choice
+    (per-claim denominators, avg-trust update, argmax tie-break on obj)
+    is independently pinned."""
+    from node_feedparser_spark.operators.fusion import truth_fusion
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("subj"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("source"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    )
+    claims = base.select(
+        "subj", F.lit("returnflag").alias("pred"), F.col("rf").alias("obj"), "source"
+    ).unionAll(
+        base.select(
+            "subj", F.lit("linestatus").alias("pred"), F.col("ls").alias("obj"), "source"
+        )
+    )
+    return truth_fusion(claims, n_iter=2)
+
+
+def q_entity_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 valid-interval materialization (round 3): collapse each
+    user's event stream into (value, valid_from, valid_to) intervals at
+    event_type change points, via the BUCKETED two-level plan
+    (operators/timeline.py — local change flags per (user, day), boundary
+    table carries each bucket's last value across the seam).  The oracle
+    is the textbook single-window lag/cumsum/lead SQL."""
+    from node_feedparser_spark.operators.timeline import scd2_timeline
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_timeline(ev, bucket_width_seconds=86_400)
+    return out.select(
+        "user_id",
+        F.col("interval_id").cast("long").alias("interval_id"),
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "n_events",
+    )
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (round 3):
+    k=2 deterministic hash-corrupted tails per positive supplier->part
+    edge, anti-joined against the true edges
+    (operators/graph_algo.negative_samples).  The oracle replays the same
+    portable 60-bit hash and NOT EXISTS filter."""
+    from node_feedparser_spark.operators.graph_algo import negative_samples
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 25)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src_id"),
+        F.col("l_partkey").cast("long").alias("dst_id"),
+    )
+    n_ent = (
+        _t(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0] + 1
+    )
+    out = negative_samples(edges, n_entities=int(n_ent), k=2, seed=17)
+    return out.select(
+        "src_id",
+        "dst_id",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        "neg_dst",
+    )
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score (round 3): the CCNet/Gopher
+    perplexity-gate shape with the LM trained by the corpus itself —
+    add-one-smoothed mean token log-probability per document
+    (operators/text_analysis.unigram_lm_score)."""
+    from node_feedparser_spark.operators.text_analysis import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 3): hashed-bigram log-likelihood
+    ratio of the English subset vs the whole corpus, ranked for selection
+    (operators/curation.dsir_weights)."""
+    from node_feedparser_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en", n_buckets=1024, k=2)
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI co-occurrence edges (round 3): parts co-purchased within an
+    order, weighted by ln(n_ab * N / (n_a * n_b)) over distinct baskets,
+    with the d^2 mega-basket guard (max_basket=10) applied BEFORE pairing
+    (operators/graph_algo.pmi_edges)."""
+    from node_feedparser_spark.operators.graph_algo import pmi_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    return pmi_edges(baskets, min_count=2, max_basket=10)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (round 3): 3 rounds of drop-degree<30 over
+    the symmetrized supplier<->part graph
+    (operators/graph_algo.kcore) — the density filter run before
+    embedding/community stages.  The oracle unrolls the same three
+    peeling rounds."""
+    from node_feedparser_spark.operators.graph_algo import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    return kcore(edges, k=30, n_rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1684,6 +1808,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "label_propagation": q_label_propagation,
+        # knowledge fusion + temporal KG + embedding-training data (round 3)
+        "truth_fusion": q_truth_fusion,
+        "entity_timelines": q_entity_timelines,
+        "negative_sampling": q_negative_sampling,
+        "kcore": q_kcore,
+        "pmi_pairs": q_pmi_pairs,
+        # corpus curation: LM quality + importance resampling (round 3)
+        "unigram_lm": q_unigram_lm,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -3080,5 +3213,182 @@ def _extra_oracles() -> dict[str, str]:
                      ORDER BY rrf_score DESC, vec_id ASC) AS BIGINT) AS rnk
               FROM s)
         SELECT query_id, vec_id, rrf_score, rnk AS rank FROM r WHERE rnk <= 5
+    """
+    # --- knowledge fusion: unrolled 2-iteration trust/confidence fixed point
+    d["truth_fusion"] = """
+        WITH claims AS (
+            SELECT DISTINCT subj, pred, obj, source FROM (
+                SELECT 'p' || l_partkey AS subj, 'returnflag' AS pred,
+                       l_returnflag AS obj, 's' || l_suppkey AS source
+                FROM lineitem
+                UNION ALL
+                SELECT 'p' || l_partkey, 'linestatus',
+                       l_linestatus, 's' || l_suppkey
+                FROM lineitem) t),
+        num1 AS (SELECT subj, pred, obj, ROUND(SUM(1.0), 9) AS num,
+                        CAST(COUNT(*) AS BIGINT) AS n_sources
+                 FROM claims GROUP BY 1, 2, 3),
+        den1 AS (SELECT subj, pred, ROUND(SUM(1.0), 9) AS den
+                 FROM claims GROUP BY 1, 2),
+        conf1 AS (SELECT n.subj, n.pred, n.obj,
+                         ROUND(n.num / d.den, 9) AS conf
+                  FROM num1 n JOIN den1 d USING (subj, pred)),
+        trust1 AS (SELECT c.source, ROUND(AVG(f.conf), 9) AS trust
+                   FROM claims c JOIN conf1 f
+                   ON c.subj = f.subj AND c.pred = f.pred AND c.obj = f.obj
+                   GROUP BY 1),
+        num2 AS (SELECT c.subj, c.pred, c.obj, ROUND(SUM(t.trust), 9) AS num,
+                        CAST(COUNT(*) AS BIGINT) AS n_sources
+                 FROM claims c JOIN trust1 t USING (source)
+                 GROUP BY 1, 2, 3),
+        den2 AS (SELECT c.subj, c.pred, ROUND(SUM(t.trust), 9) AS den
+                 FROM claims c JOIN trust1 t USING (source)
+                 GROUP BY 1, 2),
+        conf2 AS (SELECT n.subj, n.pred, n.obj, n.n_sources,
+                         ROUND(n.num / d.den, 9) AS conf
+                  FROM num2 n JOIN den2 d USING (subj, pred)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred
+                          ORDER BY conf DESC, obj ASC) AS rn
+              FROM conf2)
+        SELECT subj, pred, obj, ROUND(conf, 6) AS confidence, n_sources
+        FROM r WHERE rn = 1
+    """
+    # --- SCD2 timeline: textbook lag/cumsum islands + lead(valid_from)
+    d["entity_timelines"] = """
+        WITH flags AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN ROW_NUMBER() OVER w = 1
+                          OR event_type IS DISTINCT FROM
+                             LAG(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        iv AS (SELECT user_id, event_type, ts,
+                      CAST(SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) - 1
+                          AS interval_id
+               FROM flags),
+        g AS (SELECT user_id, interval_id, MAX(event_type) AS event_type,
+                     MIN(ts) AS valid_from,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM iv GROUP BY 1, 2)
+        SELECT user_id, interval_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY interval_id) AS valid_to,
+               n_events
+        FROM g
+    """
+    # --- filtered negative sampling: same portable hash + NOT EXISTS
+    neg_hash = portable_hash60_sql_(
+        "CAST(src_id AS VARCHAR) || chr(31) || CAST(dst_id AS VARCHAR) "
+        "|| chr(31) || CAST(sample_idx AS VARCHAR)",
+        seed=17,
+    )
+    d["negative_sampling"] = f"""
+        WITH pos AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src_id,
+                            CAST(l_partkey AS BIGINT) AS dst_id
+                     FROM lineitem WHERE l_suppkey < 25),
+        n AS (SELECT MAX(p_partkey) + 1 AS n_ent FROM part),
+        cand AS (SELECT src_id, dst_id, CAST(j.sample_idx AS BIGINT)
+                            AS sample_idx,
+                        CAST({neg_hash} % (SELECT n_ent FROM n) AS BIGINT)
+                            AS neg_dst
+                 FROM pos CROSS JOIN (SELECT unnest(generate_series(1, 2))
+                                      AS sample_idx) j)
+        SELECT c.src_id, c.dst_id, c.sample_idx, c.neg_dst
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.src_id = c.src_id
+                            AND p.dst_id = c.neg_dst)
+    """
+    # --- corpus-unigram LM score: add-one smoothing, mean ln p(w)
+    d["unigram_lm"] = """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                       CAST(COUNT(*) AS BIGINT) AS vocab
+                FROM counts),
+        s AS (SELECT doc_id,
+                     ROUND(LN(CAST(cnt + 1 AS DOUBLE) / (n_total + vocab)), 9)
+                         AS logp
+              FROM toks JOIN counts USING (token) CROSS JOIN tot)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(logp), 4) AS avg_logp
+        FROM s GROUP BY 1
+    """
+    # --- DSIR hashed-bigram importance weights (en subset vs corpus)
+    dsir_bucket = portable_hash60_sql_("gram")
+    d["dsir_weights"] = f"""
+        WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                             string_split(text, ' ') AS t
+                      FROM documents),
+        g1 AS (SELECT doc_id, is_tgt, t,
+                      unnest(generate_series(1, len(t) - 1)) AS i
+               FROM toks),
+        grams AS (SELECT doc_id, is_tgt, t[i] || ' ' || t[i + 1] AS gram
+                  FROM g1),
+        b AS (SELECT doc_id, is_tgt, {dsir_bucket} % 1024 AS bucket
+              FROM grams),
+        src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_src
+                FROM b GROUP BY 1),
+        tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tgt
+                FROM b WHERE is_tgt GROUP BY 1),
+        dim AS (SELECT s.bucket,
+                       ROUND(LN(CAST(COALESCE(t.n_tgt, 0) + 1 AS DOUBLE)
+                                / (s.n_src + 1)), 9) AS llr
+                FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket),
+        w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     ROUND(AVG(llr), 4) AS weight
+              FROM b JOIN dim ON b.bucket = dim.bucket
+              GROUP BY 1)
+        SELECT doc_id, n_grams, weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id ASC)
+                    AS BIGINT) AS tgt_rank
+        FROM w
+    """
+    # --- PMI co-occurrence over distinct baskets, mega-basket cap first
+    d["pmi_pairs"] = """
+        WITH m AS (SELECT DISTINCT l_orderkey AS basket_id,
+                          l_partkey AS item_id
+                   FROM lineitem),
+        ok AS (SELECT basket_id FROM m GROUP BY 1 HAVING COUNT(*) <= 10),
+        mm AS (SELECT m.* FROM m JOIN ok USING (basket_id)),
+        nt AS (SELECT CAST(COUNT(DISTINCT basket_id) AS DOUBLE) AS n FROM mm),
+        ni AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_item
+               FROM mm GROUP BY 1),
+        pp AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                      CAST(COUNT(*) AS BIGINT) AS n_ab
+               FROM mm a JOIN mm b ON a.basket_id = b.basket_id
+                                  AND a.item_id < b.item_id
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT item_a, item_b, n_ab,
+               ROUND(LN(n_ab * nt.n / (na.n_item * nb.n_item)), 6) AS pmi
+        FROM pp
+        JOIN ni na ON na.item_id = pp.item_a
+        JOIN ni nb ON nb.item_id = pp.item_b
+        CROSS JOIN nt
+    """
+    # --- k-core: 3 unrolled peeling rounds at k=30
+    kcore_rounds = []
+    for r in range(1, 4):
+        kcore_rounds.append(f"""
+        d{r} AS (SELECT src_id AS node, COUNT(*) AS deg
+                 FROM e{r - 1} GROUP BY 1),
+        k{r} AS (SELECT node FROM d{r} WHERE deg >= 30),
+        e{r} AS (SELECT e.src_id, e.dst_id FROM e{r - 1} e
+                 JOIN k{r} a ON e.src_id = a.node
+                 JOIN k{r} b ON e.dst_id = b.node)""")
+    d["kcore"] = f"""
+        WITH e0 AS (SELECT DISTINCT src_id, dst_id FROM (
+                SELECT 's' || l_suppkey AS src_id,
+                       'p' || l_partkey AS dst_id FROM lineitem
+                UNION ALL
+                SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem) t
+            WHERE src_id <> dst_id),
+        {",".join(kcore_rounds)}
+        SELECT src_id AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e3 GROUP BY 1
     """
     return d

@@ -437,3 +437,80 @@ def stratified_split(
     return ranked.select(
         "doc_id", F.col("stratum"), "rank", split.alias("split")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    n_buckets: int = 1024,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") with hashed n-gram
+    features.
+
+    Estimate how target-domain-like each document is: hash every token
+    ``k``-gram into ``n_buckets`` buckets, fit bucket frequencies over the
+    TARGET subset (``target_filter`` — a boolean Column over `docs`) and
+    over the full corpus (the source/raw distribution), and weight each
+    document by the mean log-likelihood ratio of its gram stream::
+
+        w(doc) = mean over grams g of ln( (tgt[h(g)] + 1) / (src[h(g)] + 1) )
+
+    (+1 Laplace smoothing on both sides; the bucket-count tables are
+    n_buckets rows — broadcast).  Positive = looks like the target domain.
+    DSIR proper samples ~ exp(w); the deterministic analog here ranks by
+    (weight desc, id) — the sampling step is token_budget_sample /
+    stratified_split territory.
+
+    Returns (id_col, n_grams, weight 4dp, tgt_rank) — tgt_rank is the
+    global selection order, computed with ONE unpartitioned window over
+    the doc-count-sized weight table (same justification as
+    mixture_weights: rows = documents, not tokens; at 10^12 docs swap the
+    rank for the bucketed cumsum of token_budget_sample).
+
+    Plan: one explode to (doc, bucket) pairs, two map-side-combinable
+    groupBy(bucket) counts (target / all), a broadcast join of the two
+    1024-row dims onto the pairs, one groupBy(doc).  The corpus shuffles
+    once on bucket-pair and once on doc — no driver state, no Python.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.col(id_col),
+        target_filter.alias("_is_tgt"),
+        F.explode(_grams(toks, k)).alias("_gram"),
+    ).withColumn(
+        "_bucket", F.pmod(portable_hash60(F.col("_gram")), F.lit(n_buckets))
+    )
+    src_cnt = pairs.groupBy("_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_src")
+    )
+    tgt_cnt = (
+        pairs.filter(F.col("_is_tgt"))
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tgt"))
+    )
+    dim = src_cnt.join(tgt_cnt, "_bucket", "left").select(
+        "_bucket",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("_tgt"), F.lit(0)) + 1).cast("double")
+                / (F.col("_src") + 1)
+            ),
+            9,
+        ).alias("_llr"),
+    )
+    weights = (
+        pairs.join(F.broadcast(dim), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.avg("_llr"), 4).alias("weight"),
+        )
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col(id_col).asc())
+    return weights.withColumn(
+        "tgt_rank", F.row_number().over(w).cast("long")
+    )

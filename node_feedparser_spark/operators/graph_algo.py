@@ -847,3 +847,181 @@ def shortest_paths(
             return nxt
         dist = nxt
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 3,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Bounded k-core peeling: iteratively drop nodes of degree < ``k``
+    (and their edges) for ``n_rounds`` rounds; return the surviving nodes
+    with their degree in the surviving subgraph.
+
+    The k-core is the standard density filter before expensive
+    graph-embedding / community stages (peripheral entities mentioned once
+    contribute noise, not structure).  Full peeling iterates to a fixed
+    point; like pagerank/khop this runs a FIXED round count so the DuckDB
+    oracle can unroll the identical rounds — at a fixed diameter the
+    result is already monotone-correct (every dropped node is provably
+    outside the k-core; extra rounds only drop more).
+
+    `edges` is directed input (src_id, dst_id); degree counts BOTH
+    directions after symmetrize+distinct, parallel edges collapse.  Each
+    round is one groupBy(node) count + one semi-join of edges against the
+    surviving node set — O(|E|) per round, map-side-combinable, no
+    windows.  `checkpoint` truncates lineage for deep peels (same knob as
+    random_walks).
+    """
+    e = (
+        edges.select("src_id", "dst_id")
+        .union(edges.select(F.col("dst_id"), F.col("src_id")))
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    for _ in range(n_rounds):
+        deg = e.groupBy(F.col("src_id").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep, e.src_id == keep.node, "left_semi")
+            .join(keep, F.col("dst_id") == keep.node, "left_semi")
+        )
+        if checkpoint:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("src_id").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+def negative_samples(
+    edges: DataFrame,
+    n_entities: int,
+    k: int = 2,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding training.
+
+    For every distinct positive edge ``(src_id, dst_id:int)`` emit up to
+    ``k`` corrupted-tail candidates ``neg_dst = hash(src, dst, j, seed)
+    mod n_entities`` (j = 1..k), then FILTER out candidates that are
+    themselves true edges of the same src (the standard "filtered"
+    protocol — unfiltered negatives teach the model that true facts are
+    false).  Tails are assumed densely indexed 0..n_entities-1 (the KG
+    pipeline's canonical IDs; a non-dense space gets a dense rank dim
+    first).
+
+    Scale shape: one array explode (k small), one portable 60-bit hash
+    (JVM-side md5, functions/hashing.py), and one self anti-join on
+    (src_id, dst) — the join key is the corrupted pair, so it
+    co-partitions with the positives; no randomness, no driver state, and
+    reruns are bit-identical (resume-safe, matching the pipeline's
+    determinism discipline).  Self-corruptions (neg == the very positive
+    being corrupted) fall out via the anti-join.
+    """
+    from node_feedparser_spark.functions.hashing import portable_hash60
+
+    pos = edges.select("src_id", "dst_id").distinct()
+    cand = (
+        pos.select(
+            "src_id",
+            "dst_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(k))
+            ).alias("sample_idx"),
+        )
+        .withColumn(
+            "neg_dst",
+            F.pmod(
+                portable_hash60(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("src_id").cast("string"),
+                        F.col("dst_id").cast("string"),
+                        F.col("sample_idx").cast("string"),
+                    ),
+                    seed=seed,
+                ),
+                F.lit(n_entities),
+            ).cast("long"),
+        )
+    )
+    true_pairs = pos.select(
+        F.col("src_id").alias("t_src"), F.col("dst_id").alias("t_dst")
+    )
+    return cand.join(
+        true_pairs,
+        (cand.src_id == true_pairs.t_src) & (cand.neg_dst == true_pairs.t_dst),
+        "left_anti",
+    ).select("src_id", "dst_id", "sample_idx", "neg_dst")
+
+
+def pmi_edges(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    min_count: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence edges.
+
+    From a (basket, item) membership table, weight each unordered item
+    pair by ``pmi = ln(n_ab * N / (n_a * n_b))`` where counts are over
+    distinct baskets — the classic PPMI edge builder for co-mention
+    graphs (entities co-occurring in a conversation window) and word-word
+    association.
+
+    Skew: the pair generation is a per-basket self-join, O(d^2) in basket
+    size — one 10^6-item mega-basket would generate 10^12 pairs.
+    ``max_basket`` drops oversized baskets BEFORE pairing (the cap is a
+    declared semantic of the operator, replayed by the oracle, exactly
+    like link_predict's max_degree pivot cap).  Counts n_a / N are over
+    the SURVIVING baskets so the probability space stays consistent.
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("basket_id"), F.col(item_col).alias("item_id")
+    ).distinct()
+    sized = m.groupBy("basket_id").agg(F.count(F.lit(1)).alias("_sz"))
+    ok = sized.filter(F.col("_sz") <= max_basket).select("basket_id")
+    m = m.join(ok, "basket_id", "left_semi")
+
+    n_total = m.select("basket_id").distinct().count()
+    item_n = m.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pair_n = (
+        a.join(b, "basket_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    na = item_n.select(
+        F.col("item_id").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("item_id").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_n.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_total))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -223,3 +223,63 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score per document.
+
+    The CCNet/Gopher pipelines gate documents on LM perplexity; a full
+    KenLM is out of scope for a pure-Spark stage, but the unigram LM the
+    corpus itself induces is the same *shape* and already separates
+    gibberish from prose: train token counts over the whole corpus, then
+    score each document by its mean token log-probability under add-one
+    smoothing::
+
+        p(w) = (count(w) + 1) / (n_tokens_total + vocab_size)
+        avg_logp(doc) = mean over doc tokens of ln p(w)
+
+    Returns (id_col, n_tokens, avg_logp 4dp).  Higher = more typical of
+    the corpus; a curation gate thresholds avg_logp exactly like
+    quality_score's rule gates.
+
+    Plan: one explode + one groupBy(token) count (map-side combinable),
+    the two LM scalars via one tiny agg joined as literals is avoided —
+    they come from a cross join of ONE row (broadcast), then a
+    token-count join back onto the exploded corpus and one groupBy(doc).
+    Token counts table is vocab-sized (sublinear in the corpus); the
+    exploded corpus never holds more than (doc_id, token) pairs —
+    the same two-shuffle shape as tfidf_topk.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_logp",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("n_total") + F.col("vocab"))
+                ),
+                9,
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("_logp"), 4).alias("avg_logp"),
+    )

@@ -1,0 +1,167 @@
+"""Entity timelines — SCD2 valid-interval materialization.
+
+A temporal KG doesn't just store the *current* object of ``(entity,
+attribute)``; it stores every historical value with its validity interval
+(slowly-changing-dimension type 2).  Given an event stream ``(key, value,
+ts)``, collapse consecutive runs of the same value into intervals::
+
+    (key, value, valid_from, valid_to, n_events, interval_id)
+
+``valid_to`` is the start of the NEXT interval (NULL for the current one),
+so intervals tile the key's timeline with no gaps — the standard as-of
+lookup shape (``valid_from <= t < valid_to``, see operators/asof.py).
+
+Reference analog: feedparser keeps only the latest value per field but
+versioned feeds re-emit items with changed values over fetches; the
+retro-resolution window (lib/feedparser.js:358-360) is the same
+"context changes at discrete points in time" discipline.
+
+Two plans, identical output (pinned by test), mirroring
+operators/sessionize.py:
+
+- ``scd2_timeline_naive``: one window per key — lag(value) change flags +
+  cumulative sum.  A mega-entity (10^8 events for one key) sorts inside a
+  single task.
+- ``scd2_timeline``: time-bucketed two-level plan.  Change flags are local
+  to ``(key, bucket)``; a per-(key, bucket) boundary table (one row per
+  non-empty bucket) carries each bucket's LAST value forward so the next
+  bucket's first row knows whether it continues the run, and a cumulative
+  offset re-bases local interval indices to global ones.  No task ever
+  holds more than one bucket of one key.
+
+The interval table itself is change-sized (one row per value change), so
+the final ``lead(valid_from)`` window over intervals is output-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from node_feedparser_spark.operators.sessionize import epoch_seconds
+
+
+def _interval_agg(df: DataFrame, key: str, value: str, ts: str) -> DataFrame:
+    """(key, interval_id) groups -> one SCD2 row; valid_to via lead over
+    the change-sized interval table."""
+    iv = df.groupBy(key, "interval_id").agg(
+        F.first(value).alias(value),
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("interval_id").asc())
+    return iv.select(
+        key,
+        "interval_id",
+        value,
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        "n_events",
+    )
+
+
+def scd2_timeline_naive(
+    events: DataFrame,
+    key: str = "user_id",
+    value: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Single-window SCD2: lag(value) change flags + cumulative sum.
+    interval_id is a 0-based per-key index in time order."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    prev = F.lag(F.col(value)).over(w)
+    # row_number guard: lag()=NULL can't distinguish "first row" from
+    # "previous value was NULL", and a NULL first value must still open
+    # interval 0
+    change = (
+        (F.row_number().over(w) == 1) | ~F.col(value).eqNullSafe(prev)
+    ).cast("long")
+    with_iid = events.withColumn(
+        "interval_id",
+        F.sum(change).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+    return _interval_agg(with_iid, key, value, ts)
+
+
+def scd2_timeline(
+    events: DataFrame,
+    bucket_width_seconds: int = 86_400,
+    key: str = "user_id",
+    value: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Bucketed SCD2 — same output as :func:`scd2_timeline_naive`, but no
+    task ever windows more than one ``bucket_width`` of one key.
+
+    Unlike sessionize there is no minimum bucket width: run continuation
+    across a boundary depends only on the previous non-empty bucket's last
+    VALUE, which the boundary table carries exactly.
+    """
+    epoch = epoch_seconds(F.col(ts))
+    ev = events.withColumn(
+        "_bucket", F.floor(epoch / bucket_width_seconds).cast("long")
+    )
+
+    # --- level 1: local change flags within (key, bucket)
+    wloc = Window.partitionBy(key, "_bucket").orderBy(
+        F.col(ts).asc(), F.col(tiebreak).asc()
+    )
+    prev = F.lag(F.col(value)).over(wloc)
+    change = (
+        (F.row_number().over(wloc) == 1) | ~F.col(value).eqNullSafe(prev)
+    ).cast("long")
+    local = ev.withColumn(
+        "_local_iid",
+        F.sum(change).over(
+            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+    # --- level 2: boundary table — first/last value per (key, bucket)
+    # (last value by max (ts, tiebreak); max_by keeps it one agg pass)
+    order_key = F.struct(F.col(ts), F.col(tiebreak))
+    bounds = local.groupBy(key, "_bucket").agg(
+        F.min_by(F.col(value), order_key).alias("_first_val"),
+        F.max_by(F.col(value), order_key).alias("_last_val"),
+        (F.max("_local_iid") + 1).alias("_n_local"),
+    )
+    wb = Window.partitionBy(key).orderBy(F.col("_bucket").asc())
+    cont = (
+        F.col("_first_val").eqNullSafe(F.lag(F.col("_last_val")).over(wb))
+    ).cast("long")
+    # the key's FIRST bucket never continues anything (eqNullSafe against
+    # the lag would spuriously match a NULL first value) — detect it by
+    # lagged bucket id, which is never NULL for later buckets
+    offsets = bounds.withColumn(
+        "_cont",
+        F.when(F.lag(F.col("_bucket")).over(wb).isNull(), F.lit(0)).otherwise(
+            cont
+        ),
+    ).select(
+        key,
+        "_bucket",
+        (
+            F.coalesce(
+                F.sum("_n_local").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum("_cont").over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("_base"),
+    )
+
+    with_iid = (
+        local.join(offsets, [key, "_bucket"])
+        .withColumn("interval_id", F.col("_base") + F.col("_local_iid"))
+        .drop("_bucket", "_local_iid", "_base")
+    )
+    return _interval_agg(with_iid, key, value, ts)
