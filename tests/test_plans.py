@@ -202,3 +202,48 @@ def test_pagerank_iterations_have_no_collect_barrier(spark):
     # plan rather than having been resolved to a literal via collect()
     p = plan_of(df, "simple")
     assert p.count("BroadcastExchange") >= 2  # one lazy dangling agg per iter
+
+
+def test_truth_fusion_trust_joins_are_broadcast(spark):
+    """The per-source trust vector must ride back onto the claims as a
+    BROADCAST join every iteration — a shuffle join would re-exchange the
+    full claims table once per iteration just to attach one double per
+    source."""
+    p = plan_of(entrymod.q_truth_fusion(spark, SF_DIR), "simple")
+    # 2 iterations x (num/den share one claims+trust broadcast each)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_bucket_dims_are_broadcast(spark):
+    """DSIR's two 1024-row bucket-count dims must broadcast onto the
+    exploded gram stream, never shuffle it."""
+    p = plan_of(entrymod.q_dsir_weights(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_negative_sampling_no_window_no_cartesian(spark):
+    """Negative corruption is explode + hash + one anti-join: no window
+    (nothing orders the corpus), no cartesian."""
+    p = plan_of(entrymod.q_negative_sampling(spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+
+def test_new_graph_ops_no_cartesian_or_bnlj(spark):
+    """kcore / pmi_pairs / entity_timelines: key-equality joins only."""
+    for name in ("kcore", "pmi_pairs", "entity_timelines"):
+        p = plan_of(entrymod.queries()[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_unigram_lm_totals_are_broadcast_not_collected(spark):
+    """The (n_total, vocab) scalars stay INSIDE the plan as a broadcast
+    1-row aggregate; building the query must not launch a job."""
+    df = entrymod.q_unigram_lm(spark, SF_DIR)
+    p = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
