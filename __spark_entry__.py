@@ -1720,6 +1720,48 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=30, n_rounds=3)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (round 3): per-returnflag
+    distinct-part estimates from portable 60-bit-hash registers
+    (operators/sketch.py) — one map-side-combinable max agg instead of a
+    full COUNT(DISTINCT) shuffle; the DuckDB oracle rebuilds the exact
+    same registers bit-for-bit and applies the same estimator."""
+    from node_feedparser_spark.operators.sketch import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(li, ["l_returnflag"], "l_partkey", p=8)
+
+
+def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
+    hash-sampled (fanout 8) mean feature mixing over the symmetrized
+    supplier<->part graph, supplier features = s_acctbal, part features =
+    p_retailprice (operators/graph_algo.neighbor_agg).  The oracle
+    replays the same hash-ranked sample and both unrolled hops."""
+    from node_feedparser_spark.operators.graph_algo import neighbor_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id")))
+    feats = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            F.col("s_acctbal").alias("feat"),
+        )
+        .union(
+            _t(spark, sf_dir, "part").select(
+                F.concat(F.lit("p"), F.col("p_partkey")).alias("node"),
+                F.col("p_retailprice").alias("feat"),
+            )
+        )
+    )
+    return neighbor_agg(edges, feats, n_hops=2, fanout=8, seed=23)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1817,6 +1859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation: LM quality + importance resampling (round 3)
         "unigram_lm": q_unigram_lm,
         "dsir_weights": q_dsir_weights,
+        # cardinality sketch + GNN feature aggregation (round 3)
+        "hll_distinct": q_hll_distinct,
+        "neighbor_agg": q_neighbor_agg,
     }
 
 
@@ -3390,5 +3435,84 @@ def _extra_oracles() -> dict[str, str]:
         {",".join(kcore_rounds)}
         SELECT src_id AS node, CAST(COUNT(*) AS BIGINT) AS degree
         FROM e3 GROUP BY 1
+    """
+    # --- HLL distinct sketch: identical registers + estimator (p=8)
+    from node_feedparser_spark.operators.sketch import _alpha as _hll_alpha
+
+    _m = 256
+    _amm = repr(_hll_alpha(_m) * _m * _m)
+    d["hll_distinct"] = f"""
+        WITH h AS (SELECT l_returnflag,
+                          {portable_hash60_sql_("CAST(l_partkey AS VARCHAR)")}
+                              AS h
+                   FROM lineitem),
+        r AS (SELECT l_returnflag, h % {_m} AS bucket,
+                     CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END AS rho
+              FROM h),
+        reg AS (SELECT l_returnflag, bucket, MAX(rho) AS register
+                FROM r GROUP BY 1, 2),
+        a AS (SELECT l_returnflag,
+                     CAST(COUNT(*) AS BIGINT) AS n_registers,
+                     ROUND(SUM(POWER(2.0, -register)), 9) AS s
+              FROM reg GROUP BY 1),
+        est AS (SELECT l_returnflag, n_registers,
+                       CAST({_m} - n_registers AS BIGINT) AS n_zero_buckets,
+                       {_amm} / (s + ({_m} - n_registers)) AS raw
+                FROM a)
+        SELECT l_returnflag, n_registers, n_zero_buckets,
+               ROUND(CASE WHEN raw <= {2.5 * _m} AND n_zero_buckets > 0
+                          THEN {_m}.0 * LN({_m}.0 / n_zero_buckets)
+                          ELSE raw END, 4) AS hll_estimate
+        FROM est
+    """
+    # --- GraphSAGE sampled neighbor agg: hash-ranked fanout-8 sample +
+    # two unrolled floor-division mixing hops in micro-unit BIGINTs (the
+    # operator's fixed-point discipline — no float rounding anywhere, so
+    # the replay is bit-exact by construction).  floordiv(x, n) =
+    # (x - pmod(x, n)) / n: the numerator is an exact multiple, so the
+    # double division is exact and the cast lossless.
+    na_hash = portable_hash60_sql_("src_id || chr(31) || dst_id", seed=23)
+
+    def _fdiv(x: str, n: str) -> str:
+        return f"CAST(({x} - ((({x}) % ({n}) + ({n})) % ({n}))) / ({n}) AS BIGINT)"
+
+    d["neighbor_agg"] = f"""
+        WITH e AS (SELECT DISTINCT src_id, dst_id FROM (
+                SELECT 's' || l_suppkey AS src_id,
+                       'p' || l_partkey AS dst_id FROM lineitem
+                UNION ALL
+                SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem) t),
+        adj AS (SELECT src_id, dst_id FROM (
+                SELECT src_id, dst_id,
+                       ROW_NUMBER() OVER (PARTITION BY src_id
+                           ORDER BY {na_hash} ASC, dst_id ASC) AS rk
+                FROM e) q WHERE rk <= 8),
+        h0 AS (SELECT 's' || s_suppkey AS node,
+                      CAST(ROUND(CAST(s_acctbal AS DOUBLE) * 1e6, 0)
+                           AS BIGINT) AS feat FROM supplier
+               UNION ALL
+               SELECT 'p' || p_partkey,
+                      CAST(ROUND(CAST(p_retailprice AS DOUBLE) * 1e6, 0)
+                           AS BIGINT)
+               FROM part),
+        nb1 AS (SELECT a.src_id AS node,
+                       {_fdiv("SUM(h.feat)", "COUNT(*)")} AS nb
+                FROM adj a JOIN h0 h ON h.node = a.dst_id GROUP BY 1),
+        h1 AS (SELECT h0.node,
+                      CASE WHEN nb1.nb IS NULL THEN h0.feat
+                           ELSE {_fdiv("h0.feat + nb1.nb", "2")} END
+                          AS feat
+               FROM h0 LEFT JOIN nb1 ON h0.node = nb1.node),
+        nb2 AS (SELECT a.src_id AS node,
+                       {_fdiv("SUM(h.feat)", "COUNT(*)")} AS nb
+                FROM adj a JOIN h1 h ON h.node = a.dst_id GROUP BY 1),
+        h2 AS (SELECT h1.node,
+                      CASE WHEN nb2.nb IS NULL THEN h1.feat
+                           ELSE {_fdiv("h1.feat + nb2.nb", "2")} END
+                          AS feat
+               FROM h1 LEFT JOIN nb2 ON h1.node = nb2.node)
+        SELECT h0.node, h0.feat / 1e6 AS feat0, h2.feat / 1e6 AS feat
+        FROM h0 JOIN h2 ON h0.node = h2.node
     """
     return d

@@ -1025,3 +1025,105 @@ def pmi_edges(
             ).alias("pmi"),
         )
     )
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    n_hops: int = 2,
+    fanout: int = 8,
+    seed: int = 23,
+) -> DataFrame:
+    """GraphSAGE-style sampled neighbor aggregation — the feature side of
+    graph-embedding training data (Hamilton et al. 2017's sample-and-
+    aggregate, deterministic).
+
+    Per hop, every node averages the previous-hop features of at most
+    ``fanout`` DETERMINISTICALLY sampled out-neighbors (rank by portable
+    60-bit hash of (seed, src, dst), ties by dst) and folds them into its
+    own representation.  All arithmetic is FIXED-POINT INTEGER in
+    micro-units (feat × 10^6 as BIGINT, floor division) — the same
+    integer-weights discipline as node2vec_walks: float rounding of
+    ``0.5*h + 0.5*nb`` lands on exact decimal midpoints where Spark
+    (shortest-decimal HALF_UP) and other engines (binary-value rounding)
+    disagree by one ulp, while floor-division of integers is bit-identical
+    everywhere::
+
+        h_0(v)  = round(feat * 10^6)                       (BIGINT)
+        nb_t(v) = floordiv(sum over sampled u of h_{t-1}(u), n_sampled)
+        h_t(v)  = floordiv(h_{t-1}(v) + nb_t(v), 2)
+                  (h_{t-1}(v) unchanged when v has no sampled neighbors)
+
+    Returns (node, feat0, feat) with feat0/feat = h_0/h_{n_hops} divided
+    back to doubles (exact: the integers are far below 2^53).
+
+    Scale shape: the adjacency sample is computed ONCE (it is
+    hop-independent) with a per-src rank window — bounded by max degree,
+    the same celebrity-node cost center as link_predict, and the same
+    mitigation applies (cap/pre-filter hub adjacency by hash threshold
+    before ranking).  Each hop is then one join of the sampled adjacency
+    (<= fanout rows per node) with the current feature vector + one
+    map-side-combinable sum/count — O(fanout * |V|) per hop regardless of
+    |E|, which is the entire point of sampling.  Hash-ranked sampling is
+    bit-stable across reruns and engines (the DuckDB oracle replays it),
+    unlike rand()-based sampling which breaks resume determinism.
+    """
+    from ..functions.hashing import portable_hash60
+
+    e = edges.select("src_id", "dst_id").distinct()
+    rank_w = Window.partitionBy("src_id").orderBy(
+        portable_hash60(
+            F.concat_ws(
+                "\x1f", F.col("src_id"), F.col("dst_id")
+            ),
+            seed=seed,
+        ).asc(),
+        F.col("dst_id").asc(),
+    )
+    adj = (
+        e.withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= fanout)
+        .select("src_id", "dst_id")
+    )
+
+    def _floordiv(x, n):
+        # exact floor division on longs (pmod is non-negative, so the
+        # numerator is an exact multiple — the double division is exact)
+        return ((x - F.pmod(x, n)) / n).cast("long")
+
+    h0 = features.select(
+        F.col("node"),
+        F.round(F.col("feat").cast("double") * 1e6, 0)
+        .cast("long")
+        .alias("feat"),
+    )
+    h = h0
+    for _ in range(n_hops):
+        nb = (
+            adj.join(
+                h.select(
+                    F.col("node").alias("dst_id"), F.col("feat").alias("_nf")
+                ),
+                "dst_id",
+            )
+            .groupBy(F.col("src_id").alias("node"))
+            .agg(
+                _floordiv(F.sum("_nf"), F.count(F.lit(1))).alias("_nb")
+            )
+        )
+        h = (
+            h.join(nb, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("_nb").isNull(), F.col("feat"))
+                .otherwise(
+                    _floordiv(F.col("feat") + F.col("_nb"), F.lit(2))
+                )
+                .alias("feat"),
+            )
+        )
+    return (
+        h0.select("node", (F.col("feat") / 1e6).alias("feat0"))
+        .join(h, "node")
+        .select("node", "feat0", (F.col("feat") / 1e6).alias("feat"))
+    )
