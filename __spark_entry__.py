@@ -1732,6 +1732,36 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(li, ["l_returnflag"], "l_partkey", p=8)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (round 3): document tokens whose
+    CMS-estimated frequency reaches 0.5% of total token mass, from a d=4 ×
+    w=1024 portable-hash counter table (operators/sketch.py) — sublinear
+    mergeable state instead of an exact full-domain token count; the
+    DuckDB oracle rebuilds every counter bit-for-bit."""
+    from node_feedparser_spark.operators.sketch import cms_heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return cms_heavy_hitters(toks, "token", threshold=0.005, d=4, w=1024)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile sketch (round 3): per-returnflag p25/p50/p95 of
+    l_extendedprice from a mergeable 64-bucket fixed-width histogram
+    (operators/sketch.py) — two map-side-combinable aggs replace the full
+    sort; the oracle replays bucket assignment, cumulative ranks, and the
+    in-bucket linear interpolation exactly."""
+    from node_feedparser_spark.operators.sketch import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", qs=(0.25, 0.5, 0.95)
+    )
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1862,6 +1892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cardinality sketch + GNN feature aggregation (round 3)
         "hll_distinct": q_hll_distinct,
         "neighbor_agg": q_neighbor_agg,
+        # frequency + quantile sketches (round 3)
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hist_quantiles": q_hist_quantiles,
     }
 
 
@@ -3514,5 +3547,75 @@ def _extra_oracles() -> dict[str, str]:
                FROM h1 LEFT JOIN nb2 ON h1.node = nb2.node)
         SELECT h0.node, h0.feat / 1e6 AS feat0, h2.feat / 1e6 AS feat
         FROM h0 JOIN h2 ON h0.node = h2.node
+    """
+    # --- CMS heavy hitters: identical d=4 x w=1024 counter table.  Seeded
+    # hash rows replay portable_hash60(value, seed=r)'s "{r}\x1f" prefix;
+    # int(threshold * total) truncation == FLOOR on positives.
+    _cms_d, _cms_w, _cms_t = 4, 1024, 0.005
+
+    def _cms_h(r: int) -> str:
+        return portable_hash60_sql_("token", seed=r)
+
+    _cms_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_h(r)} % {_cms_w} AS bucket FROM toks"
+        for r in range(_cms_d)
+    )
+    _cms_probe = " UNION ALL ".join(
+        f"SELECT token, {r} AS row, {_cms_h(r)} % {_cms_w} AS bucket FROM cand"
+        for r in range(_cms_d)
+    )
+    d["cms_heavy_hitters"] = f"""
+        WITH toks AS (SELECT t AS token
+                      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                      WHERE t <> ''),
+        cells AS ({_cms_rows}),
+        counters AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM cells GROUP BY 1, 2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+        cand AS (SELECT DISTINCT token FROM toks),
+        probe AS ({_cms_probe}),
+        est AS (SELECT p.token,
+                       MIN(COALESCE(c.cnt, 0)) AS cms_count
+                FROM probe p LEFT JOIN counters c
+                     ON c.row = p.row AND c.bucket = p.bucket
+                GROUP BY 1)
+        SELECT token, CAST(cms_count AS BIGINT) AS cms_count,
+               ROUND(cms_count / CAST(tot.n AS DOUBLE), 6) AS est_frac
+        FROM est, tot
+        WHERE cms_count >= CAST(FLOOR({_cms_t} * tot.n) AS BIGINT)
+    """
+    # --- Histogram quantiles: same 64-bucket fixed-width histogram,
+    # cumulative covering-bucket rank, in-bucket linear interpolation.
+    # Every arithmetic term is cast to DOUBLE so both engines do the same
+    # IEEE ops (DuckDB VALUES decimals / HUGEINT sums would otherwise
+    # compute rank boundaries exactly where Spark computes them in binary).
+    _hb = 64
+    d["hist_quantiles"] = f"""
+        WITH v AS (SELECT l_returnflag AS g,
+                          CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem),
+        bounds AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM v GROUP BY 1),
+        hist AS (SELECT v.g, lo, hi,
+                        CAST(CASE WHEN hi > lo
+                             THEN LEAST(FLOOR((x - lo) / (hi - lo) * {_hb}),
+                                        {_hb - 1})
+                             ELSE 0 END AS BIGINT) AS b,
+                        CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM v JOIN bounds ON v.g = bounds.g
+                 GROUP BY 1, 2, 3, 4),
+        cum AS (SELECT g, lo, hi, b, cnt,
+                       CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+                       CAST(SUM(cnt) OVER (PARTITION BY g) AS DOUBLE) AS tot
+                FROM hist),
+        qs AS (SELECT CAST(q AS DOUBLE) AS q
+               FROM (VALUES (0.25), (0.5), (0.95)) t(q))
+        SELECT g AS l_returnflag, q,
+               ROUND(CASE WHEN hi > lo
+                     THEN lo + (b + (q * tot - (cum - cnt)) / cnt)
+                              * (hi - lo) / {_hb}
+                     ELSE lo END, 6) AS quantile_est
+        FROM cum CROSS JOIN qs
+        WHERE cum >= q * tot AND (cum - cnt) < q * tot
     """
     return d

@@ -1,4 +1,5 @@
-"""Cardinality sketches — HyperLogLog distinct counting on DataFrames.
+"""Mergeable sketches — HyperLogLog distinct counting, count-min frequency
+estimation, and histogram quantiles on DataFrames.
 
 At 10^12 rows, ``COUNT(DISTINCT x)`` per group is a full shuffle of every
 distinct value; the HLL sketch gets within a few percent with ONE
@@ -33,7 +34,7 @@ division so engine summation order cannot leak into the 4 dp estimate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from node_feedparser_spark.functions.hashing import portable_hash60
@@ -121,4 +122,211 @@ def hll_estimate_from_registers(
         "n_registers",
         zeros.cast("long").alias("n_zero_buckets"),
         F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#
+# Frequency estimation in sublinear state: d seeded hash rows of w counters;
+# an item's estimate is the MIN of its d counters, which is always >= the
+# true count (collisions only inflate) and exceeds it by more than
+# eps * total_count with probability <= (1/2)^d at w = 2/eps.  The counter
+# table is MERGEABLE by elementwise SUM — per-shard / per-day sketches fold
+# into totals without touching raw data, exactly like hll_merge.
+#
+# Plan shape: ONE pass over the data (posexplode of the d bucket ids is a
+# projection; the groupBy(row, bucket) count is map-side combinable with
+# state d*w per partition), then estimation is a broadcast join of the
+# candidate items against the d*w-row counter table.  No COUNT(*) GROUP BY
+# over the full key domain ever happens — that is the point at 10^12 rows,
+# where the exact per-token count table is itself warehouse-sized.
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """(row, bucket, cnt) counter table — the mergeable sketch state.
+
+    ``row`` indexes the d independent hash functions (portable_hash60
+    seeded by row index, so the DuckDB oracle replays every counter
+    bit-for-bit); ``bucket`` = hash mod w.
+    """
+    if d < 1 or w < 8:
+        raise ValueError("need d >= 1 hash rows and w >= 8 counters")
+    v = F.col(value_col).cast("string")
+    buckets = F.array(
+        *[F.pmod(portable_hash60(v, seed=r), F.lit(w)) for r in range(d)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(counters: DataFrame) -> DataFrame:
+    """Fold several sketches' counter tables into one (elementwise sum)."""
+    return counters.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Point-estimate each item's frequency: min over the d counters.
+
+    ``counters`` is broadcast (d*w rows); the items side never shuffles
+    beyond its own groupBy(item) min — and since each item carries exactly
+    d rows after the explode, that agg is map-side trivial.  Absent
+    (row, bucket) cells are zero (the item was never seen).
+    """
+    v = F.col(value_col).cast("string")
+    buckets = F.array(
+        *[F.pmod(portable_hash60(v, seed=r), F.lit(w)) for r in range(d)]
+    )
+    return (
+        items.select(
+            F.col(value_col), F.posexplode(buckets).alias("row", "bucket")
+        )
+        .join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: float = 0.01,
+    d: int = 4,
+    w: int = 512,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Items whose estimated frequency >= threshold * total, via CMS.
+
+    CMS one-sided error means NO true heavy hitter is ever missed (estimates
+    only overshoot); light items can slip in on collisions — size w against
+    the threshold (w >= 2 / threshold keeps expected overshoot below
+    threshold/2 of mass).
+
+    ``candidates`` defaults to the distinct items of ``df`` — fine below
+    warehouse scale, but at 10^12 rows the distinct set is the very thing
+    the sketch avoids materializing: pass a candidate frame from a
+    hash-sampled stripe of the corpus instead (every item with frequency
+    >= threshold appears in a 1/s sample w.h.p. for s << threshold *
+    total), or track candidates streaming-side.  The sketch itself never
+    depends on the candidate strategy.
+    """
+    counters = cms_counters(df, value_col, d, w)
+    cand = (
+        candidates
+        if candidates is not None
+        else df.select(value_col).distinct()
+    )
+    total = df.count()
+    est = cms_estimate(counters, cand, value_col, d, w)
+    floor_cnt = int(threshold * total)
+    return est.filter(F.col("cms_count") >= floor_cnt).select(
+        value_col,
+        "cms_count",
+        F.round(F.col("cms_count") / F.lit(float(total)), 6).alias(
+            "est_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles
+# ---------------------------------------------------------------------------
+#
+# Per-group quantile estimates from a fixed-width histogram: two cheap
+# aggregations (per-group min/max, then per-group-and-bucket counts — both
+# map-side combinable, state <= n_buckets per group) replace a full sort.
+# The bucket table is MERGEABLE by elementwise sum given shared min/max
+# (publish the (min, max) with the sketch, as real warehouse histogram
+# stats do).  Error is bounded by one bucket width — tighten with
+# n_buckets, state grows linearly.  Spark ships approx_percentile
+# (Greenwald-Khanna); this operator exists for the same reason the HLL
+# twin does: the sketch state is portable, so the DuckDB oracle replays it
+# exactly, and per-shard states are explicitly foldable.
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(group..., q, quantile_est) — linear interpolation inside the
+    covering bucket: est = lo + (b + partial/cnt_b) * (hi-lo)/B where b is
+    the first bucket with cumulative count >= q*total and partial is the
+    remaining rank mass inside it.  Degenerate groups (hi == lo) return the
+    single value."""
+    if not qs or any(not 0 < q < 1 for q in qs):
+        raise ValueError("each q must be in (0, 1)")
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    b = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(
+            F.floor(
+                (v - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo"))
+                * n_buckets
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+    hist = (
+        df.join(F.broadcast(bounds), group_cols)
+        .select(*group_cols, "_lo", "_hi", b.cast("long").alias("_b"))
+        .groupBy(*group_cols, "_lo", "_hi", "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "_lo",
+        "_hi",
+        "_b",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_tot).alias("_tot"),
+    )
+    q_rows = cum.join(
+        F.broadcast(
+            cum.sparkSession.createDataFrame(
+                [(float(q),) for q in qs], ["q"]
+            )
+        )
+    )
+    # first bucket whose cumulative count reaches rank q*total
+    rank = F.col("q") * F.col("_tot")
+    covering = q_rows.filter(
+        (F.col("_cum") >= rank) & ((F.col("_cum") - F.col("_cnt")) < rank)
+    )
+    partial = rank - (F.col("_cum") - F.col("_cnt"))
+    est = F.when(F.col("_hi") > F.col("_lo"),
+        F.col("_lo")
+        + (F.col("_b") + partial / F.col("_cnt"))
+        * (F.col("_hi") - F.col("_lo"))
+        / n_buckets,
+    ).otherwise(F.col("_lo"))
+    return covering.select(
+        *group_cols,
+        F.col("q"),
+        F.round(est, 6).alias("quantile_est"),
     )

@@ -79,3 +79,147 @@ def test_higher_p_tightens_estimate(spark):
     e8 = hll_distinct(df, ["grp"], "val", p=8).collect()[0]["hll_estimate"]
     e12 = hll_distinct(df, ["grp"], "val", p=12).collect()[0]["hll_estimate"]
     assert abs(e12 - 5000) <= abs(e8 - 5000)
+
+
+# --------------------------------------------------------------------------
+# count-min sketch
+# --------------------------------------------------------------------------
+
+from node_feedparser_spark.operators.sketch import (  # noqa: E402
+    cms_counters,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+    histogram_quantiles,
+)
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], ["val"])
+
+
+def test_cms_never_underestimates(spark):
+    # one-sided error: estimate >= true count, for every item, even at a
+    # deliberately tiny w that forces collisions
+    vals = [f"v{i % 37}" for i in range(1000)]
+    df = _vals(spark, vals)
+    counters = cms_counters(df, "val", d=3, w=16)
+    est = {
+        r["val"]: r["cms_count"]
+        for r in cms_estimate(
+            counters, df.distinct(), "val", d=3, w=16
+        ).collect()
+    }
+    import collections
+
+    true = collections.Counter(vals)
+    assert all(est[v] >= c for v, c in true.items())
+
+
+def test_cms_exact_when_collision_free(spark):
+    # few items, wide table: whp no two items share a bucket in any row,
+    # so the min equals the exact count
+    vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 1
+    df = _vals(spark, vals)
+    est = {
+        r["val"]: r["cms_count"]
+        for r in cms_estimate(
+            cms_counters(df, "val", d=4, w=512),
+            df.distinct(),
+            "val",
+            d=4,
+            w=512,
+        ).collect()
+    }
+    assert est == {"a": 10, "b": 5, "c": 1}
+
+
+def test_cms_merge_of_halves_equals_whole(spark):
+    vals = [f"v{i % 50}" for i in range(800)]
+    whole = cms_counters(_vals(spark, vals), "val", d=4, w=64)
+    half = cms_merge(
+        cms_counters(_vals(spark, vals[:500]), "val", d=4, w=64).unionAll(
+            cms_counters(_vals(spark, vals[500:]), "val", d=4, w=64)
+        )
+    )
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in half.collect()}
+    assert a == b
+
+
+def test_cms_heavy_hitters_catches_every_true_hitter(spark):
+    # 'hot' is 30% of mass; scattered cold items fill the rest
+    vals = ["hot"] * 300 + [f"cold{i}" for i in range(700)]
+    out = cms_heavy_hitters(_vals(spark, vals), "val", threshold=0.1, d=4, w=512)
+    got = {r["val"] for r in out.collect()}
+    assert "hot" in got
+    hot = [r for r in out.collect() if r["val"] == "hot"][0]
+    assert hot["cms_count"] >= 300
+    assert abs(hot["est_frac"] - 0.3) < 0.05
+
+
+def test_cms_parameter_validation(spark):
+    with pytest.raises(ValueError):
+        cms_counters(_vals(spark, ["x"]), "val", d=0)
+    with pytest.raises(ValueError):
+        cms_counters(_vals(spark, ["x"]), "val", w=4)
+
+
+# --------------------------------------------------------------------------
+# histogram quantiles
+# --------------------------------------------------------------------------
+
+
+def _gv(spark, rows):
+    return spark.createDataFrame(rows, ["grp", "x"])
+
+
+def test_hist_quantiles_within_one_bucket_width(spark):
+    # uniform 0..1000: p50 ~ 500, p95 ~ 950; bucket width 1000/64 ~ 15.6
+    rows = [("g", float(i)) for i in range(1001)]
+    out = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantiles(
+            _gv(spark, rows), ["grp"], "x", qs=(0.5, 0.95)
+        ).collect()
+    }
+    width = 1000 / 64
+    assert abs(out[0.5] - 500) <= width
+    assert abs(out[0.95] - 950) <= width
+
+
+def test_hist_quantiles_degenerate_group_returns_value(spark):
+    rows = [("g", 7.5)] * 20
+    out = histogram_quantiles(_gv(spark, rows), ["grp"], "x", qs=(0.5,)).collect()
+    assert out[0]["quantile_est"] == 7.5
+
+
+def test_hist_quantiles_groups_independent(spark):
+    rows = [("a", float(i)) for i in range(101)] + [
+        ("b", float(1000 + 10 * i)) for i in range(101)
+    ]
+    out = {
+        (r["grp"], r["q"]): r["quantile_est"]
+        for r in histogram_quantiles(
+            _gv(spark, rows), ["grp"], "x", qs=(0.5,)
+        ).collect()
+    }
+    assert abs(out[("a", 0.5)] - 50) <= 100 / 64
+    assert abs(out[("b", 0.5)] - 1500) <= 1000 / 64
+
+
+def test_hist_quantiles_q_validated(spark):
+    with pytest.raises(ValueError):
+        histogram_quantiles(_gv(spark, [("g", 1.0)]), ["grp"], "x", qs=(1.5,))
+    with pytest.raises(ValueError):
+        histogram_quantiles(_gv(spark, [("g", 1.0)]), ["grp"], "x", qs=())
+
+
+def test_hist_quantiles_monotone_in_q(spark):
+    rows = [("g", float(i * i % 997)) for i in range(500)]
+    out = histogram_quantiles(
+        _gv(spark, rows), ["grp"], "x", qs=(0.25, 0.5, 0.75, 0.95)
+    ).collect()
+    by_q = sorted((r["q"], r["quantile_est"]) for r in out)
+    ests = [e for _, e in by_q]
+    assert ests == sorted(ests)
