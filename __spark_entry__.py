@@ -1762,6 +1762,22 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prune (round 3): distinct lineitem partkeys
+    passing a 4096-bit / k=3 portable-hash Bloom filter built from parts
+    with p_size > 45, flagged against exact membership so the false-
+    positive surplus is visible data (operators/bloom.py) — the explicit
+    twin of Spark's AQE runtime bloom filter; the oracle rebuilds the
+    same packed words and probes them bitwise."""
+    from node_feedparser_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    return bloom_semi_join(
+        li, "l_partkey", part, "p_partkey", m_bits=4096, k=3
+    )
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1895,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequency + quantile sketches (round 3)
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hist_quantiles": q_hist_quantiles,
+        # broadcast runtime-filter pruning (round 3)
+        "bloom_semi_join": q_bloom_semi_join,
     }
 
 
@@ -3617,5 +3635,43 @@ def _extra_oracles() -> dict[str, str]:
                      ELSE lo END, 6) AS quantile_est
         FROM cum CROSS JOIN qs
         WHERE cum >= q * tot AND (cum - cnt) < q * tot
+    """
+    # --- Bloom semi-join: identical 4096-bit filter packed 32 bits per
+    # BIGINT word (1<<63 overflows DuckDB; positions seeded 100+i), built
+    # from p_size > 45 parts, probed by distinct lineitem keys.
+    _bm, _bk = 4096, 3
+
+    def _bpos(expr: str, i: int) -> str:
+        return f"({portable_hash60_sql_(expr, seed=100 + i)} % {_bm})"
+
+    _bld = " UNION ALL ".join(
+        f"SELECT {_bpos('CAST(p_partkey AS VARCHAR)', i)} AS pos FROM dim"
+        for i in range(_bk)
+    )
+    _probe_cols = ", ".join(
+        f"{_bpos('CAST(l_partkey AS VARCHAR)', i)} AS pos{i}"
+        for i in range(_bk)
+    )
+    _joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.widx = (pos{i} >> 5)"
+        for i in range(_bk)
+    )
+    _conds = " AND ".join(
+        f"w{i}.word IS NOT NULL"
+        f" AND (w{i}.word & (CAST(1 AS BIGINT) << (pos{i} % 32))) <> 0"
+        for i in range(_bk)
+    )
+    d["bloom_semi_join"] = f"""
+        WITH dim AS (SELECT DISTINCT p_partkey FROM part WHERE p_size > 45),
+        pos AS ({_bld}),
+        words AS (SELECT pos >> 5 AS widx,
+                         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS word
+                  FROM pos GROUP BY 1),
+        probe AS (SELECT DISTINCT l_partkey FROM lineitem),
+        pp AS (SELECT l_partkey, {_probe_cols} FROM probe),
+        hits AS (SELECT pp.l_partkey FROM pp {_joins} WHERE {_conds})
+        SELECT h.l_partkey,
+               (d2.p_partkey IS NOT NULL) AS is_true_member
+        FROM hits h LEFT JOIN dim d2 ON d2.p_partkey = h.l_partkey
     """
     return d
