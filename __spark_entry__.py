@@ -1778,6 +1778,17 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (round 3): documents
+    blocked on (lang, source), three-field agreement vector (length
+    tolerance, 16-char prefix, shingle-Jaccard >= 0.5), log-likelihood-
+    ratio score with m/u folded to Python-literal weights so neither
+    engine evaluates ln() (operators/linkage.py); decisions at +/-2.0."""
+    from node_feedparser_spark.operators.linkage import fs_link_documents
+
+    return fs_link_documents(_t(spark, sf_dir, "documents"))
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1913,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         # broadcast runtime-filter pruning (round 3)
         "bloom_semi_join": q_bloom_semi_join,
+        # probabilistic record linkage (round 3)
+        "fs_linkage": q_fs_linkage,
     }
 
 
@@ -3673,5 +3686,44 @@ def _extra_oracles() -> dict[str, str]:
         SELECT h.l_partkey,
                (d2.p_partkey IS NOT NULL) AS is_true_member
         FROM hits h LEFT JOIN dim d2 ON d2.p_partkey = h.l_partkey
+    """
+    # --- Fellegi-Sunter linkage: same blocks, agreement vector, and
+    # Python-literal log-ratio weights (no ln() in either engine); the
+    # 0.1 length tolerance is cast to DOUBLE so DuckDB does not compare
+    # against an exact DECIMAL where Spark compares against binary 0.1.
+    from node_feedparser_spark.operators.linkage import DOC_FIELDS
+
+    _fsw = {
+        f.name: (repr(f.agree_weight), repr(f.disagree_weight))
+        for f in DOC_FIELDS
+    }
+    _fs_score = " + ".join(
+        f"(CASE WHEN {name} THEN {aw} ELSE {dw} END)"
+        for name, (aw, dw) in _fsw.items()
+    )
+    d["fs_linkage"] = f"""
+        WITH sh AS (SELECT doc_id, lang, source, n_chars,
+                           substr(text, 1, 16) AS pfx,
+                           {shingles_sql("text", 3)} AS sh
+                    FROM documents),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     (ABS(a.n_chars - b.n_chars)
+                      <= CAST(0.1 AS DOUBLE)
+                         * GREATEST(a.n_chars, b.n_chars)) AS agree_len,
+                     (a.pfx = b.pfx) AS agree_prefix,
+                     (len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh)))
+                      >= 0.5) AS agree_shingle
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+        s AS (SELECT doc_a, doc_b, agree_len, agree_prefix, agree_shingle,
+                     ROUND({_fs_score}, 6) AS score
+              FROM p)
+        SELECT doc_a, doc_b, agree_len, agree_prefix, agree_shingle, score,
+               CASE WHEN score >= 2.0 THEN 'match'
+                    WHEN score <= -2.0 THEN 'non_match'
+                    ELSE 'possible' END AS decision
+        FROM s
     """
     return d
