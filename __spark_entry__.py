@@ -1789,6 +1789,19 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_link_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_snm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup blocking (round 3): two
+    CONTENT-derived sort-key families (text prefix; zero-padded length +
+    reversed prefix), window-4 neighbor pairing inside prefix-bounded
+    blocks, exact shingle-Jaccard verify at 0.5 (operators/dedupe.py
+    snm_near_dup_pairs).  Recovers all 25 brute-force >= 0.5 pairs at
+    sf0.01 (pinned by test); the oracle replays both passes' LEAD windows
+    and the verify."""
+    from node_feedparser_spark.operators.dedupe import snm_near_dup_pairs
+
+    return snm_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1926,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         # probabilistic record linkage (round 3)
         "fs_linkage": q_fs_linkage,
+        # sorted-neighborhood blocking (round 3)
+        "snm_near_dup": q_snm_near_dup,
     }
 
 
@@ -3725,5 +3740,44 @@ def _extra_oracles() -> dict[str, str]:
                     WHEN score <= -2.0 THEN 'non_match'
                     ELSE 'possible' END AS decision
         FROM s
+    """
+    # --- Sorted-neighborhood near-dup: both passes' LEAD windows, pair
+    # canonicalization, exact shingle-Jaccard verify (window=4, thr=0.5)
+    _snm_leads1 = " UNION ALL ".join(
+        f"""SELECT doc_id AS x, LEAD(doc_id, {j}) OVER
+            (PARTITION BY blk ORDER BY key, doc_id) AS y FROM p1"""
+        for j in range(1, 4)
+    )
+    _snm_leads2 = " UNION ALL ".join(
+        f"""SELECT doc_id AS x, LEAD(doc_id, {j}) OVER
+            (PARTITION BY blk ORDER BY key, doc_id) AS y FROM p2"""
+        for j in range(1, 4)
+    )
+    d["snm_near_dup"] = f"""
+        WITH base AS (SELECT doc_id, n_chars,
+                             substr(text, 1, 12) AS p12,
+                             reverse(substr(text, 1, 24)) AS r24,
+                             {shingles_sql("text", 3)} AS sh
+                      FROM documents),
+        p1 AS (SELECT doc_id, substr(p12, 1, 2) AS blk, p12 AS key
+               FROM base),
+        p2 AS (SELECT doc_id,
+                      substr(lpad(CAST(n_chars AS VARCHAR), 6, '0'), 1, 4)
+                          AS blk,
+                      lpad(CAST(n_chars AS VARCHAR), 6, '0') || r24 AS key
+               FROM base),
+        l1 AS ({_snm_leads1}),
+        l2 AS ({_snm_leads2}),
+        cands AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                  FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2) u
+                  WHERE y IS NOT NULL),
+        j AS (SELECT c.a AS doc_a, c.b AS doc_b,
+                     ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                           / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                           6) AS jaccard
+              FROM cands c
+              JOIN base sa ON sa.doc_id = c.a
+              JOIN base sb ON sb.doc_id = c.b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
     """
     return d

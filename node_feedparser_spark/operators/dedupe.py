@@ -517,3 +517,124 @@ def duplicate_spans(
         )
     )
     return spans
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995, multi-pass)
+# ---------------------------------------------------------------------------
+
+
+def snm_candidate_pairs(
+    keyed: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (a, b) pairs from one sorted-neighborhood pass.
+
+    ``keyed`` carries (id, blk, key); within each block, rows are sorted by
+    (key, id) and every row pairs with its next ``window - 1`` neighbors
+    (lead(j) for j in 1..window-1 — linear in corpus size, versus the
+    quadratic blow-up of equality blocking on a hot key).  Pairs are
+    canonicalized to (least, greatest).
+
+    Scale shape: the sort is a window partitioned by ``blk`` — so ``blk``
+    must have warehouse-scale cardinality.  Compose it as
+    (coarse attribute, short sort-key prefix): partitions stay bounded, and
+    the true duplicates that straddle a prefix boundary are the multi-pass
+    story — a SECOND pass with an unrelated key family (see
+    snm_near_dup_pairs) catches what the first pass's boundaries split,
+    which is the original multi-pass SNM argument, applied to partition
+    boundaries instead of window edges.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("blk").orderBy("key", id_col)
+    out = None
+    for j in range(1, window):
+        step = (
+            keyed.select(
+                F.col(id_col).alias("_x"),
+                F.lead(id_col, j).over(w).alias("_y"),
+            )
+            .filter(F.col("_y").isNotNull())
+        )
+        out = step if out is None else out.unionAll(step)
+    return out.select(
+        F.least("_x", "_y").alias("a"), F.greatest("_x", "_y").alias("b")
+    ).distinct()
+
+
+def snm_near_dup_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    threshold: float = 0.5,
+    prefix_block_chars: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup detection over documents.
+
+    Two passes with independent CONTENT-derived key families (attribute
+    blocks like lang/source are a recall trap: near-duplicate documents
+    routinely differ in metadata — translations, re-crawls, mirrored
+    sources — while sharing text):
+
+      1. blk = first ``prefix_block_chars`` chars of the text, key =
+         12-char text prefix — clusters shared openings;
+      2. blk = first 4 digits of zero-padded n_chars (i.e. length // 100),
+         key = zero-padded n_chars then reversed 24-char prefix — clusters
+         by size, catching duplicates whose openings (and so pass-1
+         blocks) differ; pairs that straddle a length-block boundary are
+         exactly what pass 1 recovers, and vice versa.
+
+    Candidates from both passes union, then exact token-3-shingle Jaccard
+    verifies each pair (the same verify-after-block discipline as
+    minhash-LSH: blocking only ACCELERATES; similarity defines the result).
+    Returns (doc_a, doc_b, jaccard >= threshold).
+
+    Versus minhash-LSH: SNM is cheaper (no signature computation — one sort
+    per pass) and catches near-dups below the LSH design threshold, but its
+    recall depends on the key families instead of a tunable collision
+    probability; it is the right tool for clustered corpora (crawl snapshots
+    sorted by URL, transcripts sorted by conv prefix).  Both compose with
+    the same verify + components + keeper tail.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("n_chars"),
+        F.substring(F.col(text_col), 1, 12).alias("_p12"),
+        F.reverse(F.substring(F.col(text_col), 1, 24)).alias("_r24"),
+        token_shingles(text_col, k=3).alias("_sh"),
+    )
+    npad = F.lpad(F.col("n_chars").cast("string"), 6, "0")
+    pass1 = base.select(
+        "doc_id",
+        F.substring(F.col("_p12"), 1, prefix_block_chars).alias("blk"),
+        F.col("_p12").alias("key"),
+    )
+    pass2 = base.select(
+        "doc_id",
+        F.substring(npad, 1, 4).alias("blk"),
+        F.concat(npad, F.col("_r24")).alias("key"),
+    )
+    cands = snm_candidate_pairs(pass1, window).unionAll(
+        snm_candidate_pairs(pass2, window)
+    ).distinct()
+    sh = base.select("doc_id", "_sh")
+    paired = (
+        cands.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("_sh", "_sa"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("_sh", "_sb"), "b")
+    )
+    jac = F.size(F.array_intersect("_sa", "_sb")).cast("double") / F.size(
+        F.array_distinct(F.concat("_sa", "_sb"))
+    )
+    return (
+        paired.select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
