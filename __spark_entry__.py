@@ -1802,6 +1802,24 @@ def q_snm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snm_near_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (round 3, Efraimidis-Spirakis A-ES): per-language top-5 documents by
+    key u^(1/n_chars) with u from the portable hash — the weighted
+    companion to token_budget_sample's uniform priority
+    (operators/curation.py weighted_sample).  The oracle replays the
+    ln(u)/w ordering from identical double inputs."""
+    from node_feedparser_spark.operators.curation import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        weight_col="n_chars",
+        group_cols=["lang"],
+        seed=11,
+    )
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1941,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": q_fs_linkage,
         # sorted-neighborhood blocking (round 3)
         "snm_near_dup": q_snm_near_dup,
+        # weighted reservoir sampling (round 3)
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3779,5 +3799,19 @@ def _extra_oracles() -> dict[str, str]:
               JOIN base sa ON sa.doc_id = c.a
               JOIN base sb ON sb.doc_id = c.b)
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+    """
+    # --- A-ES weighted sample: identical (h+1)/2^60 -> ln(u)/w ordering
+    _ws_h = portable_hash60_sql_("CAST(doc_id AS VARCHAR)", seed=11)
+    d["weighted_sample"] = f"""
+        WITH keyed AS (SELECT lang, doc_id, n_chars,
+                              LN(({_ws_h} + 1) / 1152921504606846976.0)
+                                  / CAST(n_chars AS DOUBLE) AS key
+                       FROM documents
+                       WHERE n_chars > 0),
+        r AS (SELECT lang, doc_id, n_chars,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+              FROM keyed)
+        SELECT lang, doc_id, n_chars, rank FROM r WHERE rank <= 5
     """
     return d

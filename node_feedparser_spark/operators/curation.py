@@ -514,3 +514,61 @@ def dsir_weights(
     return weights.withColumn(
         "tgt_rank", F.row_number().over(w).cast("long")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES), deterministic: per group, keep the k items with
+    the largest key u^(1/weight), u drawn from the portable 60-bit hash of
+    (seed, id) — mapped to (0, 1] as (h + 1) / 2^60.  Ordering by
+    ln(u)/weight (monotone in the key) avoids pow(); for k = 1 the
+    selection probability is exactly weight_i / sum(weights), and for
+    k > 1 it is the standard successive weighted draw without replacement.
+
+    This is the weighted companion to token_budget_sample's uniform
+    hash-priority order: uniform priorities keep documents with equal
+    chance; A-ES keeps high-weight documents (quality scores, DSIR
+    importance weights) proportionally more often, while staying
+    bit-deterministic across runs and engines — rand()-based weighted
+    sampling breaks the resume/lineage story.
+
+    Rows with weight <= 0 are excluded (zero weight = never sampled, and
+    ln(u)/w flips sign for negative w).
+
+    Cross-engine note: ln() is evaluated from identical double inputs in
+    both engines; JVM-vs-libm drift is <= 1 ulp and affects only the
+    ORDER of two keys within 1 ulp of each other — below hash-collision
+    probability, and ties on the final key order are broken by id anyway.
+
+    Scale shape: one window top-k per group (rank state only, no buffering)
+    — the same plan as tfidf_topk.  For a GLOBAL weighted top-k, compose:
+    add a salt group of ~num_partitions buckets, take per-salt top-k, then
+    top-k the k*buckets survivors — both stages this same operator.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty; for a global sample use the "
+            "salted two-phase composition in the docstring"
+        )
+    h = portable_hash60(F.col(id_col).cast("string"), seed=seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .select(*group_cols, id_col, weight_col, key.alias("_key"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_key")
+    )
