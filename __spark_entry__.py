@@ -1820,6 +1820,31 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-occurrence funnel (round 3): view -> click ->
+    purchase within 24 h per hop (operators/sessionize.funnel_conversion).
+    Per-step frontiers are |users|-sized broadcast joins against the
+    type-pruned event scan — the big table never shuffles."""
+    from node_feedparser_spark.operators.sessionize import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        max_gap_hours=24,
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (round 3): users cohorted by Monday-
+    truncated first-event week; retention(k) = fraction active in cohort
+    week + k (operators/sessionize.cohort_retention).  Week arithmetic
+    stays on date_trunc'd values so day diffs are exact multiples of 7 in
+    both engines."""
+    from node_feedparser_spark.operators.sessionize import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1961,6 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_near_dup": q_snm_near_dup,
         # weighted reservoir sampling (round 3)
         "weighted_sample": q_weighted_sample,
+        # ordered-sequence analytics over events (round 3)
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3813,5 +3841,53 @@ def _extra_oracles() -> dict[str, str]:
                           ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
               FROM keyed)
         SELECT lang, doc_id, n_chars, rank FROM r WHERE rank <= 5
+    """
+    # --- Funnel: same per-step first-occurrence frontiers (24 h hops)
+    d["funnel"] = """
+        WITH f1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+               FROM events e JOIN f1 ON f1.u = e.user_id
+               WHERE e.event_type = 'click'
+                 AND e.ts > f1.t AND e.ts <= f1.t + INTERVAL 24 HOUR
+               GROUP BY 1),
+        f3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+               FROM events e JOIN f2 ON f2.u = e.user_id
+               WHERE e.event_type = 'purchase'
+                 AND e.ts > f2.t AND e.ts <= f2.t + INTERVAL 24 HOUR
+               GROUP BY 1),
+        c AS (SELECT 1 AS step_idx, 'view' AS step,
+                     CAST(COUNT(*) AS BIGINT) AS n_users FROM f1
+              UNION ALL
+              SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM f2
+              UNION ALL
+              SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM f3),
+        base AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS b FROM f1)
+        SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
+               ROUND(n_users / CAST(base.b AS DOUBLE), 6) AS conversion_rate
+        FROM c, base
+    """
+    # --- Cohort retention: Monday-truncated weeks in both engines;
+    # offsets are exact multiples of 7 days
+    d["cohort_retention"] = """
+        WITH wk AS (SELECT user_id AS u, date_trunc('week', ts) AS w
+                    FROM events),
+        firsts AS (SELECT u, MIN(w) AS cohort_ts FROM wk GROUP BY 1),
+        activity AS (SELECT DISTINCT u, w FROM wk),
+        sizes AS (SELECT cohort_ts,
+                         CAST(COUNT(DISTINCT u) AS BIGINT) AS cohort_size
+                  FROM firsts GROUP BY 1),
+        j AS (SELECT a.u, f.cohort_ts,
+                     CAST(date_diff('day', f.cohort_ts, a.w) / 7 AS BIGINT)
+                         AS week_offset
+              FROM activity a JOIN firsts f ON a.u = f.u),
+        g AS (SELECT cohort_ts, week_offset,
+                     CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+              FROM j GROUP BY 1, 2)
+        SELECT CAST(g.cohort_ts AS DATE) AS cohort_week, week_offset,
+               n_active,
+               ROUND(n_active / CAST(s.cohort_size AS DOUBLE), 6)
+                   AS retention
+        FROM g JOIN sizes s ON s.cohort_ts = g.cohort_ts
     """
     return d

@@ -167,3 +167,119 @@ def sessionize(
         .drop("_bucket", "_local_sid", "_base")
     )
     return _session_agg(with_sid, key, ts, value)
+
+
+# ---------------------------------------------------------------------------
+# Ordered-sequence analytics over the same event stream: funnels + cohorts
+# ---------------------------------------------------------------------------
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered first-occurrence funnel: for each user, step i
+    completes at the earliest event of type steps[i] that falls strictly
+    after the user's step i-1 completion and within ``max_gap_hours`` of
+    it.  Returns one row per step: (step_idx, step, n_users,
+    conversion_rate) with the rate relative to step 1.
+
+    Plan shape: the per-step frontier is one groupBy(user).min(ts) over
+    events filtered to that step's type — the type filter pushes to the
+    scan, and every frontier is |users|-sized, so steps 2.. are
+    BROADCAST-joined against the (type-pruned) event stream: the big table
+    shuffles zero times and is scanned once per step with column/predicate
+    pushdown.  A window-based single-pass variant exists (sessionize's
+    bucketed windows) but pays a full (user, ts) sort of ALL events;
+    per-step broadcast frontiers beat it whenever |users| << |events|,
+    which is the 100 TB regime.  The final 3-row summary is a trivial agg.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    gap = F.expr(f"INTERVAL {int(max_gap_hours)} HOURS")
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    counts = [frontier.count()]
+    for step in steps[1:]:
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("ts2")
+        )
+        frontier = (
+            nxt.join(F.broadcast(frontier), "u")
+            .filter(
+                (F.col("ts2") > F.col("t")) & (F.col("ts2") <= F.col("t") + gap)
+            )
+            .groupBy("u")
+            .agg(F.min("ts2").alias("t"))
+        )
+        counts.append(frontier.count())
+    spark = events.sparkSession
+    base = max(counts[0], 1)
+    rows = [(i + 1, s, counts[i]) for i, s in enumerate(steps)]
+    # the per-step counts are len(steps) driver-side scalars (bounded by
+    # the funnel definition, not the data); the rate division/rounding
+    # happens engine-side so rounding semantics match the oracle's
+    return spark.createDataFrame(
+        rows, "step_idx INT, step STRING, n_users BIGINT"
+    ).withColumn(
+        "conversion_rate",
+        F.round(F.col("n_users") / F.lit(float(base)), 6),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the Monday-truncated
+    week of their FIRST event; retention at offset k = fraction of the
+    cohort active (any event) during cohort week + k.
+
+    Returns (cohort_week: date, week_offset, n_active, retention) for every
+    (cohort, offset) with activity.  Two aggregations (per-user first event;
+    per-(user, week) distinct activity) plus a broadcast of the tiny
+    cohort-size table — both shuffles key on user_id, so with the input
+    bucketed by user (the conv_id discipline of the KG pipeline applied to
+    users) they collapse into map-side work.  Week arithmetic stays on
+    date_trunc'd values, so the day-difference is an exact multiple of 7 in
+    both engines.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    firsts = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(wk).alias("cohort_ts"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"), wk.alias("w")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_ts").agg(
+        F.countDistinct("u").alias("cohort_size")
+    )
+    joined = activity.join(firsts, "u").select(
+        "u",
+        "cohort_ts",
+        (F.datediff(F.col("w"), F.col("cohort_ts")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return (
+        joined.groupBy("cohort_ts", "week_offset")
+        .agg(F.countDistinct("u").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_ts")
+        .select(
+            F.to_date("cohort_ts").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
