@@ -1845,6 +1845,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (round 3): fold a delta batch of
+    edges into an existing assignment via the quotient-graph rewrite
+    (operators/components.incremental_components) — CC runs only over
+    |delta| component-space edges, never the accumulated graph.  Batches
+    split the kg_components edge set 2:1 by hash; the oracle is the full
+    recursive-CTE closure over ALL edges, so the query passes only if
+    incremental == full recompute."""
+    from node_feedparser_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"), F.col("c_nationkey")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    e0 = a.join(
+        b,
+        (F.col("b.k") == F.col("a.k") + 1)
+        & (F.col("a.c_nationkey") == F.col("b.c_nationkey")),
+    ).select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+    batch1 = e0.filter(F.pmod(F.col("src"), F.lit(3)) != 0)
+    batch2 = e0.filter(F.pmod(F.col("src"), F.lit(3)) == 0)
+    assign = connected_components(batch1)
+    updated = incremental_components(assign, batch2)
+    return c.select(F.col("k").alias("node")).join(
+        updated, "node", "left"
+    ).select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -1989,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered-sequence analytics over events (round 3)
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        # incremental graph maintenance (round 3)
+        "incremental_cc": q_incremental_cc,
     }
 
 
@@ -3889,5 +3924,25 @@ def _extra_oracles() -> dict[str, str]:
                ROUND(n_active / CAST(s.cohort_size AS DOUBLE), 6)
                    AS retention
         FROM g JOIN sizes s ON s.cohort_ts = g.cohort_ts
+    """
+    # --- Incremental CC: the oracle is the FULL closure over all edges —
+    # passing means the two-batch incremental fold equals full recompute
+    d["incremental_cc"] = """
+        WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                          c_nationkey AS nk
+                   FROM customer),
+        e0 AS (SELECT a.k AS src, b.k AS dst
+               FROM c a JOIN c b ON b.k = a.k + 1 AND a.nk = b.nk),
+        edges AS (SELECT src AS a, dst AS b FROM e0
+                  UNION SELECT dst, src FROM e0),
+        reach(node, r) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.node, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a),
+        comp AS (SELECT node, LEAST(node, MIN(r)) AS component
+                 FROM reach GROUP BY node)
+        SELECT cc.k AS node, COALESCE(comp.component, cc.k) AS component
+        FROM c cc LEFT JOIN comp ON cc.k = comp.node
     """
     return d

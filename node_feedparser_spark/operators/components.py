@@ -140,3 +140,74 @@ def connected_components(
     members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
     return members.union(roots).distinct()
+
+
+def incremental_components(
+    assign: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing component assignment
+    without recomputing over old edges — the canonicalization-merge step
+    of an append-only KG build (each incremental build_kg snapshot adds
+    alias links; re-running CC over 10^12 accumulated edges per batch
+    would dominate the job).
+
+    ``assign``(node, component) is any valid assignment with component =
+    min node id (what connected_components emits); ``new_edges``(src, dst)
+    is the delta.  Correctness rests on the quotient-graph property: an
+    assignment preserves exactly the connectivity classes of the edges it
+    came from, so running CC on the edges REWRITTEN INTO COMPONENT SPACE
+    (src -> comp(src), dst -> comp(dst); unseen nodes are their own
+    component) merges precisely the classes the new edges connect.  The
+    input to that CC is at most |delta| edges over component ids — tiny
+    next to the accumulated graph — and because old labels are min node
+    ids and new nodes label themselves, min-over-merged-labels is again
+    the global min node id: the result is IDENTICAL to full recompute
+    (pinned by randomized test).
+
+    Plan: two broadcast-or-shuffle joins of the delta against ``assign``
+    keyed on node (at scale ``assign`` is the bucketed vertices table, so
+    these are bucket-local), one small CC, one join to remap ``assign``.
+
+    Returns the updated (node, component) covering old nodes plus any new
+    nodes introduced by the delta.
+    """
+    a_src = assign.select(
+        F.col("node").alias("src"), F.col("component").alias("csrc")
+    )
+    a_dst = assign.select(
+        F.col("node").alias("dst"), F.col("component").alias("cdst")
+    )
+    delta = (
+        new_edges.select("src", "dst")
+        .join(a_src, "src", "left")
+        .join(a_dst, "dst", "left")
+        .select(
+            F.coalesce("csrc", "src").alias("src"),
+            F.coalesce("cdst", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    merged = connected_components(
+        delta, max_iter=max_iter, checkpoint=checkpoint
+    ).select(
+        F.col("node").alias("component"), F.col("component").alias("new_comp")
+    )
+    # new nodes from the delta (absent from assign) enter as themselves
+    new_nodes = (
+        new_edges.select(F.col("src").alias("node"))
+        .union(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(assign.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        assign.unionByName(new_nodes)
+        .join(merged, "component", "left")
+        .select(
+            "node",
+            F.coalesce("new_comp", "component").alias("component"),
+        )
+    )
