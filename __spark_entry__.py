@@ -1878,6 +1878,23 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERIES = [
+    ("q1", "hash join query"),
+    ("q2", "customer order table"),
+    ("q3", "vector stream merge"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (round 3): top-5 documents per literal
+    query, k1=1.2 b=0.75 (operators/text_analysis.bm25_topk) — the lexical
+    counterpart to embedding_topk and an rrf_fusion input; rank orders by
+    the ROUNDED score so float summation order can never flip a rank."""
+    from node_feedparser_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=5)
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -2024,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         # incremental graph maintenance (round 3)
         "incremental_cc": q_incremental_cc,
+        # lexical ranked retrieval (round 3)
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3944,5 +3963,48 @@ def _extra_oracles() -> dict[str, str]:
                  FROM reach GROUP BY node)
         SELECT cc.k AS node, COALESCE(comp.component, cc.k) AS component
         FROM c cc LEFT JOIN comp ON cc.k = comp.node
+    """
+    # --- BM25: identical tf/df/dl/avgdl stats and scoring formula,
+    # ranked by the ROUNDED score (matching the Spark side exactly)
+    _bm_vals = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    d["bm25_topk"] = f"""
+        WITH q AS (SELECT * FROM (VALUES {_bm_vals}) t(query_id, qtext)),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(list_filter(
+                          regexp_split_to_array(lower(qtext), '\\s+'),
+                          x -> x <> '')) AS token
+               FROM q),
+        tok AS (SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM tok GROUP BY 1),
+        df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                          AS n_docs,
+                      CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)
+                      / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                          AS avgdl),
+        s AS (SELECT qt.query_id, tf.doc_id,
+                     ROUND(SUM(
+                         LN(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN qt USING (token)
+                      JOIN df USING (token)
+                      JOIN dl ON dl.doc_id = tf.doc_id
+                      CROSS JOIN st
+              GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+              FROM s)
+        SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
     """
     return d

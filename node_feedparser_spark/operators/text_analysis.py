@@ -283,3 +283,98 @@ def unigram_lm_score(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("_logp"), 4).alias("avg_logp"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: per query, the top-k documents by
+
+        score(d, q) = sum over t in q of
+            idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    with tf from lowercased whitespace tokens, dl the document token count,
+    avgdl the corpus mean.  Completes the retrieval family: the lexical
+    counterpart to embedding_topk / ivf_ann_topk, and a natural input list
+    for rrf_fusion (hybrid lexical+dense retrieval).
+
+    Scale shape: same three declared shuffles as tfidf_topk (tf agg keyed
+    (doc, token), df agg keyed token, tf ⋈ df on token) — the query term
+    table is literal-sized and BROADCAST onto the tf side FIRST, so only
+    tf rows matching some query term ever reach the df join or the
+    scoring; N/avgdl are one scalar agg cross-joined as a broadcast
+    literal.  The per-query top-k window partitions by query over at most
+    |matched docs| rows.
+
+    Determinism: rank orders by the 6-dp ROUNDED score (then doc id), so
+    the sub-ulp summation-order noise of float addition can never flip a
+    rank across engines; ln() is evaluated from identical double inputs
+    (the unigram_lm precedent).
+    """
+    spark = docs.sparkSession
+    if not queries or k < 1:
+        raise ValueError("need at least one query and k >= 1")
+    qterms = (
+        spark.createDataFrame(queries, ["query_id", "qtext"])
+        .select(
+            "query_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("qtext")), r"\s+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).crossJoin(
+        tok.select(
+            (F.count(F.lit(1)).cast("double")).alias("_total_tokens")
+        )
+    ).select(
+        "n_docs", (F.col("_total_tokens") / F.col("n_docs")).alias("avgdl")
+    )
+    matched = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(df_, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scores = matched.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
