@@ -1895,6 +1895,69 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=5)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key + locality evidence (round 3): Morton-
+    interleave 8 bits each of (p_size, p_retailprice), pack rows into 64
+    simulated z-range files, report per-file min/max of BOTH columns
+    (operators/layout.py) — the Iceberg/Delta OPTIMIZE ZORDER primitive;
+    tight per-file ranges on every column = multi-column file skipping.
+    The oracle replays the bit interleave exactly."""
+    from node_feedparser_spark.operators.layout import (
+        zorder_key,
+        zorder_locality_stats,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    z = zorder_key(part, ["p_size", "p_retailprice"], bits=8)
+    return zorder_locality_stats(
+        z, ["p_size", "p_retailprice"], n_files=64, bits=8
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunking (round 3): 64-token sliding windows with
+    8-token overlap per document (operators/packing.chunk_documents) —
+    pure-projection explode (no shuffle), short final chunk, portable
+    chunk hash for downstream chunk-level dedupe/caching.  Oracle replays
+    the window arithmetic with list_slice."""
+    from node_feedparser_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (round 3): per-window leftmost-min of the
+    positional token-5-gram hash stream, window w=4
+    (text_analysis.winnow_fingerprints) — MOSS's position-aware local
+    fingerprint with the shared-run matching guarantee, complementing the
+    positionless bottom-k sketch (`doc_fingerprint`).  Oracle replays the
+    same gram/hash/window-min pipeline in SQL."""
+    from node_feedparser_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing map (round 3): concat documents
+    in doc_id order, chunk the token stream at 512-token boundaries; per doc
+    report start sequence / offset / sequences spanned
+    (operators/packing.py).  Spark runs the two-phase distributed prefix sum
+    (range buckets -> tiny bucket-offset window -> per-bucket windows); the
+    oracle is the sequential single-window definition — pass means the
+    distributed scan equals the textbook semantics."""
+    from node_feedparser_spark.operators.packing import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents"), capacity=512, n_buckets=64
+    )
+
+
 def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style sampled neighbor aggregation (round 3): 2 hops of
     hash-sampled (fanout 8) mean feature mixing over the symmetrized
@@ -2043,6 +2106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         # lexical ranked retrieval (round 3)
         "bm25_topk": q_bm25_topk,
+        # storage-layout optimization (round 3)
+        "zorder_layout": q_zorder_layout,
+        # training-sequence packing (round 3)
+        "sequence_pack": q_sequence_pack,
+        # position-aware winnowing fingerprints (round 3)
+        "winnow_fingerprint": q_winnow_fingerprint,
+        # RAG sliding-window chunking (round 3)
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4006,5 +4077,107 @@ def _extra_oracles() -> dict[str, str]:
                           ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
               FROM s)
         SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+    """
+    # --- Z-order layout: identical bit interleave (8 bits x 2 cols,
+    # 64 z-range files of width 2^16/64); FLOOR before the BIGINT cast —
+    # DuckDB's double->int cast ROUNDS where Spark's truncates
+    from node_feedparser_spark.operators.layout import zorder_key_sql
+
+    _zcols = ["p_size", "p_retailprice"]
+    _zexpr = zorder_key_sql(_zcols, bits=8)
+    d["zorder_layout"] = f"""
+        WITH bounds AS (SELECT
+                MIN(CAST(p_size AS DOUBLE)) AS _lo_p_size,
+                MAX(CAST(p_size AS DOUBLE)) AS _hi_p_size,
+                MIN(CAST(p_retailprice AS DOUBLE)) AS _lo_p_retailprice,
+                MAX(CAST(p_retailprice AS DOUBLE)) AS _hi_p_retailprice
+            FROM part),
+        z AS (SELECT p_size, p_retailprice, {_zexpr} AS zkey
+              FROM part CROSS JOIN bounds),
+        f AS (SELECT CAST(FLOOR(zkey / 1024) AS BIGINT) AS file_id,
+                     p_size, p_retailprice
+              FROM z)
+        SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(p_size) AS p_size_min, MAX(p_size) AS p_size_max,
+               MIN(p_retailprice) AS p_retailprice_min,
+               MAX(p_retailprice) AS p_retailprice_max
+        FROM f GROUP BY 1
+    """
+    # --- Sequence packing: the SEQUENTIAL definition (one global window) —
+    # the Spark side runs the two-phase distributed scan; integer div/% so
+    # no float rounding can diverge; window SUM -> HUGEINT needs the BIGINT
+    # cast
+    d["sequence_pack"] = """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens
+                     AS global_start
+              FROM t)
+        SELECT doc_id, n_tokens, global_start,
+               global_start // 512 AS seq_id,
+               global_start % 512 AS offset_in_seq,
+               ((global_start + n_tokens - 1) // 512)
+                 - (global_start // 512) + 1 AS n_seqs_spanned
+        FROM c
+    """
+    # --- Winnowing: same positional 5-gram hash stream, same w=4 window
+    # min over the (hash, pos) composite key, same valid-starts filter
+    from node_feedparser_spark.functions.hashing import portable_hash60_sql
+
+    _wparts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(5))
+    _whash = portable_hash60_sql("gram")
+    d["winnow_fingerprint"] = f"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        g0 AS (SELECT doc_id,
+                      CASE WHEN len(toks) >= 5
+                           THEN list_transform(range(1, len(toks) - 3),
+                                               i -> {_wparts})
+                           ELSE [text] END AS grams
+               FROM t),
+        g AS (SELECT doc_id, len(grams) AS n_grams,
+                     unnest(grams) AS gram,
+                     generate_subscripts(grams, 1) AS pos
+              FROM g0),
+        kk AS (SELECT doc_id, n_grams, pos,
+                      lpad(CAST({_whash} AS VARCHAR), 19, '0') || ':'
+                        || lpad(CAST(pos AS VARCHAR), 10, '0') AS wkey
+               FROM g),
+        s AS (SELECT doc_id, n_grams, pos,
+                     MIN(wkey) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+              FROM kk)
+        SELECT DISTINCT doc_id,
+               CAST(substr(selkey, 21, 10) AS BIGINT) AS fp_pos,
+               CAST(substr(selkey, 1, 19) AS BIGINT) AS fp_hash
+        FROM s WHERE pos <= GREATEST(n_grams - 3, 1)
+    """
+    # --- Chunking: same window arithmetic (chunk 64 / overlap 8 / stride
+    # 56); list_slice is 1-based inclusive-end and clamps like F.slice
+    d["chunk_documents"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        c AS (SELECT doc_id, toks,
+                     GREATEST((GREATEST(CAST(len(toks) AS BIGINT) - 8, 0)
+                               + 55) // 56, 1) AS n_chunks
+              FROM t),
+        e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+              FROM c),
+        p AS (SELECT doc_id, chunk_id,
+                     array_to_string(
+                       list_slice(toks, chunk_id * 56 + 1,
+                                  chunk_id * 56 + 64), ' ') AS chunk_text,
+                     CAST(len(list_slice(toks, chunk_id * 56 + 1,
+                                         chunk_id * 56 + 64)) AS BIGINT)
+                       AS n_chunk_tokens
+              FROM e)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * 56 + 1 AS BIGINT) AS start_token,
+               n_chunk_tokens, chunk_text,
+               {portable_hash60_sql('chunk_text')} AS chunk_hash
+        FROM p
     """
     return d

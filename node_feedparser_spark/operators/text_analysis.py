@@ -166,6 +166,76 @@ def fingerprints(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): from the
+    positional token k-gram hash stream pick, for every window of ``w``
+    consecutive hashes, the minimum — keeping its POSITION.  Unlike the
+    bottom-k sketch above, winnowing is position-aware with a matching
+    guarantee: any shared run of >= w+k-1 tokens between two documents
+    yields at least one shared (hash) fingerprint, at ~2/(w+1) the gram
+    density.  Tie-break: the LEFTMOST minimal hash in the window (the paper
+    picks rightmost; leftmost is equally valid and is what a lexicographic
+    min over (hash, pos) keys gives both engines deterministically).
+
+    Docs shorter than k tokens fingerprint their whole text (same contract
+    as token_shingles); every non-null doc emits >= 1 fingerprint.
+
+    Returns (doc_id, fp_pos, fp_hash) distinct rows, fp_pos 1-based.
+
+    Scale shape: one explode (grams are corpus-linear), one window
+    partitioned by doc_id (bounded by doc length), one distinct keyed on the
+    output — nothing corpus-squared, no Python.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.slice(toks, 1, n)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, n), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array(F.col(text_col))
+    )
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).alias("n_grams"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        # sortable composite key: zero-padded 60-bit hash (always >= 0, max
+        # 19 digits) then zero-padded position — string min == (hash, pos)
+        # lexicographic min in both engines
+        F.concat(
+            F.lpad(portable_hash60("gram").cast("string"), 19, "0"),
+            F.lit(":"),
+            F.lpad((F.col("pos0") + 1).cast("string"), 10, "0"),
+        ).alias("wkey"),
+    )
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = g.withColumn("selkey", F.min("wkey").over(wspec)).where(
+        # valid window starts only (frame truncates at partition end); docs
+        # with fewer than w grams keep the single all-gram window at pos 1
+        F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1))
+    )
+    return sel.select(
+        "doc_id",
+        F.substring("selkey", 21, 10).cast("long").alias("fp_pos"),
+        F.substring("selkey", 1, 19).cast("long").alias("fp_hash"),
+    ).distinct()
+
+
 def tfidf_topk(
     docs: DataFrame,
     k: int = 3,
