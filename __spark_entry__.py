@@ -1914,6 +1914,52 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE kernel (round 3): first-iteration adjacent-symbol
+    pair statistics (chars + '</w>', per-occurrence multiplicity, weighted
+    by word frequency) over the corpus word-count table
+    (operators/bpe.py).  This is the aggregation every Sennrich merge
+    iteration re-runs on the evolving (vocabulary-sized) word table; the
+    oracle replays char-split + zip + weighted count."""
+    from node_feedparser_spark.operators.bpe import (
+        bpe_pair_counts,
+        word_counts,
+    )
+
+    return bpe_pair_counts(word_counts(_t(spark, sf_dir, "documents")))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (round 3): 48 Sennrich merges learned from
+    the corpus (operators/bpe.bpe_train) — distributed word count, capped
+    deterministic vocab, sequential merge loop over the vocabulary-sized
+    table only.  The merge loop is iterative-rewrite (not SQL-expressible)
+    so this entry ships rows-only; semantics are pinned by
+    tests/test_bpe.py against an independent pure-Python Sennrich
+    implementation, on hand corpora and a real corpus slice."""
+    from node_feedparser_spark.operators.bpe import bpe_train, merges_df
+
+    merges = bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=48, top_words=50_000
+    )
+    return merges_df(spark, merges)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus encoding (round 3): apply the learned merges with an
+    Arrow-batched mapInPandas whose Python unit of work is the unique word
+    (memoized across batches), not the row (operators/bpe.bpe_encode).
+    Rows-only for the same reason as bpe_merges; lossless-roundtrip and
+    reference-equality are pytest-pinned."""
+    from node_feedparser_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=48, top_words=50_000)
+    return bpe_encode(docs, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding chunking (round 3): 64-token sliding windows with
     8-token overlap per document (operators/packing.chunk_documents) —
@@ -2114,6 +2160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         # RAG sliding-window chunking (round 3)
         "chunk_documents": q_chunk_documents,
+        # distributed BPE tokenizer (round 3)
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -4179,5 +4229,23 @@ def _extra_oracles() -> dict[str, str]:
                n_chunk_tokens, chunk_text,
                {portable_hash60_sql('chunk_text')} AS chunk_hash
         FROM p
+    """
+    # --- BPE pair-count kernel: char symbols + '</w>', per-occurrence
+    # multiplicity weighted by word count (bpe_merges / bpe_encode are
+    # rows-only: the merge loop is an iterative rewrite)
+    d["bpe_pair_counts"] = """
+        WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+                   FROM (SELECT unnest(string_split(text, ' ')) AS word
+                         FROM documents)
+                   WHERE word <> '' GROUP BY word),
+        s AS (SELECT wc,
+                     list_append(list_transform(range(1, len(word) + 1),
+                                                i -> word[i:i]),
+                                 '</w>') AS syms
+              FROM w),
+        p AS (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM s)
+        SELECT syms[i] AS l_sym, syms[i+1] AS r_sym,
+               CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM p GROUP BY 1, 2
     """
     return d
