@@ -1914,6 +1914,21 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS matrix factorization (round 3): user embeddings of the
+    user x event_type interaction-count matrix via alternating CLOSED-FORM
+    2x2 ridge solves — each half-step is one join + one 5-sum agg + a
+    projection, pure DataFrame algebra, no MLlib/Python
+    (operators/factorize.py).  Deterministic hash init, 6 dp rounding at
+    every aggregate so summation order never leaks.  The DuckDB oracle is
+    emitted from the SAME code (als_sql) unrolling the identical
+    alternations."""
+    from node_feedparser_spark.operators.factorize import als_factorize
+
+    users, _items = als_factorize(_t(spark, sf_dir, "events"), n_alt=2)
+    return users
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE kernel (round 3): first-iteration adjacent-symbol
     pair statistics (chars + '</w>', per-occurrence multiplicity, weighted
@@ -2164,6 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        # rank-2 ALS matrix factorization (round 3)
+        "als_factorize": q_als_factorize,
     }
 
 
@@ -4248,4 +4265,8 @@ def _extra_oracles() -> dict[str, str]:
                CAST(SUM(wc) AS BIGINT) AS pair_count
         FROM p GROUP BY 1, 2
     """
+    # --- ALS: oracle emitted from the same code as the Spark plan
+    from node_feedparser_spark.operators.factorize import als_sql
+
+    d["als_factorize"] = als_sql(n_alt=2)
     return d
