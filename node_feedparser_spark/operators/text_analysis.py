@@ -204,13 +204,15 @@ def winnow_fingerprints(
     grams = F.when(F.size(toks) >= k, grams).otherwise(
         F.array(F.col(text_col))
     )
+    # NB: do NOT also project size(grams) next to the generator — a second
+    # copy of the zip-of-slices tree beside posexplode defeated codegen and
+    # cost ~30x at bench scale; n_grams is recovered for free as max(pos)
+    # over the doc partition we window anyway
     g = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(grams).alias("n_grams"),
         F.posexplode(grams).alias("pos0", "gram"),
     ).select(
         "doc_id",
-        "n_grams",
         (F.col("pos0") + 1).cast("long").alias("pos"),
         # sortable composite key: zero-padded 60-bit hash (always >= 0, max
         # 19 digits) then zero-padded position — string min == (hash, pos)
@@ -224,7 +226,9 @@ def winnow_fingerprints(
     wspec = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
-    sel = g.withColumn("selkey", F.min("wkey").over(wspec)).where(
+    sel = g.withColumn("selkey", F.min("wkey").over(wspec)).withColumn(
+        "n_grams", F.max("pos").over(Window.partitionBy("doc_id"))
+    ).where(
         # valid window starts only (frame truncates at partition end); docs
         # with fewer than w grams keep the single all-gram window at pos 1
         F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1))
