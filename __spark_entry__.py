@@ -1914,6 +1914,19 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes classifier (round 3): add-1-smoothed
+    per-class token log-likelihoods learned from the corpus itself, every
+    document scored and argmax-labeled, entirely in built-in functions
+    (operators/classify.py) — the learned complement to the `language_id`
+    stopword heuristic.  Scores round to 6 dp before the argmax so libm log
+    ulp differences cannot flip ranks; ties break by class name.  Oracle
+    emitted from the same code (naive_bayes_sql)."""
+    from node_feedparser_spark.operators.classify import naive_bayes_score
+
+    return naive_bayes_score(_t(spark, sf_dir, "documents"))
+
+
 def q_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-2 ALS matrix factorization (round 3): user embeddings of the
     user x event_type interaction-count matrix via alternating CLOSED-FORM
@@ -2181,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         # rank-2 ALS matrix factorization (round 3)
         "als_factorize": q_als_factorize,
+        # trained naive-bayes classifier (round 3)
+        "naive_bayes_lang": q_naive_bayes_lang,
     }
 
 
@@ -4269,4 +4284,8 @@ def _extra_oracles() -> dict[str, str]:
     from node_feedparser_spark.operators.factorize import als_sql
 
     d["als_factorize"] = als_sql(n_alt=2)
+    # --- Naive Bayes: same emitted-oracle discipline
+    from node_feedparser_spark.operators.classify import naive_bayes_sql
+
+    d["naive_bayes_lang"] = naive_bayes_sql()
     return d
