@@ -1914,6 +1914,49 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (round 3): Population Stability Index of
+    the event value distribution between the first and second half of the
+    time range (midpoint in integer epoch-micros, so the split is exact in
+    both engines) — reference-decile bins, +0.5 Laplace floor, per-bin PSI
+    terms (operators/curation.psi_drift).  Oracle replays edges, binning,
+    floors and terms."""
+    from node_feedparser_spark.operators.curation import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = F.broadcast(
+        ev.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi"))
+    )
+    j = ev.crossJoin(b)
+    ref = j.where(us * 2 <= F.col("_lo") + F.col("_hi"))
+    cur = j.where(us * 2 > F.col("_lo") + F.col("_hi"))
+    return psi_drift(ref, cur, value_col="value", n_bins=10)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (round 3): Iglewicz-Hodges modified z-score
+    per event_type — exact median + MAD (50%-breakdown, masking-proof)
+    with the tiny per-group stats broadcast back
+    (operators/curation.mad_outliers); flag decided on the 4 dp-rounded
+    score.  Oracle: DuckDB quantile_cont replays Spark's exact percentile
+    interpolation."""
+    from node_feedparser_spark.operators.curation import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), k=3.5)
+
+
+def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event streams (round 3):
+    ML transition matrix from one lead() window + one catalog²-sized count
+    agg, plus the 2-step power-iteration distribution from uniform computed
+    on that tiny matrix (operators/markov.py).  6 dp re-rounding every step
+    (the ALS/kmeans discipline); oracle emitted from the same code."""
+    from node_feedparser_spark.operators.markov import markov_chain
+
+    return markov_chain(_t(spark, sf_dir, "events"), n_steps=2)
+
+
 def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained multinomial Naive Bayes classifier (round 3): add-1-smoothed
     per-class token log-likelihoods learned from the corpus itself, every
@@ -2196,6 +2239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_factorize": q_als_factorize,
         # trained naive-bayes classifier (round 3)
         "naive_bayes_lang": q_naive_bayes_lang,
+        # markov event-stream model (round 3)
+        "markov_chain": q_markov_chain,
+        # robust MAD outlier screen (round 3)
+        "mad_outliers": q_mad_outliers,
+        # PSI distribution-drift monitor (round 3)
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -4288,4 +4337,57 @@ def _extra_oracles() -> dict[str, str]:
     from node_feedparser_spark.operators.classify import naive_bayes_sql
 
     d["naive_bayes_lang"] = naive_bayes_sql()
+    # --- Markov chain: emitted oracle
+    from node_feedparser_spark.operators.markov import markov_sql
+
+    d["markov_chain"] = markov_sql(n_steps=2)
+    # --- MAD outliers: quantile_cont == Spark exact percentile (same
+    # (n-1)*q linear interpolation); flag on the ROUNDED score both sides
+    d["mad_outliers"] = """
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY 1),
+        mad AS (SELECT e.event_type,
+                       quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN med m USING (event_type) GROUP BY 1),
+        s AS (SELECT e.event_id, e.event_type, e.value,
+                     ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+                     ROUND(0.6745 * (e.value - m.med) / d.mad, 4) AS rz
+              FROM events e JOIN med m USING (event_type)
+                            JOIN mad d USING (event_type)
+              WHERE d.mad > 0)
+        SELECT * FROM s WHERE abs(rz) > 3.5
+    """
+    # --- PSI drift: integer-micros midpoint split, reference-decile bins,
+    # +0.5 Laplace floors, 6 dp-rounded terms — replayed end to end
+    _psi_edges = ", ".join(
+        f"quantile_cont(value, {i / 10}) AS _e{i}" for i in range(1, 10)
+    )
+    _psi_bin = " + ".join(
+        f"CASE WHEN value > _e{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    d["psi_drift"] = f"""
+        WITH bnd AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                     FROM events),
+        r0 AS (SELECT value FROM events, bnd WHERE 2 * epoch_us(ts) <= lo + hi),
+        c0 AS (SELECT value FROM events, bnd WHERE 2 * epoch_us(ts) > lo + hi),
+        e AS (SELECT {_psi_edges} FROM r0),
+        rb AS (SELECT CAST({_psi_bin} AS BIGINT) AS bin FROM r0 CROSS JOIN e),
+        cb AS (SELECT CAST({_psi_bin} AS BIGINT) AS bin FROM c0 CROSS JOIN e),
+        rc AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+        cc AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+        j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+                     COALESCE(n_ref, 0) AS n_ref,
+                     COALESCE(n_cur, 0) AS n_cur
+              FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+        t AS (SELECT *, SUM(n_ref) OVER () AS rt, SUM(n_cur) OVER () AS ct
+              FROM j)
+        SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               ROUND((n_ref + 0.5) / (rt + 5.0), 6) AS p_ref,
+               ROUND((n_cur + 0.5) / (ct + 5.0), 6) AS p_cur,
+               ROUND(((n_cur + 0.5) / (ct + 5.0) - (n_ref + 0.5) / (rt + 5.0))
+                     * LN(((n_cur + 0.5) / (ct + 5.0))
+                          / ((n_ref + 0.5) / (rt + 5.0))), 6) AS psi_term
+        FROM t
+    """
     return d

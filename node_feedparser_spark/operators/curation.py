@@ -572,3 +572,120 @@ def weighted_sample(
         .filter(F.col("rank") <= k)
         .drop("_key")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation —
+    the Iglewicz-Hodges modified z-score |0.6745 * (x - med) / mad| > k,
+    the standard telemetry/label-noise screen (median and MAD are
+    50%-breakdown estimators, so unlike mean/stddev the outliers cannot
+    mask themselves).
+
+    Plan: two exact-percentile aggregations (group-keyed, map-side
+    pre-grouped) with the tiny per-group stats broadcast back, then one
+    codegen projection + filter.  Exact `percentile` keeps the DuckDB
+    oracle bit-replayable (`quantile_cont` — same (n-1)*q linear
+    interpolation); at true 100 TB swap in `approx_percentile` (one line,
+    same plan shape) exactly like the portable-hash -> xxhash64 swap
+    documented in functions/hashing.py.
+
+    Groups whose MAD is 0 (constant-valued) emit no outliers by definition
+    (guarded — ANSI mode would otherwise raise on the division).  Returns
+    (id_col, group_col, value, med, mad, rz) for flagged rows, rz rounded
+    to 4 dp and the flag decided on the ROUNDED score so engine float noise
+    cannot flip borderline rows.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), group_col).where(
+        F.col("mad") > 0
+    )
+    rz = F.round(F.lit(0.6745) * (v - F.col("med")) / F.col("mad"), 4)
+    return (
+        scored.select(
+            id_col,
+            group_col,
+            v.alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            rz.alias("rz"),
+        )
+        .where(F.abs(F.col("rz")) > k)
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current slice
+    of a numeric feature — the standard distribution-drift monitor a
+    pipeline runs between ingestion batches (PSI < 0.1 stable, > 0.25
+    action).  Bin edges are the REFERENCE deciles (exact percentiles, same
+    interpolation both engines — see mad_outliers); each slice is binned
+    with one broadcast of the n_bins-1 edges and counted; probabilities
+    get a +0.5 Laplace floor so empty bins never produce ln(0).
+
+    Plan: one percentile agg on ref (edge row broadcast), one count agg
+    per slice (map-side combinable), a bin-keyed full outer join of two
+    <= n_bins-row tables, windows only over those tiny tables.  Returns
+    (bin, n_ref, n_cur, p_ref, p_cur, psi_term) with psi_term rounded
+    6 dp; SUM(psi_term) is the PSI.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    v = F.col(value_col).cast("double")
+    edges = ref.agg(
+        *[
+            F.percentile(v, F.lit(i / n_bins)).alias(f"_e{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.lit(0)
+        for i in range(1, n_bins):
+            b = b + F.when(v > F.col(f"_e{i}"), 1).otherwise(0)
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(b.cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{out}"))
+        )
+
+    # full outer on bin; each side's EXACT total is the sum of its bin
+    # counts (every row lands in exactly one bin), recovered over the
+    # tiny joined table so bins absent from one side still get that
+    # side's Laplace-floor mass
+    j = _binned(ref, "ref").join(_binned(cur, "cur"), "bin", "full")
+    w = Window.partitionBy()
+    n_ref = F.coalesce(F.col("n_ref"), F.lit(0))
+    n_cur = F.coalesce(F.col("n_cur"), F.lit(0))
+    ref_tot = F.sum(n_ref).over(w)
+    cur_tot = F.sum(n_cur).over(w)
+    p_ref = (n_ref + 0.5) / (ref_tot + 0.5 * n_bins)
+    p_cur = (n_cur + 0.5) / (cur_tot + 0.5 * n_bins)
+    return j.select(
+        "bin",
+        n_ref.cast("long").alias("n_ref"),
+        n_cur.cast("long").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_term"
+        ),
+    )
