@@ -1914,6 +1914,31 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler (round 3): per-key share, partition-width
+    occupancy at 32 reducers, and the salt factor that bounds the key back
+    to one partition's width (operators/profile.py) — the diagnosis step
+    behind the salted applyInPandas / hot-block guards this repo already
+    ships.  One count agg + windows over the top-k slice only."""
+    from node_feedparser_spark.operators.profile import skew_profile
+
+    return skew_profile(
+        _t(spark, sf_dir, "events"), "event_type", n_partitions=32, top_k=5
+    )
+
+
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell typo join (round 3): corpus-vocabulary pairs at edit
+    distance 1 via the COMPLETE deletion-neighborhood blocking (every
+    distance-1 pair shares a 1-deletion key — no recall loss), verified
+    with one levenshtein on candidates only (operators/fuzzy.py) — the
+    character-level fuzzy matcher the shingle-based near-dup family cannot
+    provide.  Both engines run the same levenshtein built-in."""
+    from node_feedparser_spark.operators.fuzzy import edit_distance_join
+
+    return edit_distance_join(_t(spark, sf_dir, "documents"))
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (round 3): Population Stability Index of
     the event value distribution between the first and second half of the
@@ -2245,6 +2270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         # PSI distribution-drift monitor (round 3)
         "psi_drift": q_psi_drift,
+        # shuffle-key skew profiler (round 3)
+        "skew_profile": q_skew_profile,
+        # SymSpell edit-distance typo join (round 3)
+        "edit_distance_join": q_edit_distance_join,
     }
 
 
@@ -4389,5 +4418,41 @@ def _extra_oracles() -> dict[str, str]:
                      * LN(((n_cur + 0.5) / (ct + 5.0))
                           / ((n_ref + 0.5) / (rt + 5.0))), 6) AS psi_term
         FROM t
+    """
+    # --- Skew profile: same share/width/salt arithmetic, same tie-break
+    d["skew_profile"] = """
+        WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT *, SUM(n) OVER () AS tot FROM c),
+        r AS (SELECT key, CAST(n AS BIGINT) AS n,
+                     ROUND(n / CAST(tot AS DOUBLE), 6) AS share,
+                     ROUND(n / CAST(tot AS DOUBLE) * 32, 6)
+                       AS partition_widths,
+                     GREATEST(CAST(CEIL(n / CAST(tot AS DOUBLE) * 32)
+                                   AS BIGINT), 1) AS suggested_salt,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+              FROM t)
+        SELECT key, n, share, partition_widths, suggested_salt,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """
+    # --- SymSpell join: identical deletion neighborhood + levenshtein
+    d["edit_distance_join"] = """
+        WITH vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+                       FROM (SELECT unnest(string_split(text, ' ')) AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY 1),
+        k AS (SELECT word, wc,
+                     unnest(list_append(
+                        list_transform(range(1, len(word) + 1),
+                           i -> substr(word, 1, i - 1) || substr(word, i + 1)),
+                        word)) AS key
+              FROM vocab),
+        p AS (SELECT DISTINCT a.word AS w1, b.word AS w2,
+                     a.wc AS n1, b.wc AS n2
+              FROM k a JOIN k b ON a.key = b.key AND a.word < b.word)
+        SELECT w1, w2, n1, n2,
+               CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+        FROM p WHERE levenshtein(w1, w2) <= 1
     """
     return d

@@ -1,0 +1,69 @@
+"""Key-skew profiling — the diagnosis step behind every salting decision.
+
+The repo handles skew in several places (conv_apply salted applyInPandas,
+simhash hot-block guard, AQE skew-join in the pipeline); this operator is
+the PROFILER that tells an operator owner where those mitigations are
+needed before a job falls over: per-key share of the table, how many
+average-partition-widths the key would occupy after a hash shuffle, and
+the salt factor that would bound it back to one partition's width.
+
+One count agg (map-side combinable) + windows over the top-k rows only.
+The full per-key count table never leaves the executors — the profile is
+the top-k slice, deterministically tie-broken.
+
+Reference analog: the reference caps pathological inputs structurally
+(MAX_BUFFER_LENGTH guard, /root/reference/lib/feedparser.js:33-35) — the
+same "measure, then bound the hot case" discipline applied to shuffle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 200,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` hottest keys of ``key_col`` with skew arithmetic.
+
+    Returns (key as string, n, share, partition_widths, suggested_salt):
+    share = n / total rows (6 dp); partition_widths = share * n_partitions
+    (6 dp) — how many average-partition-widths of work this single key
+    ships to one reducer; suggested_salt = ceil(partition_widths) clamped
+    to >= 1 — the split factor that bounds the key back to one partition's
+    width.  Ordered by (n desc, key) — fully deterministic.
+    """
+    if n_partitions < 1 or top_k < 1:
+        raise ValueError("n_partitions and top_k must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("key"))
+    share = F.col("n") / F.sum("n").over(w_tot)
+    return (
+        counts.withColumn("share", F.round(share, 6))
+        .withColumn(
+            "partition_widths", F.round(share * n_partitions, 6)
+        )
+        .withColumn(
+            "suggested_salt",
+            F.greatest(
+                F.ceil(share * n_partitions), F.lit(1)
+            ).cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            "share",
+            "partition_widths",
+            "suggested_salt",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
