@@ -1914,6 +1914,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed uncertainty quantification (round 3): Poisson(1)
+    bootstrap standard error of the per-event_type mean value — the
+    resampling scheme that distributes (per-row per-replicate multiplicity
+    instead of materialized resamples), with DETERMINISTIC hash-CDF draws
+    so both engines resample bit-identically (operators/sketch.py).
+    Oracle replays hash -> u -> Poisson weight -> weighted means -> SE."""
+    from node_feedparser_spark.operators.sketch import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _t(spark, sf_dir, "events"), n_replicates=50
+    )
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew profiler (round 3): per-key share, partition-width
     occupancy at 32 reducers, and the salt factor that bounds the key back
@@ -2272,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         # shuffle-key skew profiler (round 3)
         "skew_profile": q_skew_profile,
+        # poisson bootstrap SE (round 3)
+        "poisson_bootstrap": q_poisson_bootstrap,
         # SymSpell edit-distance typo join (round 3)
         "edit_distance_join": q_edit_distance_join,
     }
@@ -4454,5 +4470,34 @@ def _extra_oracles() -> dict[str, str]:
         SELECT w1, w2, n1, n2,
                CAST(levenshtein(w1, w2) AS BIGINT) AS dist
         FROM p WHERE levenshtein(w1, w2) <= 1
+    """
+    # --- Poisson bootstrap: identical hash -> u -> CDF-table weight draw
+    from node_feedparser_spark.operators.sketch import POISSON1_CDF
+
+    _pb_hash = portable_hash60_sql("id || ':' || CAST(rep AS VARCHAR)")
+    _pb_w = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_CDF
+    )
+    d["poisson_bootstrap"] = f"""
+        WITH rep AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+                            CAST(event_id AS VARCHAR) AS id,
+                            unnest(range(1, 51)) AS rep
+                     FROM events),
+        uu AS (SELECT grp, v, rep,
+                      ({_pb_hash} % 1000000) / 1000000.0 AS u
+               FROM rep),
+        wt AS (SELECT grp, v, rep, CAST({_pb_w} AS DOUBLE) AS w FROM uu),
+        pr AS (SELECT grp, rep, SUM(w * v) AS wv, SUM(w) AS ws
+               FROM wt GROUP BY 1, 2),
+        m AS (SELECT grp, rep, wv / ws AS m FROM pr WHERE ws > 0),
+        plain AS (SELECT event_type AS grp,
+                         ROUND(AVG(CAST(value AS DOUBLE)), 6) AS mean
+                  FROM events GROUP BY 1),
+        boot AS (SELECT grp, ROUND(AVG(m), 6) AS boot_mean,
+                        ROUND(STDDEV_SAMP(m), 6) AS boot_se,
+                        CAST(COUNT(*) AS BIGINT) AS n_reps
+                 FROM m GROUP BY 1)
+        SELECT grp AS event_type, mean, boot_mean, boot_se, n_reps
+        FROM plain JOIN boot USING (grp)
     """
     return d

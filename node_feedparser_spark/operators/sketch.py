@@ -330,3 +330,86 @@ def histogram_quantiles(
         F.col("q"),
         F.round(est, 6).alias("quantile_est"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative, 6 dp — exact decimal
+# literals so Spark and DuckDB draw identical counts from identical hashes):
+# P(X<=k) for k = 0..4; u above the last threshold draws 5.
+POISSON1_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340]
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    n_replicates: int = 50,
+) -> DataFrame:
+    """Per-group bootstrap standard error of the mean via the Poisson(1)
+    bootstrap — the resampling scheme that actually distributes: instead of
+    materializing B resamples of N rows (impossible at 10^12), every row
+    independently draws a Poisson(1) multiplicity PER REPLICATE, which
+    approximates multinomial resampling to O(1/N) and needs only one
+    explode + two aggregations.
+
+    The draw is DETERMINISTIC: u = (portable_hash60(id || ':' || replicate)
+    mod 1e6) / 1e6 inverted through the 6 dp Poisson(1) CDF table — both
+    engines draw bit-identical weights, so the oracle replays the whole
+    resampling exactly (no RNG in either engine).
+
+    Returns (group_col, mean, boot_mean, boot_se, n_reps), where mean is
+    the plain group mean, boot_mean/boot_se are the mean and sample-stddev
+    of the per-replicate weighted means (6 dp), n_reps counts replicates
+    with nonzero total weight.
+
+    Plan: explode sequence(1, B) (B x rows, corpus-linear), one
+    (group, replicate) weighted agg (map-side combinable), one group agg
+    over B-row slices.  No collect, no RNG state, no Python.
+    """
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    rep = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_replicates)))
+        ).alias("rep"),
+    )
+    u = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col("_id"), F.lit(":"), F.col("rep"))
+            ),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
+    w = F.lit(0)
+    for t in POISSON1_CDF:
+        w = w + F.when(u >= t, 1).otherwise(0)
+    per_rep = (
+        rep.withColumn("w", w.cast("double"))
+        .groupBy("grp", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("wv"),
+            F.sum("w").alias("ws"),
+        )
+        .where(F.col("ws") > 0)
+        .select("grp", "rep", (F.col("wv") / F.col("ws")).alias("m"))
+    )
+    plain = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.round(F.avg(F.col(value_col).cast("double")), 6).alias("mean")
+    )
+    boot = per_rep.groupBy("grp").agg(
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    return plain.join(boot, "grp").select(
+        F.col("grp").alias(group_col),
+        "mean",
+        "boot_mean",
+        "boot_se",
+        "n_reps",
+    )
