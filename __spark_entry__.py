@@ -1914,6 +1914,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (round 3): (lang, source) quasi-identifier
+    combinations occurring fewer than 12 times (operators/profile.py) —
+    the post-pii_scrub re-identification surface; one map-side-combinable
+    count agg returning only the violating groups."""
+    from node_feedparser_spark.operators.profile import (
+        k_anonymity_violations,
+    )
+
+    return k_anonymity_violations(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=12
+    )
+
+
 def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed uncertainty quantification (round 3): Poisson(1)
     bootstrap standard error of the per-event_type mean value — the
@@ -2288,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         # poisson bootstrap SE (round 3)
         "poisson_bootstrap": q_poisson_bootstrap,
+        # k-anonymity audit (round 3)
+        "k_anonymity": q_k_anonymity,
         # SymSpell edit-distance typo join (round 3)
         "edit_distance_join": q_edit_distance_join,
     }
@@ -4499,5 +4515,10 @@ def _extra_oracles() -> dict[str, str]:
                  FROM m GROUP BY 1)
         SELECT grp AS event_type, mean, boot_mean, boot_se, n_reps
         FROM plain JOIN boot USING (grp)
+    """
+    # --- k-anonymity audit
+    d["k_anonymity"] = """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 12
     """
     return d

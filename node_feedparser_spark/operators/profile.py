@@ -67,3 +67,28 @@ def skew_profile(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, qid_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier combinations occurring fewer than ``k`` times —
+    the k-anonymity audit a pipeline runs after `curation.pii_scrub`:
+    direct identifiers are scrubbed by pattern, but RARE attribute
+    combinations still re-identify (the classic linkage-attack surface),
+    and the fix (suppress or generalize those rows) starts from exactly
+    this violating-group list.
+
+    One count agg on the QID tuple (map-side combinable); the result is
+    only the violating groups, ordered nowhere — callers aggregate or
+    join back to suppress.  Returns (qid_cols..., n) with 1 <= n < k.
+    """
+    if not qid_cols:
+        raise ValueError("qid_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.groupBy(*qid_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") < k)
+    )

@@ -119,3 +119,37 @@ def test_count_ratio_gate(spark):
     }
     assert ("tha", "the") in all_pairs and ("foo", "fooo") in all_pairs
     assert gated == {("tha", "the")}  # 2/50 <= 0.2; 5/5 > 0.2
+
+
+# ------------------------------------------------------ k_anonymity audit
+
+
+def test_k_anonymity_hand(spark):
+    from node_feedparser_spark.operators.profile import (
+        k_anonymity_violations,
+    )
+
+    rows = (
+        [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 1
+        + [("b", "y")] * 9
+    )
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    got = {
+        (r.c1, r.c2): r.n
+        for r in k_anonymity_violations(df, ["c1", "c2"], k=5).collect()
+    }
+    assert got == {("a", "y"): 2, ("b", "x"): 1}
+
+
+def test_k_anonymity_validation(spark):
+    from node_feedparser_spark.operators.profile import (
+        k_anonymity_violations,
+    )
+
+    df = spark.createDataFrame([("a",)], "c1 string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_anonymity_violations(df, [], k=5)
+    with _pt.raises(ValueError):
+        k_anonymity_violations(df, ["c1"], k=1)
