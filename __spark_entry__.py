@@ -1914,6 +1914,60 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query (round 3):
+    recall@5 and reciprocal rank of the IVF cell-probe ANN lane
+    (`ivf_ann_topk`'s exact parameters) against the brute-force cosine
+    ground truth, per query — the measure-don't-guess harness run in-plan:
+    two topk lanes, one join, two tiny aggs.  The oracle composes the two
+    existing retrieval oracles (the rrf_fusion discipline: parameters must
+    mirror the named queries EXACTLY; ground truth re-filtered to the ANN
+    lane's vec_id<8 query set)."""
+    from node_feedparser_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    gt = cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+    ann = ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+    hits = (
+        gt.join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    base = gt.select("query_id").distinct()
+    n_hit = base.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("_h", F.lit(0)).cast("long").alias("n_hit")
+    )
+    top1 = gt.where(F.col("rank") == 1).select("query_id", "vec_id")
+    rr = (
+        top1.join(
+            ann.withColumnRenamed("rank", "_arank"),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.max(1.0 / F.col("_arank")), F.lit(0.0)).alias("_rr")
+        )
+    )
+    return (
+        n_hit.join(rr, "query_id")
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / 5.0, 6).alias("recall_at_5"),
+            F.round("_rr", 6).alias("reciprocal_rank"),
+        )
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (round 3): (lang, source) quasi-identifier
     combinations occurring fewer than 12 times (operators/profile.py) —
@@ -2304,6 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         # k-anonymity audit (round 3)
         "k_anonymity": q_k_anonymity,
+        # in-plan ANN quality evaluation (round 3)
+        "ann_recall_eval": q_ann_recall_eval,
         # SymSpell edit-distance typo join (round 3)
         "edit_distance_join": q_edit_distance_join,
     }
@@ -3702,6 +3758,29 @@ def _extra_oracles() -> dict[str, str]:
                      ORDER BY rrf_score DESC, vec_id ASC) AS BIGINT) AS rnk
               FROM s)
         SELECT query_id, vec_id, rrf_score, rnk AS rank FROM r WHERE rnk <= 5
+    """
+    # composed from the same two retrieval oracles; ground truth re-filtered
+    # to the ANN lane's vec_id<8 query set (assert guards against the
+    # brute-force oracle's literal drifting)
+    _gt_sql = d["embedding_topk"].replace("q.vec_id < 10", "q.vec_id < 8")
+    assert _gt_sql != d["embedding_topk"], "embedding_topk filter moved"
+    d["ann_recall_eval"] = f"""
+        WITH gt AS ({_gt_sql}),
+        ann AS ({d['ivf_ann_topk']}),
+        hits AS (SELECT g.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+                 FROM gt g LEFT JOIN ann a
+                   ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+                 GROUP BY 1),
+        top1 AS (SELECT query_id, vec_id FROM gt WHERE rank = 1),
+        mrr AS (SELECT t.query_id,
+                       COALESCE(MAX(1.0 / a.rank), 0.0) AS rr
+                FROM top1 t LEFT JOIN ann a
+                  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+                GROUP BY 1)
+        SELECT h.query_id, h.n_hit,
+               ROUND(h.n_hit / 5.0, 6) AS recall_at_5,
+               ROUND(m.rr, 6) AS reciprocal_rank
+        FROM hits h JOIN mrr m ON h.query_id = m.query_id
     """
     # --- knowledge fusion: unrolled 2-iteration trust/confidence fixed point
     d["truth_fusion"] = """

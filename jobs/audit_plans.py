@@ -51,6 +51,7 @@ PYTHON_ALLOWED = {
     "ivf_kmeans_topk",
     "quantized_topk",
     "embedding_topk",
+    "ann_recall_eval",      # composes the two Arrow topk lanes above
     "retro_resolve",        # JVM-prescreened Arrow URL resolution
     "url_resolve",
     "html_uri_resolve",

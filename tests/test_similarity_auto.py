@@ -104,3 +104,22 @@ def test_guard_unreachable_from_named_query(spark):
     # ...but the auto path with the same tiny bound dispatches to blocked
     out = sim.cosine_threshold_pairs_auto(emb, 0.4, small_n_cutoff=3)
     assert out.count() >= 0
+
+
+def test_ann_recall_eval_semantics(spark):
+    """In-plan ANN eval: per-query recall/MRR consistent and in range,
+    and perfect whenever the ANN list equals ground truth."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["ann_recall_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no queries evaluated"
+    assert {r.query_id for r in rows} == set(range(8))
+    for r in rows:
+        assert 0 <= r.n_hit <= 5
+        assert r.recall_at_5 == round(r.n_hit / 5.0, 6)
+        assert 0.0 <= r.reciprocal_rank <= 1.0
+    # IVF with n_probe=4/16 on this tiny corpus recovers most of top-5
+    mean_recall = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert mean_recall >= 0.6
