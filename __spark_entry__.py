@@ -1914,6 +1914,45 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-containment join (round 3): purchases matched to
+    12 deterministic promo windows carved from the event time range
+    (integer-micros arithmetic) via operators/interval_join.py — the
+    equi-join-shaped range join (interval explodes to overlapped buckets,
+    point keys to one bucket, exact predicate re-verified) that avoids
+    Spark's BroadcastNestedLoop fallback.  The DuckDB oracle runs the
+    NAIVE range join on its native IEJoin — an independently-implemented
+    range algorithm."""
+    from node_feedparser_spark.operators.interval_join import (
+        interval_join_bucketed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = F.broadcast(ev.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi")))
+    span12 = F.expr("(_hi - _lo) div 12")
+    span24 = F.expr("(_hi - _lo) div 24")
+    iv = (
+        spark.range(12)
+        .withColumnRenamed("id", "iv_id")
+        .crossJoin(b)
+        .select(
+            "iv_id",
+            F.timestamp_micros(F.col("_lo") + F.col("iv_id") * span12).alias(
+                "start_ts"
+            ),
+            F.timestamp_micros(
+                F.col("_lo") + F.col("iv_id") * span12 + span24
+            ).alias("end_ts"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = interval_join_bucketed(purchases, iv, bucket_seconds=3600)
+    return out.select("event_id", "iv_id")
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation as a first-class query (round 3):
     recall@5 and reciprocal rank of the IVF cell-probe ANN lane
@@ -2360,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
+        # bucketed interval-containment join (round 3)
+        "interval_join": q_interval_join,
         # SymSpell edit-distance typo join (round 3)
         "edit_distance_join": q_edit_distance_join,
     }
@@ -4599,5 +4640,19 @@ def _extra_oracles() -> dict[str, str]:
     d["k_anonymity"] = """
         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
         FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 12
+    """
+    # --- interval join: NAIVE range join on DuckDB's native IEJoin (an
+    # independently-implemented range algorithm) vs Spark's bucketed plan
+    d["interval_join"] = """
+        WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                   FROM events),
+        iv AS (SELECT i AS iv_id,
+                      lo + i * ((hi - lo) // 12) AS s_us,
+                      lo + i * ((hi - lo) // 12) + ((hi - lo) // 24) AS e_us
+               FROM b, range(0, 12) t(i)),
+        p AS (SELECT event_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, iv.iv_id
+        FROM p JOIN iv ON p.t_us BETWEEN iv.s_us AND iv.e_us
     """
     return d
