@@ -1914,6 +1914,17 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (round 3): every click in the 24 h
+    before a purchase gets an equal share of its value
+    (operators/asof.linear_attribution) — the many-touch complement to
+    the last-touch `click_attribution` as-of join; one user-co-partitioned
+    equi-join + range filter + per-conversion count window."""
+    from node_feedparser_spark.operators.asof import linear_attribution
+
+    return linear_attribution(_t(spark, sf_dir, "events"), window_hours=24)
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval-containment join (round 3): purchases matched to
     12 deterministic promo windows carved from the event time range
@@ -2401,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
         "interval_join": q_interval_join,
+        # linear multi-touch attribution (round 3)
+        "linear_attribution": q_linear_attribution,
         # SymSpell edit-distance typo join (round 3)
         "edit_distance_join": q_edit_distance_join,
     }
@@ -4654,5 +4667,25 @@ def _extra_oracles() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase')
         SELECT p.event_id, iv.iv_id
         FROM p JOIN iv ON p.t_us BETWEEN iv.s_us AND iv.e_us
+    """
+    # --- linear attribution: same user-keyed join + range + equal split
+    d["linear_attribution"] = """
+        WITH conv AS (SELECT user_id AS u, event_id AS conversion_id,
+                             epoch_us(ts) AS cts,
+                             CAST(value AS DOUBLE) AS val
+                      FROM events WHERE event_type = 'purchase'),
+        touch AS (SELECT user_id AS u, event_id AS touch_id,
+                         epoch_us(ts) AS tts
+                  FROM events WHERE event_type = 'click'),
+        j AS (SELECT c.conversion_id, t.touch_id, c.val
+              FROM conv c JOIN touch t ON c.u = t.u
+              WHERE t.tts <= c.cts
+                AND t.tts > c.cts - 24 * 3600 * 1000000::BIGINT),
+        n AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY conversion_id)
+                             AS BIGINT) AS n_touches
+              FROM j)
+        SELECT conversion_id, touch_id, n_touches,
+               ROUND(val / n_touches, 6) AS credit
+        FROM n
     """
     return d

@@ -210,3 +210,58 @@ def asof_join_bucketed(
     for c in right_cols:
         cols.append(keep[c].alias(c))
     return out.select(*cols)
+
+
+def linear_attribution(
+    events: DataFrame,
+    window_hours: int = 24,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution — the many-touch complement to the
+    last-touch as-of join above: every touch event within the lookback
+    window before a conversion receives an EQUAL share of the conversion
+    value (credit = value / n_touches), the standard linear model a
+    marketing/behavior pipeline runs next to last-touch to bound how much
+    the attribution choice moves revenue.
+
+    Plan: one user-keyed equi-join (touches x conversions co-partitioned
+    on the user — never a cartesian; mega-user skew is the documented
+    salting case) + range filter, one per-conversion count window bounded
+    by touches-per-window.  Returns (conversion_id, touch_id, n_touches,
+    credit) with credit rounded to 6 dp; conversions with zero in-window
+    touches emit nothing (their value is unattributable, same as the
+    reference's null-propagating precedence chains).
+    """
+    if window_hours < 1:
+        raise ValueError("window_hours must be >= 1")
+    win_us = int(window_hours) * 3600 * 1_000_000
+    conv = events.where(F.col("event_type") == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conversion_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_cts"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    touch = events.where(F.col("event_type") == touch_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_tts"),
+    )
+    j = conv.join(touch, "_u").where(
+        (F.col("_tts") <= F.col("_cts"))
+        & (F.col("_tts") > F.col("_cts") - win_us)
+    )
+    w = Window.partitionBy("conversion_id")
+    return (
+        j.withColumn("n_touches", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            "conversion_id",
+            "touch_id",
+            "n_touches",
+            F.round(F.col("_val") / F.col("n_touches"), 6).alias("credit"),
+        )
+    )
