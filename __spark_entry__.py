@@ -1720,6 +1720,122 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=30, n_rounds=3)
 
 
+def _kg_triples(spark: SparkSession, sf_dir: str, mod: int | None = None) -> DataFrame:
+    """Deterministic mixed-predicate KG projected from the testdata
+    relations — the triple shape the pipeline materializes, with enough
+    predicate diversity (7 preds, typed 1-char entity prefixes) that rule
+    mining and predicate profiling have real structure to find.  The
+    derived `bought` / customer-`in_region` predicates are intentionally
+    PARTIAL (even / odd custkeys only) so PCA confidence measurably
+    diverges from standard confidence.  ``mod`` keeps only orders /
+    lineitems with orderkey % mod == 0 — a declared deterministic
+    projection (replayed by the oracle) that bounds the per-part pivot
+    degrees rule mining squares over."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ords = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    if mod is not None:
+        ords = ords.filter(F.col("o_orderkey") % mod == 0)
+        li = li.filter(F.col("l_orderkey") % mod == 0)
+
+    def _tri(df, s, p, o):
+        return df.select(s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"))
+
+    c = F.concat(F.lit("c"), F.col("c_custkey"))
+    return (
+        _tri(cust, c, "in_nation", F.concat(F.lit("n"), F.col("c_nationkey")))
+        .unionAll(
+            _tri(
+                supp,
+                F.concat(F.lit("s"), F.col("s_suppkey")),
+                "in_nation",
+                F.concat(F.lit("n"), F.col("s_nationkey")),
+            )
+        )
+        .unionAll(
+            _tri(
+                nat,
+                F.concat(F.lit("n"), F.col("n_nationkey")),
+                "in_region",
+                F.concat(F.lit("r"), F.col("n_regionkey")),
+            )
+        )
+        .unionAll(
+            _tri(
+                cust.join(nat, cust.c_nationkey == nat.n_nationkey).filter(
+                    F.col("c_custkey") % 2 == 1
+                ),
+                c,
+                "in_region",
+                F.concat(F.lit("r"), F.col("n_regionkey")),
+            )
+        )
+        .unionAll(
+            _tri(
+                ords,
+                F.concat(F.lit("c"), F.col("o_custkey")),
+                "placed",
+                F.concat(F.lit("o"), F.col("o_orderkey")),
+            )
+        )
+        .unionAll(
+            _tri(
+                li,
+                F.concat(F.lit("o"), F.col("l_orderkey")),
+                "contains",
+                F.concat(F.lit("p"), F.col("l_partkey")),
+            )
+        )
+        .unionAll(
+            _tri(
+                li,
+                F.concat(F.lit("p"), F.col("l_partkey")),
+                "supplied_by",
+                F.concat(F.lit("s"), F.col("l_suppkey")),
+            )
+        )
+        .unionAll(
+            _tri(
+                ords.join(li, ords.o_orderkey == li.l_orderkey).filter(
+                    F.col("o_custkey") % 2 == 0
+                ),
+                F.concat(F.lit("c"), F.col("o_custkey")),
+                "bought",
+                F.concat(F.lit("p"), F.col("l_partkey")),
+            )
+        )
+    )
+
+
+def q_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style 2-hop horn-rule mining (round 3, operators/rules.py):
+    p1(x,z) AND p2(z,y) => p3(x,y) with support / standard confidence /
+    PCA confidence / head coverage over the mixed-predicate KG projection
+    (_kg_triples).  The deliberately partial `bought` and customer
+    `in_region` heads make conf_pca > conf_std, pinning the open-world
+    PCA denominator against the oracle's replay.  Per-(z,p1,p2)
+    in*out-degree cap (max_pairs) is the declared celebrity guard —
+    replayed verbatim in the oracle.  mod=4 bounds the part-pivot degrees
+    the body join squares over (declared, replayed)."""
+    from node_feedparser_spark.operators.rules import mine_path_rules
+
+    return mine_path_rules(_kg_triples(spark, sf_dir, mod=4), min_support=500)
+
+
+def q_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate functionality / domain-range profiling (round 3,
+    operators/rules.py): per predicate, triple + distinct subj/obj
+    counts, functionality and inverse functionality, and the dominant
+    1-char entity-namespace prefix of each side with its share — the
+    schema-induction statistics that gate truth_fusion (functional preds
+    only) and AMIE pruning."""
+    from node_feedparser_spark.operators.rules import predicate_stats
+
+    return predicate_stats(_kg_triples(spark, sf_dir))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (round 3): per-returnflag
     distinct-part estimates from portable 60-bit-hash registers
@@ -2355,6 +2471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_timelines": q_entity_timelines,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
+        "rule_mining": q_rule_mining,
+        "pred_stats": q_pred_stats,
         "pmi_pairs": q_pmi_pairs,
         # corpus curation: LM quality + importance resampling (round 3)
         "unigram_lm": q_unigram_lm,
@@ -4012,6 +4130,115 @@ def _extra_oracles() -> dict[str, str]:
         {",".join(kcore_rounds)}
         SELECT src_id AS node, CAST(COUNT(*) AS BIGINT) AS degree
         FROM e3 GROUP BY 1
+    """
+    # --- shared mixed-predicate KG projection for rule mining / profiling
+    def _kg_triples_sql(mod: int | None = None) -> str:
+        ow = f"WHERE o_orderkey % {mod} = 0" if mod else ""
+        lw = f"WHERE l_orderkey % {mod} = 0" if mod else ""
+        bw = f"AND o_orderkey % {mod} = 0" if mod else ""
+        return f"""
+        t AS (SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
+                   'n' || c_nationkey AS obj FROM customer
+            UNION ALL
+            SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey
+            FROM supplier
+            UNION ALL
+            SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 'c' || c_custkey, 'in_region', 'r' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 2 = 1
+            UNION ALL
+            SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey
+            FROM orders {ow}
+            UNION ALL
+            SELECT 'o' || l_orderkey, 'contains', 'p' || l_partkey
+            FROM lineitem {lw}
+            UNION ALL
+            SELECT 'p' || l_partkey, 'supplied_by', 's' || l_suppkey
+            FROM lineitem {lw}
+            UNION ALL
+            SELECT 'c' || o_custkey, 'bought', 'p' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_custkey % 2 = 0 {bw}
+        ) raw)
+    """
+
+    # --- AMIE-style 2-hop rule mining: identical caps + PCA denominator
+    d["rule_mining"] = f"""
+        WITH {_kg_triples_sql(mod=4)},
+        ind AS (SELECT obj AS z, pred AS p1, COUNT(*) AS ind
+                FROM t GROUP BY 1, 2),
+        outd AS (SELECT subj AS z, pred AS p2, COUNT(*) AS outd
+                 FROM t GROUP BY 1, 2),
+        allowed AS (SELECT ind.z, p1, p2 FROM ind
+                    JOIN outd ON ind.z = outd.z
+                    WHERE ind.ind * outd.outd <= 100000),
+        body AS (SELECT DISTINCT a.p1, a.p2, b1.subj AS x, b2.obj AS y
+                 FROM t b1
+                 JOIN allowed a ON b1.obj = a.z AND b1.pred = a.p1
+                 JOIN t b2 ON b2.subj = a.z AND b2.pred = a.p2),
+        nb AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_body
+               FROM body GROUP BY 1, 2),
+        sup AS (SELECT p1, p2, h.pred AS p3,
+                       CAST(COUNT(*) AS BIGINT) AS support
+                FROM body JOIN t h ON h.subj = body.x AND h.obj = body.y
+                GROUP BY 1, 2, 3),
+        nh AS (SELECT pred AS p3, CAST(COUNT(*) AS BIGINT) AS n_head
+               FROM t GROUP BY 1),
+        pdom AS (SELECT DISTINCT pred AS p3, subj AS x FROM t),
+        npca AS (SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS n_pca
+                 FROM body JOIN pdom ON pdom.x = body.x GROUP BY 1, 2, 3)
+        SELECT p1, p2, p3, support, n_body, n_head,
+               ROUND(support / CAST(n_body AS DOUBLE), 6) AS conf_std,
+               ROUND(support / CAST(n_pca AS DOUBLE), 6) AS conf_pca,
+               ROUND(support / CAST(n_head AS DOUBLE), 6) AS head_coverage
+        FROM sup
+        JOIN nb USING (p1, p2)
+        JOIN nh USING (p3)
+        JOIN npca USING (p1, p2, p3)
+        WHERE support >= 500
+    """
+    # --- predicate functionality / domain-range profile
+    d["pred_stats"] = f"""
+        WITH {_kg_triples_sql()},
+        base AS (SELECT pred,
+                        CAST(COUNT(*) AS BIGINT) AS n_triples,
+                        CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                        CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+                 FROM t GROUP BY 1),
+        dcnt AS (SELECT pred, substring(subj, 1, 1) AS prefix,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM t GROUP BY 1, 2),
+        dtop AS (SELECT pred, MAX(n) AS top_n,
+                        CAST(SUM(n) AS BIGINT) AS tot
+                 FROM dcnt GROUP BY 1),
+        dom AS (SELECT dcnt.pred, MIN(prefix) AS domain_prefix,
+                       ROUND(top_n / CAST(tot AS DOUBLE), 6) AS domain_share
+                FROM dcnt JOIN dtop ON dcnt.pred = dtop.pred
+                                   AND dcnt.n = dtop.top_n
+                GROUP BY dcnt.pred, top_n, tot),
+        rcnt AS (SELECT pred, substring(obj, 1, 1) AS prefix,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM t GROUP BY 1, 2),
+        rtop AS (SELECT pred, MAX(n) AS top_n,
+                        CAST(SUM(n) AS BIGINT) AS tot
+                 FROM rcnt GROUP BY 1),
+        rng AS (SELECT rcnt.pred, MIN(prefix) AS range_prefix,
+                       ROUND(top_n / CAST(tot AS DOUBLE), 6) AS range_share
+                FROM rcnt JOIN rtop ON rcnt.pred = rtop.pred
+                                   AND rcnt.n = rtop.top_n
+                GROUP BY rcnt.pred, top_n, tot)
+        SELECT base.pred, n_triples, n_subj, n_obj,
+               ROUND(n_subj / CAST(n_triples AS DOUBLE), 6) AS functionality,
+               ROUND(n_obj / CAST(n_triples AS DOUBLE), 6)
+                   AS inv_functionality,
+               domain_prefix, domain_share, range_prefix, range_share
+        FROM base
+        JOIN dom ON base.pred = dom.pred
+        JOIN rng ON base.pred = rng.pred
     """
     # --- HLL distinct sketch: identical registers + estimator (p=8)
     from node_feedparser_spark.operators.sketch import _alpha as _hll_alpha
