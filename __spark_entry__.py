@@ -1918,6 +1918,29 @@ def q_snm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snm_near_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (round 3, operators/profile.py
+    blocking_quality): reduction ratio / pairs completeness / pair
+    quality of the multi-pass SNM candidate generator against the EXACT
+    Jaccard >= 0.7 truth set (jaccard_prefix_pairs — provably lossless,
+    pinned by ngram_jaccard's brute-force oracle).  The ER-evaluation
+    triple every blocking knob (window, passes, band count) trades
+    against; the oracle replays both SNM LEAD passes AND the brute-force
+    truth join, then the same count arithmetic."""
+    from node_feedparser_spark.operators.dedupe import (
+        jaccard_prefix_pairs,
+        snm_all_candidates,
+    )
+    from node_feedparser_spark.operators.profile import blocking_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = snm_all_candidates(docs)
+    truth = jaccard_prefix_pairs(docs, threshold=0.7).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return blocking_quality(cands, truth, docs)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-proportional sampling without replacement
     (round 3, Efraimidis-Spirakis A-ES): per-language top-5 documents by
@@ -2489,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": q_fs_linkage,
         # sorted-neighborhood blocking (round 3)
         "snm_near_dup": q_snm_near_dup,
+        "blocking_quality": q_blocking_quality,
         # weighted reservoir sampling (round 3)
         "weighted_sample": q_weighted_sample,
         # ordered-sequence analytics over events (round 3)
@@ -4504,6 +4528,50 @@ def _extra_oracles() -> dict[str, str]:
               JOIN base sa ON sa.doc_id = c.a
               JOIN base sb ON sb.doc_id = c.b)
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+    """
+    # --- blocking-quality audit: SNM candidates (both LEAD passes) vs the
+    # brute-force exact-Jaccard >= 0.7 truth set, same count arithmetic
+    d["blocking_quality"] = f"""
+        WITH base AS (SELECT doc_id, n_chars,
+                             substr(text, 1, 12) AS p12,
+                             reverse(substr(text, 1, 24)) AS r24,
+                             {shingles_sql("text", 3)} AS sh
+                      FROM documents),
+        p1 AS (SELECT doc_id, substr(p12, 1, 2) AS blk, p12 AS key
+               FROM base),
+        p2 AS (SELECT doc_id,
+                      substr(lpad(CAST(n_chars AS VARCHAR), 6, '0'), 1, 4)
+                          AS blk,
+                      lpad(CAST(n_chars AS VARCHAR), 6, '0') || r24 AS key
+               FROM base),
+        l1 AS ({_snm_leads1}),
+        l2 AS ({_snm_leads2}),
+        cands AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                  FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2) u
+                  WHERE y IS NOT NULL),
+        truth AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+                  FROM base sa JOIN base sb ON sa.doc_id < sb.doc_id
+                  WHERE ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                        / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                        6) >= 0.7),
+        nrec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM base),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cands c
+                             WHERE c.a = t.a AND c.b = t.b))
+        SELECT n_records,
+               CAST((n_records * (n_records - 1)) // 2 AS BIGINT)
+                   AS n_total_pairs,
+               n_candidates, n_truth, n_hits,
+               ROUND(1 - n_candidates
+                     / CAST((n_records * (n_records - 1)) // 2 AS DOUBLE),
+                     6) AS reduction_ratio,
+               ROUND(n_hits / CAST(n_truth AS DOUBLE), 6)
+                   AS pairs_completeness,
+               ROUND(n_hits / CAST(n_candidates AS DOUBLE), 6)
+                   AS pair_quality
+        FROM nrec, nc, nt, nh
     """
     # --- A-ES weighted sample: identical (h+1)/2^60 -> ln(u)/w ordering
     _ws_h = portable_hash60_sql_("CAST(doc_id AS VARCHAR)", seed=11)

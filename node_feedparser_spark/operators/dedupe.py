@@ -566,6 +566,44 @@ def snm_candidate_pairs(
     ).distinct()
 
 
+def _snm_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared projection for the two SNM key families + verify shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("n_chars"),
+        F.substring(F.col(text_col), 1, 12).alias("_p12"),
+        F.reverse(F.substring(F.col(text_col), 1, 24)).alias("_r24"),
+        token_shingles(text_col, k=3).alias("_sh"),
+    )
+
+
+def snm_all_candidates(
+    docs: DataFrame,
+    window: int = 4,
+    prefix_block_chars: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The union of both SNM passes' candidate pairs, pre-verify — the
+    blocking output itself, exposed so blocking quality (reduction ratio /
+    pairs completeness) can be audited independently of the verify step."""
+    base = _snm_base(docs, id_col, text_col)
+    npad = F.lpad(F.col("n_chars").cast("string"), 6, "0")
+    pass1 = base.select(
+        "doc_id",
+        F.substring(F.col("_p12"), 1, prefix_block_chars).alias("blk"),
+        F.col("_p12").alias("key"),
+    )
+    pass2 = base.select(
+        "doc_id",
+        F.substring(npad, 1, 4).alias("blk"),
+        F.concat(npad, F.col("_r24")).alias("key"),
+    )
+    return snm_candidate_pairs(pass1, window).unionAll(
+        snm_candidate_pairs(pass2, window)
+    ).distinct()
+
+
 def snm_near_dup_pairs(
     docs: DataFrame,
     window: int = 4,
@@ -601,27 +639,10 @@ def snm_near_dup_pairs(
     sorted by URL, transcripts sorted by conv prefix).  Both compose with
     the same verify + components + keeper tail.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("n_chars"),
-        F.substring(F.col(text_col), 1, 12).alias("_p12"),
-        F.reverse(F.substring(F.col(text_col), 1, 24)).alias("_r24"),
-        token_shingles(text_col, k=3).alias("_sh"),
+    base = _snm_base(docs, id_col, text_col)
+    cands = snm_all_candidates(
+        docs, window, prefix_block_chars, id_col, text_col
     )
-    npad = F.lpad(F.col("n_chars").cast("string"), 6, "0")
-    pass1 = base.select(
-        "doc_id",
-        F.substring(F.col("_p12"), 1, prefix_block_chars).alias("blk"),
-        F.col("_p12").alias("key"),
-    )
-    pass2 = base.select(
-        "doc_id",
-        F.substring(npad, 1, 4).alias("blk"),
-        F.concat(npad, F.col("_r24")).alias("key"),
-    )
-    cands = snm_candidate_pairs(pass1, window).unionAll(
-        snm_candidate_pairs(pass2, window)
-    ).distinct()
     sh = base.select("doc_id", "_sh")
     paired = (
         cands.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("_sh", "_sa"), "a")

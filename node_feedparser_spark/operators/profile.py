@@ -92,3 +92,75 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") < k)
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    records: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Blocking-quality audit for entity-resolution candidate generation:
+    the standard reduction-ratio / pairs-completeness / pair-quality
+    triple (Christen's ER evaluation framework) of a blocking scheme's
+    ``candidates`` against a ``truth`` pair set.
+
+    - reduction_ratio  = 1 - n_candidates / C(n_records, 2): how much of
+      the quadratic comparison space the blocking prunes (the whole point
+      of blocking — at 10^12 records, anything below ~0.999999 is a
+      non-starter);
+    - pairs_completeness = n_hits / n_truth: the recall of the blocking —
+      true pairs whose candidates survive (what the SNM multi-pass /
+      LSH band-count knobs trade against the ratio above);
+    - pair_quality = n_hits / n_candidates: candidate precision (how much
+      verify work is wasted).
+
+    Pairs are canonicalized to (least, greatest) and deduplicated on both
+    sides, so pass unions and (a,b)/(b,a) mirror encodings audit
+    correctly.  Scale shape: two pair-keyed distincts, one semi-join on
+    the pair key, then three single-row aggregates cross-joined — the
+    record table itself contributes only COUNT(DISTINCT id).  Returns one
+    row: (n_records, n_total_pairs, n_candidates, n_truth, n_hits,
+    reduction_ratio, pairs_completeness, pair_quality).
+    """
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        ).distinct()
+
+    cand = _canon(candidates)
+    tru = _canon(truth)
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_tru = tru.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_hit = tru.join(cand, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_rec = records.agg(
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_records")
+    )
+    total = (F.col("n_records") * (F.col("n_records") - 1) / 2).cast("long")
+    return (
+        n_rec.crossJoin(n_cand)
+        .crossJoin(n_tru)
+        .crossJoin(n_hit)
+        .select(
+            "n_records",
+            total.alias("n_total_pairs"),
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.round(
+                1 - F.col("n_candidates") / total.cast("double"), 6
+            ).alias("reduction_ratio"),
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias(
+                "pairs_completeness"
+            ),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                "pair_quality"
+            ),
+        )
+    )
