@@ -1817,11 +1817,11 @@ def q_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     `in_region` heads make conf_pca > conf_std, pinning the open-world
     PCA denominator against the oracle's replay.  Per-(z,p1,p2)
     in*out-degree cap (max_pairs) is the declared celebrity guard —
-    replayed verbatim in the oracle.  mod=4 bounds the part-pivot degrees
+    replayed verbatim in the oracle.  mod=8 bounds the part-pivot degrees
     the body join squares over (declared, replayed)."""
     from node_feedparser_spark.operators.rules import mine_path_rules
 
-    return mine_path_rules(_kg_triples(spark, sf_dir, mod=4), min_support=500)
+    return mine_path_rules(_kg_triples(spark, sf_dir, mod=8), min_support=500)
 
 
 def q_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4192,7 +4192,7 @@ def _extra_oracles() -> dict[str, str]:
 
     # --- AMIE-style 2-hop rule mining: identical caps + PCA denominator
     d["rule_mining"] = f"""
-        WITH {_kg_triples_sql(mod=4)},
+        WITH {_kg_triples_sql(mod=8)},
         ind AS (SELECT obj AS z, pred AS p1, COUNT(*) AS ind
                 FROM t GROUP BY 1, 2),
         outd AS (SELECT subj AS z, pred AS p2, COUNT(*) AS outd

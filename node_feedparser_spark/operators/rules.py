@@ -92,11 +92,15 @@ def mine_path_rules(
     b2 = t.select(
         F.col("subj").alias("z"), F.col("pred").alias("p2"), F.col("obj").alias("y")
     )
+    # cached: n_body, the support join, and the PCA denominator all read
+    # the body pair set — uncached, the expensive b1⋈b2 distinct re-runs
+    # once per consumer
     body_pairs = (
         b1.join(allowed, ["z", "p1"])
         .join(b2, ["z", "p2"])
         .select("p1", "p2", "x", "y")
         .distinct()
+        .cache()
     )
 
     n_body = body_pairs.groupBy("p1", "p2").agg(
@@ -105,11 +109,14 @@ def mine_path_rules(
     heads = t.select(
         F.col("pred").alias("p3"), F.col("subj").alias("x"), F.col("obj").alias("y")
     )
+    # cached: the surviving rule list is tiny and read four times (result
+    # spine + two broadcast prunes + the PCA semi-join)
     support = (
         body_pairs.join(heads, ["x", "y"])
         .groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= F.lit(int(min_support)))
+        .cache()
     )
     n_head = heads.groupBy("p3").agg(F.count(F.lit(1)).cast("long").alias("n_head"))
     # PCA denominator: body pairs whose x asserts SOME p3 fact — computed
