@@ -1836,6 +1836,54 @@ def q_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_stats(_kg_triples(spark, sf_dir))
 
 
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern match (round 3, operators/bgp.py):
+    conjunctive triple-pattern query over the KG projection — bindings of
+    (?c in_nation ?n)(?n in_region r1)(?c placed ?o), i.e. every order
+    placed by a customer whose nation is in region r1.  Constants compile
+    to pushed scan filters, the greedy static-selectivity order keeps the
+    most-constant pattern first, joins are plain variable equi-joins, and
+    the result is SELECT DISTINCT over the bindings — scans + joins +
+    distinct only, zero Python nodes."""
+    from node_feedparser_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _kg_triples(spark, sf_dir),
+        [
+            ("?c", "in_nation", "?n"),
+            ("?n", "in_region", "r1"),
+            ("?c", "placed", "?o"),
+        ],
+    )
+
+
+def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite shape validation (round 3, operators/shacl.py): declared
+    per-namespace cardinality / range / object-pattern constraints checked
+    in bulk over the (distinct) KG projection, aggregated to violation
+    counts per (target_prefix, pred, code).  The constraint set is chosen
+    so every code fires: even-custkey customers miss in_region
+    (min_count), customers without orders miss placed (min_count) while
+    heavy ones exceed max_count 15, supplied_by deliberately declares
+    range 'n' against the actual 's' namespace (range), and in_nation
+    objects must match the single-digit pattern n[0-9] (pattern)."""
+    from node_feedparser_spark.operators.shacl import shacl_validate
+
+    tri = _kg_triples(spark, sf_dir).distinct()
+    constraints = [
+        {"target_prefix": "c", "pred": "in_region", "min_count": 1},
+        {"target_prefix": "c", "pred": "placed", "min_count": 1, "max_count": 15},
+        {"target_prefix": "o", "pred": "contains", "min_count": 1},
+        {"target_prefix": "p", "pred": "supplied_by", "range_prefix": "n"},
+        {"target_prefix": "c", "pred": "in_nation", "obj_pattern": "n[0-9]"},
+        {"target_prefix": "n", "pred": "in_region", "range_prefix": "r"},
+    ]
+    v = shacl_validate(tri, constraints)
+    return v.groupBy(
+        F.substring("focus", 1, 1).alias("target_prefix"), "pred", "code"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (round 3): per-returnflag
     distinct-part estimates from portable 60-bit-hash registers
@@ -2496,6 +2544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "rule_mining": q_rule_mining,
         "pred_stats": q_pred_stats,
+        # KG query + schema-enforcement surface (round 3)
+        "bgp_match": q_bgp_match,
+        "shacl_validate": q_shacl_validate,
         "pmi_pairs": q_pmi_pairs,
         # corpus curation: LM quality + importance resampling (round 3)
         "unigram_lm": q_unigram_lm,
@@ -4263,6 +4314,64 @@ def _extra_oracles() -> dict[str, str]:
         FROM base
         JOIN dom ON base.pred = dom.pred
         JOIN rng ON base.pred = rng.pred
+    """
+    # --- basic-graph-pattern match: the same conjunction as explicit joins
+    d["bgp_match"] = f"""
+        WITH {_kg_triples_sql()}
+        SELECT DISTINCT p1.subj AS c, p1.obj AS n, p3.obj AS o
+        FROM t p1
+        JOIN t p2 ON p2.subj = p1.obj
+                 AND p2.pred = 'in_region' AND p2.obj = 'r1'
+        JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'placed'
+        WHERE p1.pred = 'in_nation'
+    """
+    # --- SHACL-lite validation: per-constraint checks replayed verbatim
+    # over the same distinct triple set, aggregated to violation counts
+    d["shacl_validate"] = f"""
+        WITH {_kg_triples_sql()},
+        ent AS (SELECT DISTINCT focus, substring(focus, 1, 1) AS p FROM (
+                    SELECT subj AS focus FROM t
+                    UNION ALL SELECT obj FROM t) u
+                WHERE substring(focus, 1, 1) IN ('c', 'o')),
+        cnt AS (SELECT subj AS focus, pred, COUNT(*) AS cnt FROM t
+                WHERE pred IN ('in_region', 'placed', 'contains')
+                GROUP BY 1, 2),
+        viol AS (
+            SELECT e.focus, 'in_region' AS pred, 'min_count' AS code
+            FROM ent e LEFT JOIN cnt ON cnt.focus = e.focus
+                                    AND cnt.pred = 'in_region'
+            WHERE e.p = 'c' AND COALESCE(cnt.cnt, 0) < 1
+            UNION ALL
+            SELECT e.focus, 'placed', 'min_count'
+            FROM ent e LEFT JOIN cnt ON cnt.focus = e.focus
+                                    AND cnt.pred = 'placed'
+            WHERE e.p = 'c' AND COALESCE(cnt.cnt, 0) < 1
+            UNION ALL
+            SELECT e.focus, 'placed', 'max_count'
+            FROM ent e LEFT JOIN cnt ON cnt.focus = e.focus
+                                    AND cnt.pred = 'placed'
+            WHERE e.p = 'c' AND COALESCE(cnt.cnt, 0) > 15
+            UNION ALL
+            SELECT e.focus, 'contains', 'min_count'
+            FROM ent e LEFT JOIN cnt ON cnt.focus = e.focus
+                                    AND cnt.pred = 'contains'
+            WHERE e.p = 'o' AND COALESCE(cnt.cnt, 0) < 1
+            UNION ALL
+            SELECT subj, 'supplied_by', 'range' FROM t
+            WHERE pred = 'supplied_by' AND substring(subj, 1, 1) = 'p'
+              AND substring(obj, 1, 1) <> 'n'
+            UNION ALL
+            SELECT subj, 'in_nation', 'pattern' FROM t
+            WHERE pred = 'in_nation' AND substring(subj, 1, 1) = 'c'
+              AND NOT regexp_matches(obj, '^(?:n[0-9])$')
+            UNION ALL
+            SELECT subj, 'in_region', 'range' FROM t
+            WHERE pred = 'in_region' AND substring(subj, 1, 1) = 'n'
+              AND substring(obj, 1, 1) <> 'r'
+        )
+        SELECT substring(focus, 1, 1) AS target_prefix, pred, code,
+               CAST(COUNT(*) AS BIGINT) AS n_violations
+        FROM viol GROUP BY 1, 2, 3
     """
     # --- HLL distinct sketch: identical registers + estimator (p=8)
     from node_feedparser_spark.operators.sketch import _alpha as _hll_alpha
