@@ -1869,6 +1869,9 @@ def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     objects must match the single-digit pattern n[0-9] (pattern)."""
     from node_feedparser_spark.operators.shacl import shacl_validate
 
+    # deliberately NOT cached: measured at sf0.1, re-deriving the pruned
+    # columnar union per branch beats a 1.6M-row memory-store round trip
+    # (5.6 s vs 7.7 s best-of-3) — the classic don't-cache-cheap-scans rule
     tri = _kg_triples(spark, sf_dir).distinct()
     constraints = [
         {"target_prefix": "c", "pred": "in_region", "min_count": 1},
@@ -1878,10 +1881,39 @@ def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"target_prefix": "c", "pred": "in_nation", "obj_pattern": "n[0-9]"},
         {"target_prefix": "n", "pred": "in_region", "range_prefix": "r"},
     ]
-    v = shacl_validate(tri, constraints)
+    v = shacl_validate(tri, constraints, distinct_input=True)
     return v.groupBy(
         F.substring("focus", 1, 1).alias("target_prefix"), "pred", "code"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+
+
+def q_rdfs_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS entailment materialization (round 3, operators/rdfs.py): the
+    ontology schema (sub-property chains bought/placed ⊑ interacted_with,
+    in_nation/in_region ⊑ located_in ⊑ related_to; domains/ranges with
+    Customer ⊑ Agent, Nation/Region ⊑ Place) is saturated ON THE DRIVER
+    (it is dimension-sized) and instance inference is four broadcast
+    joins + union + subtract — one pass over the corpus, no iteration,
+    identical plan at any scale.  Returns only the NEW entailments."""
+    from node_feedparser_spark.operators.rdfs import rdfs_inferred
+
+    schema = [
+        ("bought", "subprop_of", "interacted_with"),
+        ("placed", "subprop_of", "interacted_with"),
+        ("in_nation", "subprop_of", "located_in"),
+        ("in_region", "subprop_of", "located_in"),
+        ("located_in", "subprop_of", "related_to"),
+        ("placed", "domain", "Customer"),
+        ("supplied_by", "domain", "Part"),
+        ("in_nation", "range", "Nation"),
+        ("in_region", "range", "Region"),
+        ("Nation", "subclass_of", "Place"),
+        ("Region", "subclass_of", "Place"),
+        ("Customer", "subclass_of", "Agent"),
+    ]
+    # not cached: like q_shacl_validate, re-scanning the pruned union per
+    # rule branch measures faster than a memory-store round trip
+    return rdfs_inferred(_kg_triples(spark, sf_dir), schema)
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2547,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG query + schema-enforcement surface (round 3)
         "bgp_match": q_bgp_match,
         "shacl_validate": q_shacl_validate,
+        "rdfs_inferred": q_rdfs_inferred,
         "pmi_pairs": q_pmi_pairs,
         # corpus curation: LM quality + importance resampling (round 3)
         "unigram_lm": q_unigram_lm,
@@ -4372,6 +4405,54 @@ def _extra_oracles() -> dict[str, str]:
         SELECT substring(focus, 1, 1) AS target_prefix, pred, code,
                CAST(COUNT(*) AS BIGINT) AS n_violations
         FROM viol GROUP BY 1, 2, 3
+    """
+    # --- RDFS entailment: recursive-CTE schema closure, same saturation
+    d["rdfs_inferred"] = f"""
+        WITH RECURSIVE {_kg_triples_sql()},
+        spe(p, q) AS (VALUES ('bought', 'interacted_with'),
+                             ('placed', 'interacted_with'),
+                             ('in_nation', 'located_in'),
+                             ('in_region', 'located_in'),
+                             ('located_in', 'related_to')),
+        sce(c, d) AS (VALUES ('Nation', 'Place'), ('Region', 'Place'),
+                             ('Customer', 'Agent')),
+        dome(p, c) AS (VALUES ('placed', 'Customer'),
+                              ('supplied_by', 'Part')),
+        rnge(p, c) AS (VALUES ('in_nation', 'Nation'),
+                              ('in_region', 'Region')),
+        sp AS (SELECT p, q FROM spe
+               UNION SELECT sp.p, e.q FROM sp JOIN spe e ON sp.q = e.p),
+        sc AS (SELECT c, d FROM sce
+               UNION SELECT sc.c, e.d FROM sc JOIN sce e ON sc.d = e.c),
+        spr AS (SELECT p, q FROM sp
+                UNION SELECT p, p FROM (SELECT p FROM spe
+                                        UNION SELECT q AS p FROM spe
+                                        UNION SELECT p FROM dome
+                                        UNION SELECT p FROM rnge) u),
+        scr AS (SELECT c, d FROM sc
+                UNION SELECT c, c FROM (SELECT c FROM sce
+                                        UNION SELECT d AS c FROM sce
+                                        UNION SELECT c FROM dome
+                                        UNION SELECT c FROM rnge) u),
+        dome_eff AS (SELECT DISTINCT spr.p, scr.d AS c FROM spr
+                     JOIN dome ON dome.p = spr.q
+                     JOIN scr ON scr.c = dome.c),
+        rnge_eff AS (SELECT DISTINCT spr.p, scr.d AS c FROM spr
+                     JOIN rnge ON rnge.p = spr.q
+                     JOIN scr ON scr.c = rnge.c),
+        inf AS (
+            SELECT t.subj, sp.q AS pred, t.obj FROM t JOIN sp ON t.pred = sp.p
+            UNION
+            SELECT t.subj, 'type', de.c FROM t JOIN dome_eff de ON t.pred = de.p
+            UNION
+            SELECT t.obj, 'type', re.c FROM t JOIN rnge_eff re ON t.pred = re.p
+            UNION
+            SELECT t.subj, 'type', sc.d FROM t
+            JOIN sc ON t.pred = 'type' AND t.obj = sc.c
+        )
+        SELECT subj, pred, obj FROM inf
+        EXCEPT
+        SELECT subj, pred, obj FROM t
     """
     # --- HLL distinct sketch: identical registers + estimator (p=8)
     from node_feedparser_spark.operators.sketch import _alpha as _hll_alpha

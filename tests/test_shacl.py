@@ -87,6 +87,23 @@ def test_satisfied_constraints_emit_nothing(spark):
     assert got == set()
 
 
+def test_distinct_input_flag_equivalence(spark):
+    cons = [
+        {"target_prefix": "c", "pred": "placed", "min_count": 1, "max_count": 2},
+        {"target_prefix": "n", "pred": "in_region", "range_prefix": "r"},
+    ]
+    df = spark.createDataFrame(TOY, "subj string, pred string, obj string")
+    fast = shacl_validate(df, cons, distinct_input=True)
+    slow = shacl_validate(df, cons)
+    assert set(map(tuple, fast.collect())) == set(map(tuple, slow.collect()))
+    # duplicated input without the flag still dedupes value violations
+    dup = shacl_validate(
+        spark.createDataFrame(TOY + TOY, "subj string, pred string, obj string"),
+        [{"target_prefix": "n", "pred": "in_region", "range_prefix": "r"}],
+    )
+    assert dup.count() == 1
+
+
 def test_empty_constraints_rejected(spark):
     with pytest.raises(ValueError, match="empty"):
         shacl_validate(None, [])
