@@ -619,6 +619,7 @@ def biased_walks(
     w_out: int = 1,
     src: str = "src_id",
     dst: str = "dst_id",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Second-order (node2vec-style) biased random walks over the
     UNDIRECTED simple graph.  Step 1 is uniform (no previous node); from
@@ -659,6 +660,12 @@ def biased_walks(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # the canonical edge set feeds nbr, degs, nodes AND the per-step
+    # adjacency probe — when the caller's edge derivation is itself a join
+    # (e.g. a co-occurrence self-join), truncating here stops every
+    # consumer from re-running it
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
     dedges = und.select(F.col("a").alias("u"), F.col("b").alias("n")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("n"))
     )
@@ -763,6 +770,13 @@ def biased_walks(
             "start_node", "walk_k",
             F.col("node").alias("prev"), F.col("n").alias("node"),
         )
+        # the output union references frontier_t once per LATER step, so
+        # without lineage truncation each step's join+window subtree is
+        # recomputed (walk_len - t + 1) times; lazy localCheckpoint makes
+        # each step compute once (checkpoint=True when steps are expensive
+        # — second-order steps carry two windows)
+        if checkpoint:
+            frontier = frontier.localCheckpoint(eager=False)
         out = out.union(
             frontier.select(
                 "start_node",

@@ -619,6 +619,17 @@ def test_biased_never_return_with_zero_weight(spark):
         assert got[("a", 0, 3)] == "d"   # never back to b
 
 
+def test_biased_checkpoint_parity(spark):
+    """checkpoint=True (lazy lineage truncation of und + per-step
+    frontiers) must not change a single emitted position."""
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")]
+    e = spark.createDataFrame(chain, "src_id string, dst_id string")
+    plain = _bw(biased_walks(e, walk_len=3, walks_per_node=2, seed=7))
+    ck = _bw(biased_walks(e, walk_len=3, walks_per_node=2, seed=7,
+                          checkpoint=True))
+    assert plain == ck
+
+
 def test_biased_deterministic_and_partition_invariant(spark):
     import random
 
