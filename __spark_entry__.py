@@ -2028,6 +2028,38 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(cands, truth, docs)
 
 
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clustering quality (round 3,
+    operators/cluster_eval.py): B-cubed P/R/F1, pairwise P/R/F1 and ARI of
+    the CHEAP fingerprint clustering (group by the 12-char text prefix —
+    SNM pass-1's sort key used as an equality blocker) against the exact
+    Jaccard >= 0.7 truth clustering.  Deliberately non-trivial in one
+    direction: shared openings over-merge unrelated docs (measured B-cubed
+    precision ~0.3 at sf0.01) while every planted near-dup pair shares its
+    prefix (recall 1.0) — the quantified version of why SNM verifies.
+    Everything reduces over the (pred, true) contingency table; pairwise
+    counts are closed-form C(n,2) sums, never materialized pairs."""
+    from node_feedparser_spark.operators.cluster_eval import cluster_quality
+    from node_feedparser_spark.operators.components import connected_components
+    from node_feedparser_spark.operators.dedupe import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    true_lab = connected_components(
+        jaccard_prefix_pairs(docs, threshold=0.7).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    ).withColumnRenamed("node", "doc_id")
+    labeled = (
+        docs.select("doc_id", F.substring("text", 1, 12).alias("pred_cluster"))
+        .join(true_lab.withColumnRenamed("component", "tc"), "doc_id", "left")
+        .select(
+            "pred_cluster",
+            F.coalesce("tc", F.col("doc_id")).alias("true_cluster"),
+        )
+    )
+    return cluster_quality(labeled)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-proportional sampling without replacement
     (round 3, Efraimidis-Spirakis A-ES): per-language top-5 documents by
@@ -2604,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorted-neighborhood blocking (round 3)
         "snm_near_dup": q_snm_near_dup,
         "blocking_quality": q_blocking_quality,
+        "cluster_quality": q_cluster_quality,
         # weighted reservoir sampling (round 3)
         "weighted_sample": q_weighted_sample,
         # ordered-sequence analytics over events (round 3)
@@ -4769,6 +4802,83 @@ def _extra_oracles() -> dict[str, str]:
                ROUND(n_hits / CAST(n_candidates AS DOUBLE), 6)
                    AS pair_quality
         FROM nrec, nc, nt, nh
+    """
+    # --- ER clustering quality: the cheap 12-char-prefix fingerprint
+    # clustering vs the exact-Jaccard truth closure, then the full
+    # contingency-table metric arithmetic (B-cubed / pairwise / ARI)
+    d["cluster_quality"] = f"""
+        WITH RECURSIVE base AS (SELECT doc_id,
+                             substr(text, 1, 12) AS p12,
+                             {shingles_sql("text", 3)} AS sh
+                      FROM documents),
+        truth AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+                  FROM base sa JOIN base sb ON sa.doc_id < sb.doc_id
+                  WHERE ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                        / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                        6) >= 0.7),
+        te AS (SELECT a, b FROM truth UNION SELECT b, a FROM truth),
+        treach(node, r) AS (
+            SELECT a, b FROM te
+            UNION
+            SELECT treach.node, te.b FROM treach JOIN te ON treach.r = te.a),
+        tcomp AS (SELECT node, LEAST(node, MIN(r)) AS g
+                  FROM treach GROUP BY node),
+        lab AS (SELECT substr(d.text, 1, 12) AS p,
+                       COALESCE(tc.g, d.doc_id) AS t
+                FROM documents d
+                LEFT JOIN tcomp tc ON tc.node = d.doc_id),
+        pt AS (SELECT p, t, CAST(COUNT(*) AS BIGINT) AS n_pt
+               FROM lab GROUP BY 1, 2),
+        byp AS (SELECT p, CAST(SUM(n_pt) AS BIGINT) AS n_p
+                FROM pt GROUP BY 1),
+        byt AS (SELECT t, CAST(SUM(n_pt) AS BIGINT) AS n_t
+                FROM pt GROUP BY 1),
+        cont AS (SELECT CAST(SUM(n_pt) AS BIGINT) AS n,
+                        SUM(n_pt * (n_pt - 1) / 2) AS tp_pairs FROM pt),
+        ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred_clusters,
+                      SUM(n_p * (n_p - 1) / 2) AS pred_pairs FROM byp),
+        tsx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_clusters,
+                       SUM(n_t * (n_t - 1) / 2) AS true_pairs FROM byt),
+        b3 AS (SELECT ROUND(SUM(n_pt * n_pt / CAST(n_p AS DOUBLE)), 6)
+                          AS b3p_sum,
+                      ROUND(SUM(n_pt * n_pt / CAST(n_t AS DOUBLE)), 6)
+                          AS b3r_sum
+               FROM pt JOIN byp USING (p) JOIN byt USING (t))
+        SELECT n AS n_items, n_pred_clusters, n_true_clusters,
+               ROUND(b3p_sum / n, 6) AS b3_precision,
+               ROUND(b3r_sum / n, 6) AS b3_recall,
+               ROUND(CASE WHEN b3p_sum / n + b3r_sum / n > 0
+                     THEN 2 * (b3p_sum / n) * (b3r_sum / n)
+                          / (b3p_sum / n + b3r_sum / n)
+                     ELSE 0.0 END, 6) AS b3_f1,
+               ROUND(CASE WHEN pred_pairs > 0
+                     THEN tp_pairs / pred_pairs ELSE 0.0 END, 6)
+                   AS pair_precision,
+               ROUND(CASE WHEN true_pairs > 0
+                     THEN tp_pairs / true_pairs ELSE 0.0 END, 6)
+                   AS pair_recall,
+               ROUND(CASE WHEN (CASE WHEN pred_pairs > 0
+                                THEN tp_pairs / pred_pairs ELSE 0.0 END)
+                              + (CASE WHEN true_pairs > 0
+                                 THEN tp_pairs / true_pairs ELSE 0.0 END) > 0
+                     THEN 2 * (CASE WHEN pred_pairs > 0
+                               THEN tp_pairs / pred_pairs ELSE 0.0 END)
+                            * (CASE WHEN true_pairs > 0
+                               THEN tp_pairs / true_pairs ELSE 0.0 END)
+                          / ((CASE WHEN pred_pairs > 0
+                              THEN tp_pairs / pred_pairs ELSE 0.0 END)
+                             + (CASE WHEN true_pairs > 0
+                                THEN tp_pairs / true_pairs ELSE 0.0 END))
+                     ELSE 0.0 END, 6) AS pair_f1,
+               ROUND(CASE WHEN (pred_pairs + true_pairs) / 2
+                              - pred_pairs * true_pairs
+                                / (n * (n - 1) / 2) <> 0
+                     THEN (tp_pairs - pred_pairs * true_pairs
+                                      / (n * (n - 1) / 2))
+                          / ((pred_pairs + true_pairs) / 2
+                             - pred_pairs * true_pairs / (n * (n - 1) / 2))
+                     ELSE 0.0 END, 6) AS ari
+        FROM cont, ps, tsx, b3
     """
     # --- A-ES weighted sample: identical (h+1)/2^60 -> ln(u)/w ordering
     _ws_h = portable_hash60_sql_("CAST(doc_id AS VARCHAR)", seed=11)
