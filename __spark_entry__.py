@@ -1923,6 +1923,46 @@ def q_rdfs_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_inferred(_kg_triples(spark, sf_dir), schema)
 
 
+def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL + FILTER NOT EXISTS (round 3, operators/bgp.py):
+    every in_nation subject (customers AND suppliers) WITHOUT a direct
+    in_region triple (even-custkey customers by construction, plus all
+    suppliers), optionally extended with its placed orders — suppliers and
+    orderless customers surface with a NULL ord.  NOT EXISTS compiles to
+    one anti join over the distinct shared-variable projection, OPTIONAL
+    to one left join, both after the required conjunction (documented
+    order: filter shrinks before optional widens)."""
+    from node_feedparser_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _kg_triples(spark, sf_dir),
+        [("?c", "in_nation", "?n")],
+        not_exists=[("?c", "in_region", "?x")],
+        optional=[("?c", "placed", "?ord")],
+    )
+
+
+def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property-path query (round 3, operators/paths.py):
+    ``(in_nation|in_region){1,2}/^in_region`` over the KG projection —
+    for every located entity (customer, supplier or nation), the nations
+    sharing its region.  Exercises every path construct in one expression:
+    alternation, bounded repetition (unrolled to delta joins — the
+    SQL-replayable cousin of khop's fixpoint), sequence composition and
+    inverse.  All scans + equi-joins + distinct, zero Python nodes; the
+    pred leaves constant-fold against the union's literal pred columns so
+    each leaf reads only its own predicate's branches (pinned by
+    tests/test_paths.py::test_union_branch_pruning)."""
+    from node_feedparser_spark.operators.paths import eval_path
+
+    expr = (
+        "seq",
+        ("upto", ("alt", ("pred", "in_nation"), ("pred", "in_region")), 2),
+        ("inv", ("pred", "in_region")),
+    )
+    return eval_path(_kg_triples(spark, sf_dir), expr)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (round 3): per-returnflag
     distinct-part estimates from portable 60-bit-hash registers
@@ -2617,6 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_stats": q_pred_stats,
         # KG query + schema-enforcement surface (round 3)
         "bgp_match": q_bgp_match,
+        "bgp_optional": q_bgp_optional,
+        "path_query": q_path_query,
         "shacl_validate": q_shacl_validate,
         "rdfs_inferred": q_rdfs_inferred,
         "pmi_pairs": q_pmi_pairs,
@@ -4397,6 +4439,30 @@ def _extra_oracles() -> dict[str, str]:
                  AND p2.pred = 'in_region' AND p2.obj = 'r1'
         JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'placed'
         WHERE p1.pred = 'in_nation'
+    """
+    # --- OPTIONAL + NOT EXISTS: same left join + anti subquery in SQL
+    d["bgp_optional"] = f"""
+        WITH {_kg_triples_sql()}
+        SELECT DISTINCT p1.subj AS c, p1.obj AS n, p2.obj AS ord
+        FROM t p1
+        LEFT JOIN t p2 ON p2.subj = p1.subj AND p2.pred = 'placed'
+        WHERE p1.pred = 'in_nation'
+          AND NOT EXISTS (SELECT 1 FROM t x
+                          WHERE x.subj = p1.subj AND x.pred = 'in_region')
+    """
+    # --- property path (in_nation|in_region){1,2}/^in_region: the same
+    # alternation / bounded-repetition / inverse composition as explicit
+    # set SQL over the distinct triple CTE
+    d["path_query"] = f"""
+        WITH {_kg_triples_sql()},
+        loc AS (SELECT subj AS s, obj AS o FROM t
+                WHERE pred IN ('in_nation', 'in_region')),
+        up2 AS (SELECT s, o FROM loc
+                UNION
+                SELECT a.s, b.o FROM loc a JOIN loc b ON a.o = b.s)
+        SELECT DISTINCT u.s AS src, tr.subj AS dst
+        FROM up2 u
+        JOIN t tr ON tr.pred = 'in_region' AND tr.obj = u.o
     """
     # --- SHACL-lite validation: per-constraint checks replayed verbatim
     # over the same distinct triple set, aggregated to violation counts

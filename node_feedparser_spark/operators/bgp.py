@@ -28,6 +28,12 @@ Scale design (100 TB triple table):
   over a selective predicate is typically broadcast-sized).
 - NO Python nodes, no windows — the whole plan is scans + joins +
   aggregate-free distinct, i.e. exactly the shape AQE optimizes best.
+- SPARQL FILTER NOT EXISTS compiles to an ANTI join over the DISTINCT
+  projection of the clause's shared variables (the smallest possible right
+  side), and OPTIONAL to a LEFT OUTER join — both run after the required
+  conjunction so the anti join shrinks bindings before optional widens
+  them, and both stay broadcastable whenever the clause's predicate is
+  selective.
 """
 
 from __future__ import annotations
@@ -52,16 +58,31 @@ def bgp_match(
     subj: str = "subj",
     pred: str = "pred",
     obj: str = "obj",
+    not_exists: list[tuple[str, str, str]] | None = None,
+    optional: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; return one row per DISTINCT
     binding of all variables (columns = variable names without ``?``,
     sorted for a stable schema).
 
+    ``not_exists`` patterns are SPARQL ``FILTER NOT EXISTS`` clauses: each
+    compiles to one ANTI join on its variables shared with the required
+    conjunction (constants filtered first), removing bindings for which a
+    matching triple exists.  ``optional`` patterns are SPARQL ``OPTIONAL``
+    clauses (one pattern per clause): each compiles to one LEFT OUTER join
+    on the shared variables, extending bindings with possibly-NULL new
+    variables; multiple matches multiply bindings — SPARQL's per-solution
+    semantics.  Evaluation order is documented and fixed: required
+    conjunction, then NOT EXISTS filters (shrink before widening), then
+    OPTIONAL extensions, then DISTINCT.  Both clause kinds must share at
+    least one variable with the required conjunction — an unconstrained
+    clause is a semantic error, not a cross join.
+
     Constraints enforced up front (clear errors beat silent wrong plans):
     - every pattern must contain at least one variable (a fully ground
       pattern is an EXISTS assertion, not a binding producer — lift it
       into a filter on the caller side);
-    - at least one pattern; terms must be non-empty strings.
+    - at least one required pattern; terms must be non-empty strings.
 
     A repeated variable WITHIN a pattern (e.g. ``(?x, likes, ?x)``)
     compiles to an intra-row equality filter.  If the pattern graph is
@@ -71,7 +92,7 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("bgp_match: empty pattern list")
-    for t in patterns:
+    for t in list(patterns) + list(not_exists or []) + list(optional or []):
         if len(t) != 3 or not all(isinstance(x, str) and x for x in t):
             raise ValueError(f"bgp_match: malformed pattern {t!r}")
         if not any(_is_var(x) for x in t):
@@ -125,4 +146,26 @@ def bgp_match(
         shared = sorted(acc_vars & vs)
         acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
         acc_vars |= vs
+
+    for p in not_exists or []:
+        df, vs = compile_pattern(p)
+        shared = sorted(acc_vars & vs)
+        if not shared:
+            raise ValueError(
+                f"bgp_match: NOT EXISTS pattern {p!r} shares no variable "
+                "with the required conjunction"
+            )
+        acc = acc.join(df.select(*shared).distinct(), on=shared, how="anti")
+
+    for p in optional or []:
+        df, vs = compile_pattern(p)
+        shared = sorted(acc_vars & vs)
+        if not shared:
+            raise ValueError(
+                f"bgp_match: OPTIONAL pattern {p!r} shares no variable "
+                "with the required conjunction"
+            )
+        acc = acc.join(df, on=shared, how="left")
+        acc_vars |= vs
+
     return acc.select(*sorted(acc_vars)).distinct()
