@@ -1963,6 +1963,22 @@ def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_path(_kg_triples(spark, sf_dir), expr)
 
 
+def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``(in_nation|in_region)+`` — unbounded transitive closure
+    (round 3, operators/paths.py): the located-in reachability relation,
+    evaluated as a semi-naive datalog fixpoint (delta-compose + anti join
+    per round, lazily checkpointed lineage — per-round cost proportional
+    to NEW pairs only).  Converges in 2 rounds on this graph (entity →
+    nation → region); the DuckDB oracle is a genuine RECURSIVE CTE, so the
+    fixpoint semantics are pinned independently of the round count."""
+    from node_feedparser_spark.operators.paths import eval_path
+
+    return eval_path(
+        _kg_triples(spark, sf_dir),
+        ("plus", ("alt", ("pred", "in_nation"), ("pred", "in_region"))),
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (round 3): per-returnflag
     distinct-part estimates from portable 60-bit-hash registers
@@ -2659,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "path_query": q_path_query,
+        "path_closure": q_path_closure,
         "shacl_validate": q_shacl_validate,
         "rdfs_inferred": q_rdfs_inferred,
         "pmi_pairs": q_pmi_pairs,
@@ -4463,6 +4480,19 @@ def _extra_oracles() -> dict[str, str]:
         SELECT DISTINCT u.s AS src, tr.subj AS dst
         FROM up2 u
         JOIN t tr ON tr.pred = 'in_region' AND tr.obj = u.o
+    """
+    # --- unbounded closure (in_nation|in_region)+: a true recursive CTE
+    # pins the fixpoint independently of the Spark round count
+    d["path_closure"] = f"""
+        WITH RECURSIVE {_kg_triples_sql()},
+        loc AS (SELECT subj AS src, obj AS dst FROM t
+                WHERE pred IN ('in_nation', 'in_region')),
+        clo(src, dst) AS (
+            SELECT src, dst FROM loc
+            UNION
+            SELECT c.src, l.dst FROM clo c JOIN loc l ON c.dst = l.src
+        )
+        SELECT src, dst FROM clo
     """
     # --- SHACL-lite validation: per-constraint checks replayed verbatim
     # over the same distinct triple set, aggregated to violation counts

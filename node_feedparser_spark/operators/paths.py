@@ -9,14 +9,22 @@ A path expression is a nested-tuple AST:
 - ``("seq", e1, e2, …)`` — SPARQL ``e1/e2/…`` (composition)
 - ``("alt", e1, e2, …)`` — SPARQL ``e1|e2|…`` (union)
 - ``("upto", e, k)``    — bounded repetition ``e{1,k}`` (1..k steps)
+- ``("plus", e)``       — SPARQL ``e+`` (transitive closure, fixpoint)
+- ``("star", e)``       — SPARQL ``e*`` (``e+`` ∪ zero-length paths)
 
 ``eval_path`` returns the DISTINCT ``(src, dst)`` endpoint pairs connected
 by the path — SPARQL set semantics (the engine-useful contract: sequence
-paths in bag semantics multiply duplicates without bound).  Unbounded
-``e+``/``e*`` need a fixpoint; the scale-honest bounded form is provided
-here and the frontier-BFS fixpoint lives in ``graph_algo.khop`` — a
-caller wanting ``e+`` with a known diameter bound unrolls it as
-``("upto", e, diameter)``.
+paths in bag semantics multiply duplicates without bound; SPARQL itself
+mandates set semantics for ``+``/``*``).  ``plus`` runs the semi-naive
+datalog fixpoint: each round composes only the DELTA (pairs discovered
+last round) with the base step and anti-joins the accumulated closure, so
+per-round work is proportional to NEW pairs, never closure × closure —
+the evaluation strategy that survives a 100 TB edge set with a small
+diameter.  Rounds reference the prior delta/accumulator more than once,
+so both are lazily localCheckpoint-ed per round (the khop/kcore lineage
+lesson).  ``star`` adds the zero-length paths: per SPARQL, one ``(t, t)``
+row for EVERY term of the graph (all subjects and objects), which is a
+deliberate, documented corpus-sized union.
 
 Reference analog: the reference resolves a CHAIN of fallbacks across the
 normalized model (e.g. guid→link inference walks alternative fields,
@@ -46,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_OPS = ("pred", "inv", "seq", "alt", "upto")
+_OPS = ("pred", "inv", "seq", "alt", "upto", "plus", "star")
 
 
 def _validate(expr) -> None:
@@ -71,6 +79,10 @@ def _validate(expr) -> None:
                 f"path_query: upto needs (expr, k>=1), got {expr!r}"
             )
         _validate(expr[1])
+    elif op in ("plus", "star"):
+        if len(expr) != 2:
+            raise ValueError(f"path_query: {op} takes one operand {expr!r}")
+        _validate(expr[1])
 
 
 def _seq2(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -88,10 +100,14 @@ def eval_path(
     subj: str = "subj",
     pred: str = "pred",
     obj: str = "obj",
+    max_iters: int = 30,
 ) -> DataFrame:
     """Evaluate a property-path AST over ``triples``; returns the distinct
     ``(src, dst)`` endpoint pairs.  Input need not be deduplicated — every
-    composition re-establishes set semantics."""
+    composition re-establishes set semantics.  ``plus``/``star`` evaluate
+    a semi-naive fixpoint ON THE DRIVER LOOP (each round is one delta
+    compose + anti join; ``max_iters`` bounds the graph diameter and a
+    longer chain raises rather than silently truncating)."""
     _validate(expr)
     base = triples.select(
         F.col(subj).alias("src"), F.col(pred).alias("pred"), F.col(obj).alias("dst")
@@ -117,6 +133,37 @@ def eval_path(
             for p in parts[1:]:
                 acc = acc.unionByName(p)
             return acc.distinct()
+        if op in ("plus", "star"):
+            # semi-naive transitive closure: compose only the delta, anti
+            # join the accumulated closure — per-round cost ∝ new pairs
+            step = compile_expr(e[1]).distinct().localCheckpoint(eager=False)
+            acc, delta = step, step
+            for _ in range(max_iters):
+                delta = (
+                    _seq2(delta, step)
+                    .join(acc, on=["src", "dst"], how="anti")
+                    .localCheckpoint(eager=False)
+                )
+                if delta.isEmpty():
+                    break
+                # acc and delta are disjoint by the anti join — no distinct
+                acc = acc.unionByName(delta).localCheckpoint(eager=False)
+            else:
+                raise RuntimeError(
+                    f"path_query: {op} did not converge within "
+                    f"max_iters={max_iters} rounds — raise max_iters for "
+                    "deeper graphs"
+                )
+            if op == "star":
+                # SPARQL zero-length paths: one (t, t) per term of the
+                # graph — a documented corpus-sized union
+                terms = base.select("src").unionByName(
+                    base.select(F.col("dst").alias("src"))
+                ).distinct()
+                acc = acc.unionByName(
+                    terms.select("src", F.col("src").alias("dst"))
+                ).distinct()
+            return acc
         # upto: alternation of powers 1..k of one compiled sub-plan
         step = compile_expr(e[1])
         k = e[2]
@@ -130,8 +177,8 @@ def eval_path(
         return acc.distinct()
 
     def already_set(e) -> bool:
-        # seq/alt/upto end in distinct; a pred leaf (or inv chains down to
-        # one) is a plain projection of possibly-duplicated input
+        # seq/alt/upto/plus/star end deduped; a pred leaf (or inv chains
+        # down to one) is a plain projection of possibly-duplicated input
         return e[0] != "pred" and (e[0] != "inv" or already_set(e[1]))
 
     out = compile_expr(expr)

@@ -37,6 +37,18 @@ def spec_eval(triples: list[tuple[str, str, str]], expr) -> set[tuple[str, str]]
             cur = {(a, d) for a, b in cur for c, d in step if b == c}
             acc |= cur
         return acc
+    if op in ("plus", "star"):
+        step = spec_eval(triples, expr[1])
+        acc = set(step)
+        while True:
+            new = {(a, d) for a, b in acc for c, d in step if b == c} - acc
+            if not new:
+                break
+            acc |= new
+        if op == "star":
+            terms = {s for s, _, _ in triples} | {o for _, _, o in triples}
+            acc |= {(t, t) for t in terms}
+        return acc
     raise AssertionError(expr)
 
 
@@ -99,6 +111,43 @@ def test_nested(spark):
     assert lhs == rhs == {("d", "a")}
 
 
+def test_plus_transitive_closure(spark):
+    # knows+ over the a->b->c->d chain: all forward pairs
+    assert run(spark, HAND, ("plus", ("pred", "knows"))) == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d")}
+
+
+def test_plus_on_cycle_terminates(spark):
+    cyc = [("x", "p", "y"), ("y", "p", "z"), ("z", "p", "x")]
+    got = run(spark, cyc, ("plus", ("pred", "p")))
+    assert got == spec_eval(cyc, ("plus", ("pred", "p")))
+    assert ("x", "x") in got  # cycles close onto themselves
+
+
+def test_star_adds_zero_length_for_every_term(spark):
+    got = run(spark, HAND, ("star", ("pred", "likes")))
+    # every term of the GRAPH gets (t, t) — even terms the step never
+    # touches (d appears only via knows)
+    for t in ("a", "b", "c", "d"):
+        assert (t, t) in got
+    assert got == spec_eval(HAND, ("star", ("pred", "likes")))
+
+
+def test_plus_max_iters_guard(spark):
+    chain = [(f"v{i}", "p", f"v{i+1}") for i in range(6)]
+    df = spark.createDataFrame(chain, ["subj", "pred", "obj"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        eval_path(df, ("plus", ("pred", "p")), max_iters=2)
+    # and a sufficient bound succeeds with the full closure
+    assert run(spark, chain, ("plus", ("pred", "p"))) == spec_eval(
+        chain, ("plus", ("pred", "p")))
+
+
+def test_plus_empty_step(spark):
+    assert run(spark, HAND, ("plus", ("pred", "nosuch"))) == set()
+
+
 RANDOM_EXPRS = [
     ("seq", ("pred", "p0"), ("pred", "p1")),
     ("alt", ("pred", "p0"), ("inv", ("pred", "p2"))),
@@ -107,6 +156,9 @@ RANDOM_EXPRS = [
     ("upto", ("alt", ("pred", "p0"), ("pred", "p1")), 2),
     ("seq", ("upto", ("pred", "p0"), 2), ("pred", "p2"),
      ("inv", ("pred", "p1"))),
+    ("plus", ("pred", "p0")),
+    ("plus", ("alt", ("pred", "p0"), ("inv", ("pred", "p1")))),
+    ("seq", ("plus", ("pred", "p0")), ("pred", "p1")),
 ]
 
 
@@ -137,6 +189,9 @@ def test_random_graph_parity(spark, expr):
         ("upto", ("pred", "a"), 0),
         ("upto", ("pred", "a"), "2"),
         ("seq", ("pred", "a"), ("bogus",)),
+        ("plus",),
+        ("plus", ("pred", "a"), ("pred", "b")),
+        ("star", ("pred", "")),
     ],
 )
 def test_malformed_ast_rejected(spark, bad):
