@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10k measured best for the extraction mapInPandas hot path:
+        # an interleaved A/B at sf0.1 (3 trials each, same process/JVM,
+        # warm JIT) gave minima 14.7 s @ 10k vs 16.2 s @ 100k — bigger
+        # Arrow batches lose pipelining between the Python workers and
+        # the JVM sink and raise peak worker memory for no win.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
