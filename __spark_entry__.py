@@ -1307,6 +1307,60 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_predict(edges, max_degree=40)
 
 
+def q_link_pred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion ranking evaluation (MRR / Hits@k / mean rank): score
+    supplier-supplier affinity with Adamic-Adar over shared parts
+    (q_link_predict's scorer, same max_degree=40 pivot cap), then rank
+    each supplier's candidates and evaluate against HELD-OUT truth that
+    the scorer never sees — supplier pairs that co-occur in the same
+    order.  The graph is bipartite (supplier-part), so no truth pair is
+    train-adjacent and the protocol needs no filtering step.  Candidates
+    are symmetrized (each scored pair ranks in both endpoints' lists);
+    ranking is (rounded score DESC, item ASC) so the rank — and therefore
+    every metric — is deterministic and engine-portable.  Positives the
+    scorer never surfaced count as misses (RR 0, hits 0), mean_rank
+    averages found ranks only.  One summary row.
+
+    Honesty note: TPC-H assigns parts to suppliers uniformly at random,
+    so shared-part affinity carries ~zero signal for co-order truth and
+    the measured metrics sit near the uniform baseline (sf0.1: mean_rank
+    499.4 vs 499.5 random) — the deliverable here is the evaluation
+    operator and its engine-portable determinism, pinned non-trivially by
+    tests/test_ranking_eval.py on a hand-computed graph."""
+    from node_feedparser_spark.operators.graph_algo import (
+        link_predict,
+        ranking_eval,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    sp = link_predict(edges, max_degree=40).filter(
+        F.col("node_a").startswith("s")
+    )
+    cand = sp.select(
+        F.col("node_a").alias("g"),
+        F.col("node_b").alias("it"),
+        F.col("aa_score").alias("sc"),
+    ).union(
+        sp.select(
+            F.col("node_b").alias("g"),
+            F.col("node_a").alias("it"),
+            F.col("aa_score").alias("sc"),
+        )
+    )
+    osup = li.select(
+        "l_orderkey", F.concat(F.lit("s"), F.col("l_suppkey")).alias("s")
+    ).distinct()
+    a, b = osup.alias("a"), osup.alias("b")
+    truth = a.join(b, "l_orderkey").filter(F.col("a.s") != F.col("b.s")).select(
+        F.col("a.s").alias("g"), F.col("b.s").alias("it")
+    )
+    return ranking_eval(cand, truth, group="g", item="it", score="sc")
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec/DeepWalk sampling over the undirected
     supplier<->part graph: 2 walks of length 3 from every node, each step
@@ -2653,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected components as a first-class named query (round 3)
         "kg_components": q_kg_components,
         "link_predict": q_link_predict,
+        "link_pred_eval": q_link_pred_eval,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "node2vec_walks": q_node2vec_walks,
@@ -3227,6 +3282,51 @@ def _extra_oracles() -> dict[str, str]:
                          6) AS jaccard
             FROM nonadj JOIN deg da ON nonadj.na = da.node
                         JOIN deg db ON nonadj.nb = db.node
+        """,
+        "link_pred_eval": """
+            WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                                'p' || CAST(l_partkey AS VARCHAR) AS b
+                         FROM lineitem),
+            und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                    FROM raw WHERE a <> b),
+            adj AS (SELECT u AS z, v AS n FROM und
+                    UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT z AS node, COUNT(*) AS d FROM adj GROUP BY z),
+            piv AS (SELECT adj.z, adj.n, deg.d
+                    FROM adj JOIN deg ON adj.z = deg.node
+                    WHERE deg.d <= 40),
+            w AS (SELECT a.n AS na, b.n AS nb, a.d AS dz
+                  FROM piv a JOIN piv b ON a.z = b.z AND a.n < b.n),
+            s AS (SELECT na, nb, SUM(1.0 / ln(dz)) AS aa
+                  FROM w GROUP BY na, nb),
+            sp AS (SELECT na, nb, ROUND(aa, 6) AS sc FROM s
+                   WHERE na LIKE 's%'),
+            cand AS (SELECT na AS g, nb AS it, sc FROM sp
+                     UNION ALL SELECT nb, na, sc FROM sp),
+            ranked AS (SELECT g, it,
+                              ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY sc DESC, it ASC) AS rnk
+                       FROM cand),
+            osup AS (SELECT DISTINCT l_orderkey,
+                            's' || CAST(l_suppkey AS VARCHAR) AS s
+                     FROM lineitem),
+            tr AS (SELECT DISTINCT a.s AS g, b.s AS it
+                   FROM osup a JOIN osup b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.s <> b.s),
+            j AS (SELECT tr.g, tr.it, ranked.rnk
+                  FROM tr LEFT JOIN ranked
+                    ON tr.g = ranked.g AND tr.it = ranked.it)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+                   CAST(COUNT(rnk) AS BIGINT) AS n_scored,
+                   ROUND(AVG(COALESCE(1.0 / rnk, 0)), 6) AS mrr,
+                   ROUND(AVG(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END),
+                         6) AS hits_1,
+                   ROUND(AVG(CASE WHEN rnk <= 3 THEN 1.0 ELSE 0.0 END),
+                         6) AS hits_3,
+                   ROUND(AVG(CASE WHEN rnk <= 10 THEN 1.0 ELSE 0.0 END),
+                         6) AS hits_10,
+                   ROUND(AVG(CAST(rnk AS DOUBLE)), 6) AS mean_rank
+            FROM j
         """,
         # the identical hash-indexed walks unrolled as SQL (seed 11,
         # walks_per_node 2, walk_len 3)

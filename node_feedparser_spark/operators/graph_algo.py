@@ -1141,3 +1141,70 @@ def neighbor_agg(
         .join(h, "node")
         .select("node", "feat0", (F.col("feat") / 1e6).alias("feat"))
     )
+
+
+def ranking_eval(
+    scored: DataFrame,
+    truth: DataFrame,
+    group: str = "group_id",
+    item: str = "item_id",
+    score: str = "score",
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> DataFrame:
+    """Ranking-quality evaluation for link prediction / KG completion:
+    MRR, Hits@k, and mean rank of held-out true items against a scored
+    candidate list — the standard KG-completion protocol (Bordes et al.
+    2013's ranking metrics), closing the eval family next to
+    ann_recall_eval / cluster_quality / blocking_quality.
+
+    ``scored`` is (group, item, score) candidate lists; ``truth`` is
+    (group, item) held-out positives.  Per group, candidates are ranked
+    by (score DESC, item ASC) — rank ties broken on the item id so the
+    ranking is deterministic and engine-portable; callers should pass a
+    DECIMAL-ROUNDED score column (link_predict already emits 6-dp
+    scores), otherwise float sum-order noise can flip near-ties between
+    engines.  A positive absent from the candidate list is a miss: it
+    contributes reciprocal rank 0 and hits 0 (the honest convention —
+    dropping unscored positives would inflate every metric), and is
+    excluded only from ``mean_rank``, which averages found ranks.
+
+    Returns ONE row: n_truth, n_scored (positives that appeared in the
+    candidate list), mrr, hits_<k> per k, mean_rank — all rates rounded
+    to 6 dp.
+
+    Plan: one row_number window partitioned by group (shuffle on group,
+    per-group local sort — no global sort), one equi-join of the truth
+    pairs onto the ranked candidates on (group, item), and one global
+    aggregation that is map-side combinable.  Candidate lists are
+    per-group bounded, so the window never sees a mega-partition unless
+    the scorer itself emitted one — skew belongs to (and is handled by)
+    the upstream scorer, e.g. link_predict's max_degree pivot cap.
+    """
+    w = Window.partitionBy(group).orderBy(
+        F.col(score).desc(), F.col(item).asc()
+    )
+    ranked = scored.select(group, item, score).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    t = truth.select(group, item).distinct()
+    j = t.join(ranked.select(group, item, "rank"), [group, item], "left")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("rank").cast("long").alias("n_scored"),
+        F.round(
+            F.avg(F.coalesce(F.lit(1.0) / F.col("rank"), F.lit(0.0))), 6
+        ).alias("mrr"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.avg(
+                    F.when(F.col("rank") <= k, F.lit(1.0)).otherwise(0.0)
+                ),
+                6,
+            ).alias(f"hits_{k}")
+        )
+    aggs.append(
+        F.round(F.avg(F.col("rank").cast("double")), 6).alias("mean_rank")
+    )
+    return j.agg(*aggs)
