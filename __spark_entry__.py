@@ -2006,7 +2006,17 @@ def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse.  All scans + equi-joins + distinct, zero Python nodes; the
     pred leaves constant-fold against the union's literal pred columns so
     each leaf reads only its own predicate's branches (pinned by
-    tests/test_paths.py::test_union_branch_pruning)."""
+    tests/test_paths.py::test_union_branch_pruning).
+
+    The dst-type filter is load-bearing at scale, not cosmetic: regions
+    are 5-key hubs and ``^in_region`` fans each region out to every
+    located-in-region entity (nations AND odd customers), so the unfiltered
+    endpoint product is quadratic through the hubs (~25 M pairs at sf0.1 —
+    measured 30 s; filtered, the inverted relation prunes to the 25 nation
+    rows and the same query runs in ~2 s).  Catalyst pushes the
+    deterministic ``dst LIKE 'n%'`` through the trailing distinct into the
+    final join's build side — the SPARQL FILTER-next-to-path idiom doing
+    the same job as a typed edge partition at 100 TB."""
     from node_feedparser_spark.operators.paths import eval_path
 
     expr = (
@@ -2014,7 +2024,9 @@ def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("upto", ("alt", ("pred", "in_nation"), ("pred", "in_region")), 2),
         ("inv", ("pred", "in_region")),
     )
-    return eval_path(_kg_triples(spark, sf_dir), expr)
+    return eval_path(_kg_triples(spark, sf_dir), expr).filter(
+        F.col("dst").startswith("n")
+    )
 
 
 def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4580,6 +4592,7 @@ def _extra_oracles() -> dict[str, str]:
         SELECT DISTINCT u.s AS src, tr.subj AS dst
         FROM up2 u
         JOIN t tr ON tr.pred = 'in_region' AND tr.obj = u.o
+        WHERE tr.subj LIKE 'n%'
     """
     # --- unbounded closure (in_nation|in_region)+: a true recursive CTE
     # pins the fixpoint independently of the Spark round count
