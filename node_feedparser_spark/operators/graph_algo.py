@@ -1168,6 +1168,12 @@ def ranking_eval(
     dropping unscored positives would inflate every metric), and is
     excluded only from ``mean_rank``, which averages found ranks.
 
+    Input contract: the candidate list must be unique per (group, item)
+    — a duplicate would receive two ranks and double-count any truth row
+    that joins it (link_predict and the other scorers in this module all
+    emit set-semantics pairs, so this holds by construction upstream).
+    Truth duplicates are harmless: truth is distinct-ed here.
+
     Returns ONE row: n_truth, n_scored (positives that appeared in the
     candidate list), mrr, hits_<k> per k, mean_rank — all rates rounded
     to 6 dp.
