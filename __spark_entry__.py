@@ -1701,6 +1701,26 @@ def q_entity_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal functional-conflict detection (round 3,
+    operators/timeline.py temporal_conflicts): split the event stream
+    into two provenance sources by even/odd event_id (the declared
+    deterministic-split discipline of _kg_triples' partial predicates),
+    treat each event as an assertion of the user's functional state
+    valid until the same source's next event, and emit every pair of
+    cross-source assertions whose validity windows overlap while
+    claiming DIFFERENT states — the temporal-KG consistency check that
+    detects what truth_fusion later resolves.  Day-bucketed overlap
+    equi-join (never a nested-loop range join); the oracle replays the
+    naive range self-join via DuckDB's IEJoin."""
+    from node_feedparser_spark.operators.timeline import temporal_conflicts
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "src", (F.col("event_id") % 2).cast("long")
+    )
+    return temporal_conflicts(ev, source="src")
+
+
 def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered negative sampling for KG-embedding training (round 3):
     k=2 deterministic hash-corrupted tails per positive supplier->part
@@ -2734,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knowledge fusion + temporal KG + embedding-training data (round 3)
         "truth_fusion": q_truth_fusion,
         "entity_timelines": q_entity_timelines,
+        "temporal_conflicts": q_temporal_conflicts,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
         "rule_mining": q_rule_mining,
@@ -4336,6 +4357,31 @@ def _extra_oracles() -> dict[str, str]:
                     ORDER BY interval_id) AS valid_to,
                n_events
         FROM g
+    """
+    # --- temporal functional conflicts: naive range self-join (DuckDB's
+    # IEJoin) over the same per-(user, source) assertion intervals the
+    # Spark side builds — pins the bucketed overlap equi-join against a
+    # genuinely different execution strategy
+    d["temporal_conflicts"] = """
+        WITH ev AS (SELECT user_id, event_id,
+                           CAST(event_id % 2 AS BIGINT) AS src,
+                           event_type AS val, ts AS vf
+                    FROM events),
+        mx AS (SELECT user_id, MAX(vf) AS user_max FROM ev GROUP BY 1),
+        iv AS (SELECT e.user_id, e.event_id, e.src, e.val, e.vf,
+                      COALESCE(LEAD(e.vf) OVER (PARTITION BY e.user_id,
+                                   e.src ORDER BY e.vf, e.event_id),
+                               m.user_max) AS vt
+               FROM ev e JOIN mx m ON e.user_id = m.user_id)
+        SELECT a.user_id,
+               a.src AS source_a, b.src AS source_b,
+               a.event_id AS id_a, b.event_id AS id_b,
+               a.val AS value_a, b.val AS value_b,
+               GREATEST(a.vf, b.vf) AS overlap_from,
+               LEAST(a.vt, b.vt) AS overlap_to
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.src < b.src
+        WHERE a.vf < b.vt AND b.vf < a.vt AND a.val <> b.val
     """
     # --- filtered negative sampling: same portable hash + NOT EXISTS
     neg_hash = portable_hash60_sql_(

@@ -165,3 +165,106 @@ def scd2_timeline(
         .drop("_bucket", "_local_iid", "_base")
     )
     return _interval_agg(with_iid, key, value, ts)
+
+
+def temporal_conflicts(
+    events: DataFrame,
+    key: str = "user_id",
+    value: str = "event_type",
+    ts: str = "ts",
+    source: str = "source",
+    tiebreak: str = "event_id",
+    bucket_width_seconds: int = 86_400,
+) -> DataFrame:
+    """Temporal functional-property conflict detection — the DETECT-side
+    complement of the fusion stage's conflict RESOLUTION (truth_fusion
+    resolves disagreeing snapshot claims by source trust; this finds
+    where two provenance streams assert DIFFERENT values of a functional
+    property for the same entity over OVERLAPPING validity windows, the
+    temporal-KG consistency check).
+
+    Assertion model: within each (key, source) stream ordered by
+    (ts, tiebreak), an event asserts ``value`` from its own timestamp
+    until the stream's next event; a stream's final assertion closes at
+    the KEY's last observed event across all sources (the SCD2
+    current-row convention — "valid until end of observed data", which
+    keeps every interval finite and bucketable).  Overlap is STRICT
+    (a.from < b.to AND b.from < a.to): a zero-length final assertion and
+    an instantaneous handoff at a shared boundary are not simultaneous.
+
+    Plan (the interval_join discipline, overlap flavor): build intervals
+    with one lead() window per (key, source) plus one whole-partition
+    max() per key; explode each interval to the time buckets it covers;
+    equi-join the two sides on (key, bucket) — a real, AQE-skew-
+    splittable shuffle key, never a nested-loop range join; re-verify the
+    exact overlap + value-differs predicate; DISTINCT the (id_a, id_b)
+    pairs (an overlapping pair can share several buckets).  Per-entity
+    assertion cardinality bounds the per-bucket quadratic term; a
+    mega-entity concentrates in single (key, bucket) cells that AQE skew
+    splitting subdivides.  The DuckDB oracle runs the naive range
+    self-join (its IEJoin), pinning the bucketed plan against genuinely
+    different execution.
+    """
+    if bucket_width_seconds < 1:
+        raise ValueError("bucket_width_seconds must be >= 1")
+    w_src = Window.partitionBy(key, source).orderBy(
+        F.col("_vf").asc(), F.col(tiebreak).asc()
+    )
+    w_key = Window.partitionBy(key)
+    iv = events.select(key, source, tiebreak, value, F.col(ts).alias("_vf"))
+    iv = iv.withColumn(
+        "_vt",
+        F.coalesce(F.lead("_vf").over(w_src), F.max("_vf").over(w_key)),
+    )
+    wus = int(bucket_width_seconds) * 1_000_000
+    # parquet timestamps are TIMESTAMP_NTZ; unix_micros wants TIMESTAMP
+    us_f = F.unix_micros(F.col("_vf").cast("timestamp"))
+    us_t = F.unix_micros(F.col("_vt").cast("timestamp"))
+    iv = iv.withColumn(
+        "_tc_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(us_f / wus).cast("long"),
+                F.floor(us_t / wus).cast("long"),
+            )
+        ),
+    )
+    a = iv.select(
+        F.col(key).alias("_k"),
+        F.col("_tc_bucket"),
+        F.col(source).alias("source_a"),
+        F.col(tiebreak).alias("id_a"),
+        F.col(value).alias("value_a"),
+        F.col("_vf").alias("_vf_a"),
+        F.col("_vt").alias("_vt_a"),
+    )
+    b = iv.select(
+        F.col(key).alias("_k"),
+        F.col("_tc_bucket"),
+        F.col(source).alias("source_b"),
+        F.col(tiebreak).alias("id_b"),
+        F.col(value).alias("value_b"),
+        F.col("_vf").alias("_vf_b"),
+        F.col("_vt").alias("_vt_b"),
+    )
+    return (
+        a.join(b, ["_k", "_tc_bucket"])
+        .where(
+            (F.col("source_a") < F.col("source_b"))
+            & (F.col("_vf_a") < F.col("_vt_b"))
+            & (F.col("_vf_b") < F.col("_vt_a"))
+            & (F.col("value_a") != F.col("value_b"))
+        )
+        .select(
+            F.col("_k").alias(key),
+            "source_a",
+            "source_b",
+            "id_a",
+            "id_b",
+            "value_a",
+            "value_b",
+            F.greatest("_vf_a", "_vf_b").alias("overlap_from"),
+            F.least("_vt_a", "_vt_b").alias("overlap_to"),
+        )
+        .distinct()
+    )
