@@ -1361,6 +1361,36 @@ def q_link_pred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_eval(cand, truth, group="g", item="it", score="sc")
 
 
+def q_hyperanf_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF approximate neighborhood function (round 3,
+    operators/graph_algo.py hyperanf): per-node HLL estimates of
+    |ball(v, t)| for t = 1, 2 over the undirected supplier<->part
+    shipment graph — the Boldi-Vigna reachability/effective-diameter
+    sketch whose exact counterpart (materializing every BFS ball) is
+    |V|^2 on small-diameter graphs.  Max-merge of HLL registers is
+    EXACTLY the sketch of the union, so the DuckDB oracle rebuilds the
+    identical registers bit-for-bit, unrolls the same two merge rounds,
+    and applies the same estimator — zero approximation slack between
+    engines.
+
+    The named query runs on the orderkey%4==0 projection (the declared
+    deterministic bound rule_mining also uses, replayed by the oracle):
+    round 2's join intermediate is |E| x up-to-2^p registers — the
+    algorithm's intrinsic cost — and the projection roughly halves the
+    sf0.1 bench wall (21.6 s full graph -> 11.8 s; supplier balls still
+    saturate toward 2^p registers, so the fan shrinks sublinearly in
+    |E|) without changing what the operator does."""
+    from node_feedparser_spark.operators.graph_algo import hyperanf
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id")))
+    return hyperanf(edges, rounds=2, p=7)
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec/DeepWalk sampling over the undirected
     supplier<->part graph: 2 walks of length 3 from every node, each step
@@ -2740,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": q_kg_components,
         "link_predict": q_link_predict,
         "link_pred_eval": q_link_pred_eval,
+        "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "node2vec_walks": q_node2vec_walks,
@@ -4332,6 +4363,59 @@ def _extra_oracles() -> dict[str, str]:
               FROM conf2)
         SELECT subj, pred, obj, ROUND(conf, 6) AS confidence, n_sources
         FROM r WHERE rn = 1
+    """
+    # --- HyperANF: identical portable registers, two unrolled max-merge
+    # rounds over the undirected supplier<->part edges, same estimator
+    # constants as hll_distinct (m=128 here) — max-merge of register
+    # tables is exactly the sketch of the ball union, so the comparison
+    # has no approximation slack
+    _a128 = 0.7213 / (1 + 1.079 / 128) * 128 * 128
+    d["hyperanf_reach"] = f"""
+        WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'p' || CAST(l_partkey AS VARCHAR) AS b
+                     FROM lineitem WHERE l_orderkey % 4 = 0),
+        e AS (SELECT DISTINCT a AS s, b AS d FROM raw
+              UNION SELECT b, a FROM raw),
+        nodes AS (SELECT DISTINCT s AS node FROM e),
+        h AS (SELECT node,
+                     CAST(('0x' || substr(md5(node), 1, 15)) AS BIGINT)
+                         AS h
+              FROM nodes),
+        c0 AS (SELECT node, h % 128 AS bucket,
+                      CASE WHEN (h >> 7) = 0 THEN 54
+                           ELSE 54 - length(bin(h >> 7)) END AS register
+               FROM h),
+        c1 AS (SELECT node, bucket, MAX(register) AS register FROM (
+                   SELECT node, bucket, register FROM c0
+                   UNION ALL
+                   SELECT e.s, c0.bucket, c0.register
+                   FROM e JOIN c0 ON c0.node = e.d
+               ) u GROUP BY 1, 2),
+        c2 AS (SELECT node, bucket, MAX(register) AS register FROM (
+                   SELECT node, bucket, register FROM c1
+                   UNION ALL
+                   SELECT e.s, c1.bucket, c1.register
+                   FROM e JOIN c1 ON c1.node = e.d
+               ) u GROUP BY 1, 2),
+        est AS (
+            SELECT node, CAST(1 AS BIGINT) AS radius,
+                   CAST(COUNT(*) AS BIGINT) AS n_registers,
+                   ROUND(SUM(POWER(2.0, -register)), 9) AS s
+            FROM c1 GROUP BY 1
+            UNION ALL
+            SELECT node, CAST(2 AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT),
+                   ROUND(SUM(POWER(2.0, -register)), 9)
+            FROM c2 GROUP BY 1),
+        fin AS (SELECT node, radius, n_registers,
+                       CAST(128 - n_registers AS BIGINT) AS n_zero_buckets,
+                       {_a128!r} / (s + (128 - n_registers)) AS raw_est
+                FROM est)
+        SELECT node, radius, n_registers, n_zero_buckets,
+               ROUND(CASE WHEN raw_est <= 320.0 AND n_zero_buckets > 0
+                          THEN 128.0 * LN(128.0 / n_zero_buckets)
+                          ELSE raw_est END, 4) AS hll_estimate
+        FROM fin
     """
     # --- SCD2 timeline: textbook lag/cumsum islands + lead(valid_from)
     d["entity_timelines"] = """

@@ -1214,3 +1214,91 @@ def ranking_eval(
         F.round(F.avg(F.col("rank").cast("double")), 6).alias("mean_rank")
     )
     return j.agg(*aggs)
+
+
+def hyperanf(
+    edges: DataFrame,
+    rounds: int = 2,
+    p: int = 7,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """HyperANF (Boldi & Vigna 2011): the approximate neighborhood
+    function — for every node, an HLL estimate of |ball(v, t)| (nodes
+    reachable in <= t hops along OUT edges, v included) for t = 1..rounds
+    — THE scalable reachability/effective-diameter tool for graphs where
+    exact per-node BFS ball materialization (sum of ball sizes, easily
+    |V|^2 on small-diameter graphs) is impossible.
+
+    Algebra: an HLL register table max-merges, and max-merge of sketches
+    IS the sketch of the union — exactly, not approximately (the
+    approximation lives only in the final estimate).  So the ball
+    recurrence B(v, t+1) = {v} ∪ ⋃_{(v,u)∈E} B(u, t) becomes: counter
+    C_0(v) = registers({v}); each round joins every edge to its head's
+    counter and elementwise-maxes into the tail's.  Correctness is
+    pinned against hll_distinct over the explicitly-enumerated ball
+    (tests/test_hyperanf.py) — same registers, same estimator, zero
+    slack.
+
+    Plan: counters stay in the SPARSE (node, bucket, register) shape of
+    operators/sketch.py (<= min(ball, 2^p) rows per node, mergeable).
+    Each round is ONE equi-join of the distinct edge list against the
+    counter table on the head node plus ONE groupBy(node, bucket) max —
+    map-side combinable, so the per-round shuffle is bounded by
+    |V| * 2^p regardless of edge fan-out; the join's intermediate
+    (edge x head-registers, up to |E| * 2^p) is compute local to the
+    join stage, the knob being p (default 2^7 registers ~ 6.5% rse).
+    Parallel edges and self-loops are harmless (max-merge is idempotent)
+    but the edge list is distinct-ed once so every round joins the
+    minimal relation.  Counters feed three consumers per round (union,
+    next join, estimate), so for rounds >= 3 each round's counter is
+    lazily localCheckpoint-ed (the khop/kcore lineage lesson); at the
+    default rounds=2 the plan stays a static, oracle-replayable unroll.
+    A 100 TB refinement (noted, not needed at this scale): pack the m
+    registers into one fixed-width array per node to cut the sparse
+    row overhead — the merge algebra is unchanged.
+
+    Returns (node, radius, n_registers, n_zero_buckets, hll_estimate),
+    one row per node per t in 1..rounds.
+    """
+    from .sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    c = hll_registers(nodes, ["node"], "node", p)
+    out = None
+    for t in range(1, rounds + 1):
+        nb = e.join(c.withColumnRenamed("node", "_d"), "_d").select(
+            F.col("_s").alias("node"), "bucket", "register"
+        )
+        c = hll_merge(c.unionByName(nb), ["node"])
+        if rounds >= 3:
+            # a non-final counter has THREE consumers (its estimate, the
+            # next round's union arm and join arm) — the khop/kcore
+            # recompute-fan-out signature.  Measured at rounds=2, though,
+            # checkpointing is a wash (12.6 s vs 11.8 s at sf0.1):
+            # ReusedExchange already dedupes the identical groupBy
+            # subtrees, the biased_walks finding.  Keep the truncation
+            # only where plan DEPTH compounds (rounds >= 3).
+            c = c.localCheckpoint(eager=False)
+        est = hll_estimate_from_registers(c, ["node"], p).withColumn(
+            "radius", F.lit(t).cast("long")
+        )
+        out = est if out is None else out.unionByName(est)
+    return out.select(
+        "node", "radius", "n_registers", "n_zero_buckets", "hll_estimate"
+    )
