@@ -1509,6 +1509,61 @@ def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over a DIRECTED graph (round 3,
+    operators/scc.py — Orzan-coloring peel loop; kg_components is the
+    undirected twin).  Deterministic directed shape: customers in each
+    nation are ringed in consecutive blocks of 6 (by custkey rank) — one
+    SCC per block — and each block's minimum points DOWN to the previous
+    block's minimum, so the condensation is a per-nation chain whose edges
+    run high→low: the age-correlated-id KG shape on which the first
+    forward coloring already separates every SCC (generality under
+    adversarial ids is pinned by tests/test_scc.py's multi-round peel).
+    The DuckDB oracle is an independent recursive-CTE mutual-reachability
+    closure — the O(n·reach) object the distributed operator exists to
+    avoid."""
+    from node_feedparser_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    b = (
+        cust.select(
+            F.col("c_custkey").cast("long").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+            (F.row_number().over(w) - 1).alias("rn"),
+        )
+        .withColumn("blk", (F.col("rn") / 6).cast("long"))
+        .withColumn("pos", F.col("rn") % 6)
+    )
+    bs = b.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("nk", "blk"))
+    )
+    ring = (
+        bs.alias("a")
+        .join(
+            bs.alias("c"),
+            (F.col("a.nk") == F.col("c.nk"))
+            & (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("c.pos") == (F.col("a.pos") + 1) % F.col("a.bsz")),
+        )
+        .select(F.col("a.ck").alias("src"), F.col("c.ck").alias("dst"))
+    )
+    mins = b.groupBy("nk", "blk").agg(F.min("ck").alias("mck"))
+    cross = (
+        mins.alias("hi")
+        .join(
+            mins.alias("lo"),
+            (F.col("hi.nk") == F.col("lo.nk"))
+            & (F.col("hi.blk") == F.col("lo.blk") + 1),
+        )
+        .select(F.col("hi.mck").alias("src"), F.col("lo.mck").alias("dst"))
+    )
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    return strongly_connected_components(ring.union(cross), nodes)
+
+
 def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-link score calibration (round 3,
     operators/link_scoring.py): the north rule's 'entity-link scoring'
@@ -2768,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_calibrate": q_link_calibrate,
         # connected components as a first-class named query (round 3)
         "kg_components": q_kg_components,
+        "scc": q_scc,
         "link_predict": q_link_predict,
         "link_pred_eval": q_link_pred_eval,
         "hyperanf_reach": q_hyperanf_reach,
@@ -3992,6 +4048,41 @@ def _extra_oracles() -> dict[str, str]:
                      FROM reach GROUP BY node)
             SELECT cc.k AS node, COALESCE(comp.component, cc.k) AS component
             FROM c cc LEFT JOIN comp ON cc.k = comp.node
+        """,
+        "scc": """
+            WITH RECURSIVE b AS (
+                SELECT CAST(c_custkey AS BIGINT) AS ck, c_nationkey AS nk,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_custkey) - 1 AS rn
+                FROM customer),
+            bb AS (SELECT ck, nk, CAST(rn // 6 AS BIGINT) AS blk,
+                          rn % 6 AS pos
+                   FROM b),
+            bs AS (SELECT *, COUNT(*) OVER (PARTITION BY nk, blk) AS bsz
+                   FROM bb),
+            ring AS (SELECT a.ck AS src, c.ck AS dst
+                     FROM bs a JOIN bs c
+                     ON a.nk = c.nk AND a.blk = c.blk
+                        AND c.pos = (a.pos + 1) % a.bsz),
+            mins AS (SELECT nk, blk, MIN(ck) AS mck FROM bb GROUP BY nk, blk),
+            cross_e AS (SELECT hi.mck AS src, lo.mck AS dst
+                        FROM mins hi JOIN mins lo
+                        ON hi.nk = lo.nk AND hi.blk = lo.blk + 1),
+            edges AS (SELECT DISTINCT src, dst
+                      FROM (SELECT * FROM ring UNION ALL SELECT * FROM cross_e)
+                      WHERE src <> dst),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            mutual AS (SELECT r1.src AS node, MIN(r1.dst) AS mn
+                       FROM reach r1 JOIN reach r2
+                       ON r1.src = r2.dst AND r1.dst = r2.src
+                       GROUP BY r1.src)
+            SELECT bb.ck AS node,
+                   CAST(LEAST(bb.ck, COALESCE(mutual.mn, bb.ck)) AS BIGINT)
+                       AS scc_id
+            FROM bb LEFT JOIN mutual ON bb.ck = mutual.node
         """,
         "link_calibrate": """
             WITH e AS (
