@@ -1786,6 +1786,31 @@ def q_entity_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification (round 3,
+    operators/timeline.py allen_relations): every pair of a customer's
+    order validity intervals (start = o_orderdate in epoch-micros, length
+    = (o_orderkey % 29 + 1) days) labeled with its Allen relation — the
+    temporal-KG reasoning vocabulary of which temporal_conflicts' interior
+    overlap is one case.  One equi-join on the bounded group key; the 13
+    CASE branches are mutually exclusive and exhaustive for proper
+    intervals (pinned branch-by-branch in tests/test_allen.py)."""
+    from node_feedparser_spark.operators.timeline import allen_relations
+
+    orders = _t(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    iv = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("iid"),
+        us.alias("s"),
+        (
+            us
+            + ((F.col("o_orderkey") % 29) + 1) * F.lit(86_400_000_000).cast("long")
+        ).alias("e"),
+    )
+    return allen_relations(iv, key="ck", id_col="iid", start="s", end="e")
+
+
 def q_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal functional-conflict detection (round 3,
     operators/timeline.py temporal_conflicts): split the event stream
@@ -2842,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_fusion": q_truth_fusion,
         "entity_timelines": q_entity_timelines,
         "temporal_conflicts": q_temporal_conflicts,
+        "allen_relations": q_allen_relations,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
         "rule_mining": q_rule_mining,
@@ -4557,6 +4583,33 @@ def _extra_oracles() -> dict[str, str]:
         FROM iv a JOIN iv b
           ON a.user_id = b.user_id AND a.src < b.src
         WHERE a.vf < b.vt AND b.vf < a.vt AND a.val <> b.val
+    """
+    # --- Allen interval algebra over per-customer order intervals
+    d["allen_relations"] = """
+        WITH iv AS (SELECT o_custkey AS ck, o_orderkey AS iid,
+                           epoch_us(o_orderdate) AS s,
+                           epoch_us(o_orderdate)
+                               + ((o_orderkey % 29) + 1) * 86400000000 AS e
+                    FROM orders),
+        p AS (SELECT a.ck, a.iid AS a, b.iid AS b,
+                     a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+              FROM iv a JOIN iv b ON a.ck = b.ck AND a.iid < b.iid)
+        SELECT ck, a, b,
+               CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                    WHEN e1 < s2 THEN 'before'
+                    WHEN s1 > e2 THEN 'after'
+                    WHEN e1 = s2 THEN 'meets'
+                    WHEN s1 = e2 THEN 'met_by'
+                    WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                    WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+                    WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+                    WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+                    WHEN s1 > s2 AND e1 < e2 THEN 'during'
+                    WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+                    WHEN s1 < s2 AND e1 < e2 THEN 'overlaps'
+                    WHEN s1 > s2 AND e1 > e2 THEN 'overlapped_by'
+               END AS rel
+        FROM p
     """
     # --- filtered negative sampling: same portable hash + NOT EXISTS
     neg_hash = portable_hash60_sql_(

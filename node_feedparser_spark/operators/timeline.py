@@ -268,3 +268,77 @@ def temporal_conflicts(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Allen interval algebra
+# ---------------------------------------------------------------------------
+
+ALLEN_RELATIONS = (
+    "equals", "before", "after", "meets", "met_by", "starts", "started_by",
+    "finishes", "finished_by", "during", "contains", "overlaps",
+    "overlapped_by",
+)
+
+
+def allen_relations(
+    intervals: DataFrame,
+    key: str = "key",
+    id_col: str = "iid",
+    start: str = "s",
+    end: str = "e",
+) -> DataFrame:
+    """Classify every ordered interval pair within a key group into one of
+    Allen's 13 interval relations ("Maintaining Knowledge about Temporal
+    Intervals", Allen, CACM 1983 — the standard temporal-KG reasoning
+    vocabulary; a fact pair's relation decides whether SCD2 facts conflict,
+    chain, or refine each other — see temporal_conflicts above, which is
+    the special case "interior overlap + differing value").
+
+    Input: one row per PROPER interval (start < end, numeric or epoch
+    encoding), with a per-key unique id.  Output: (key, a, b, rel) for
+    every pair a < b by id; ``rel`` is the relation of A relative to B.
+    The 13 cases are mutually exclusive and exhaustive for proper
+    intervals, so the final branch is written as an explicit predicate
+    (no ``otherwise``) — an impossible pair would surface as NULL rather
+    than silently misclassify.
+
+    Scale: one equi-join on the group key, quadratic only within a group
+    — the transcript/orders shape has bounded group sizes; for mega-keys,
+    pre-bucket by coarse time exactly as interval_join_bucketed does and
+    classify only same/adjacent buckets (pairs further apart are 'before'/
+    'after' by construction).
+    """
+    a = intervals.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("a"),
+        F.col(start).alias("s1"),
+        F.col(end).alias("e1"),
+    )
+    b = intervals.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("b"),
+        F.col(start).alias("s2"),
+        F.col(end).alias("e2"),
+    )
+    s1, e1, s2, e2 = (F.col(c) for c in ("s1", "e1", "s2", "e2"))
+    rel = (
+        F.when((s1 == s2) & (e1 == e2), "equals")
+        .when(e1 < s2, "before")
+        .when(s1 > e2, "after")
+        .when(e1 == s2, "meets")
+        .when(s1 == e2, "met_by")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 == s2) & (e1 > e2), "started_by")
+        .when((e1 == e2) & (s1 > s2), "finishes")
+        .when((e1 == e2) & (s1 < s2), "finished_by")
+        .when((s1 > s2) & (e1 < e2), "during")
+        .when((s1 < s2) & (e1 > e2), "contains")
+        .when((s1 < s2) & (e1 < e2), "overlaps")
+        .when((s1 > s2) & (e1 > e2), "overlapped_by")
+    )
+    return (
+        a.join(b, "_k")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("_k").alias(key), "a", "b", rel.alias("rel"))
+    )
