@@ -1786,6 +1786,47 @@ def q_entity_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of entity-link scores (round 3, operators/link_scoring.py
+    roc_auc): does the summed 'N'-flag edge weight of a (supplier, part)
+    pair predict whether the pair also carries an 'R'-flag edge?  The
+    normalized Mann-Whitney U with average-rank ties, computed over a
+    distinct-score histogram (never a global row sort); all arithmetic is
+    integer-and-half until the single final division, so the DuckDB twin
+    matches bit-for-bit.  Complements ranking_eval's per-query MRR view."""
+    from node_feedparser_spark.operators.link_scoring import roc_auc
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = (
+        li.filter(F.col("l_returnflag") == "N")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("double")), 6).alias("score"))
+    )
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .withColumn("one", F.lit(1))
+    )
+    labeled = scored.join(r, ["l_suppkey", "l_partkey"], "left").select(
+        "score", F.coalesce("one", F.lit(0)).alias("label")
+    )
+    return roc_auc(labeled)
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection (round 3, operators/profile.py burst_detect):
+    per-event-type 6-hour bucket counts flagged when they exceed the
+    trailing-8-bucket mean by 2 trailing sample standard deviations — the
+    streaming-corpus anomaly screen (error storms, scraper loops) as a
+    batch operator.  The stream collapses to a bounded (type, bucket)
+    count table BEFORE any window runs; the flag test rounds the margin
+    to 6 dp so the DuckDB twin never straddles a ULP."""
+    from node_feedparser_spark.operators.profile import burst_detect
+
+    return burst_detect(_t(spark, sf_dir, "events"))
+
+
 def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen interval-algebra classification (round 3,
     operators/timeline.py allen_relations): every pair of a customer's
@@ -2868,6 +2909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_timelines": q_entity_timelines,
         "temporal_conflicts": q_temporal_conflicts,
         "allen_relations": q_allen_relations,
+        "burst_detect": q_burst_detect,
+        "roc_auc": q_roc_auc,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
         "rule_mining": q_rule_mining,
@@ -4583,6 +4626,53 @@ def _extra_oracles() -> dict[str, str]:
         FROM iv a JOIN iv b
           ON a.user_id = b.user_id AND a.src < b.src
         WHERE a.vf < b.vt AND b.vf < a.vt AND a.val <> b.val
+    """
+    # --- Mann-Whitney ROC-AUC over the distinct-score histogram
+    d["roc_auc"] = """
+        WITH n AS (SELECT l_suppkey, l_partkey,
+                          ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS score
+                   FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+        r AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+              WHERE l_returnflag = 'R'),
+        lab AS (SELECT n.score,
+                       CASE WHEN r.l_suppkey IS NULL THEN 0 ELSE 1 END AS label
+                FROM n LEFT JOIN r ON n.l_suppkey = r.l_suppkey
+                                  AND n.l_partkey = r.l_partkey),
+        hist AS (SELECT score AS s, SUM(label) AS pos, SUM(1 - label) AS neg
+                 FROM lab GROUP BY 1),
+        u AS (SELECT pos, neg,
+                     COALESCE(SUM(neg) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS neg_below
+              FROM hist)
+        SELECT ROUND(SUM(pos * (neg_below + neg / 2.0))
+                     / (SUM(pos) * SUM(neg)), 6) AS auc,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM u
+    """
+    # --- z-score burst detection over 6h event-type buckets
+    d["burst_detect"] = """
+        WITH cnts AS (SELECT event_type AS g,
+                             (epoch_us(ts) // 1000000) // 21600 AS bkt,
+                             COUNT(*) AS cnt
+                      FROM events GROUP BY 1, 2),
+        t AS (SELECT g, bkt, cnt,
+                     COUNT(*) OVER w AS k,
+                     SUM(cnt) OVER w AS s1,
+                     SUM(cnt * cnt) OVER w AS s2
+              FROM cnts
+              WINDOW w AS (PARTITION BY g ORDER BY bkt
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        f AS (SELECT g, bkt, cnt, s1 / 8 AS mean,
+                     SQRT(GREATEST((s2 - s1 * s1 / 8) / 7, 0.0)) AS std
+              FROM t WHERE k = 8)
+        SELECT g AS event_type,
+               CAST(bkt * 21600 AS BIGINT) AS bucket_start_s,
+               CAST(cnt AS BIGINT) AS cnt,
+               ROUND(mean, 6) AS trail_mean,
+               ROUND(std, 6) AS trail_std
+        FROM f WHERE ROUND(cnt - mean - 2.0 * std, 6) > 0
     """
     # --- Allen interval algebra over per-customer order intervals
     d["allen_relations"] = """

@@ -22,7 +22,7 @@ normalizes per-predicate weights into one comparable confidence scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,4 +57,44 @@ def calibrate_link_scores(edges: DataFrame, round_dp: int = 6) -> DataFrame:
             "weight",
             F.round(conf, round_dp).alias("confidence"),
         )
+    )
+
+
+def roc_auc(
+    scored: DataFrame, score: str = "score", label: str = "label"
+) -> DataFrame:
+    """ROC-AUC of a score column against a binary label, as ONE row
+    (auc, n_pos, n_neg) — the threshold-free quality number for the
+    entity-link scores calibrate_link_scores emits (ranking_eval in
+    graph_algo.py covers the per-query MRR/Hits@k view; AUC is the
+    global pairwise view: P(score_pos > score_neg) + P(=)/2, i.e. the
+    normalized Mann-Whitney U statistic with average-rank tie handling).
+
+    Plan shape for scale: NO global sort over rows.  The scores are first
+    collapsed to a distinct-score histogram (one map-side-combinable agg:
+    n_pos/n_neg per distinct score), and the single-partition window runs
+    over THAT — bounded by score cardinality, not corpus size, the same
+    small-table discipline as hist_quantiles.  U is then
+    sum_s pos(s) * (neg_below(s) + neg_same(s)/2), all integer-and-half
+    arithmetic until one final division — bit-reproducible against the
+    DuckDB oracle.
+    """
+    hist = scored.groupBy(F.col(score).alias("_s")).agg(
+        F.sum(F.col(label).cast("long")).alias("pos"),
+        F.sum(F.lit(1) - F.col(label).cast("long")).alias("neg"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    u = hist.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return u.agg(
+        F.round(
+            F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0))
+            / (F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
     )

@@ -164,3 +164,66 @@ def blocking_quality(
             ),
         )
     )
+
+
+def burst_detect(
+    events: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    bucket_seconds: int = 21_600,
+    trail: int = 8,
+    z: float = 2.0,
+) -> DataFrame:
+    """Rate-burst detection over an event stream: bucket counts per
+    ``group``, then flag buckets whose count exceeds the trailing-window
+    mean by ``z`` trailing standard deviations — the streaming-corpus
+    anomaly screen (a feed suddenly re-emitting its archive, a scraper
+    loop, an error storm) run as a batch operator.  Kleinberg's burst
+    model is the literature anchor; this is the deterministic z-score
+    variant of its level-0/1 split.
+
+    Plan shape for scale: the raw stream collapses to per-(group, bucket)
+    counts FIRST (one map-side-combinable agg, output bounded by
+    groups x time-buckets, not events); the lag window then runs over
+    that bounded table partitioned by group.  Mean/std come from integer
+    sum/sum-of-squares over exactly ``trail`` preceding buckets
+    (warm-up rows with fewer are never flagged), and the flag test is
+    ROUND(cnt - mean - z*std, 6) > 0 so the oracle comparison never
+    straddles a ULP.  std uses the sample (n-1) denominator; a flat
+    trailing window (std = 0) still flags any strict rise, which the
+    +0*std edge handles for free.
+    """
+    b = F.lit(bucket_seconds).cast("long")
+    cnts = (
+        events.select(
+            F.col(group).alias("g"),
+            ((F.unix_micros(F.col(ts).cast("timestamp")) / 1_000_000).cast("long")
+             / b).cast("long").alias("bkt"),
+        )
+        .groupBy("g", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy("bkt").rowsBetween(-trail, -1)
+    t = cnts.select(
+        "g",
+        "bkt",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    ).filter(F.col("k") == trail)
+    mean = F.col("s1") / trail
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / trail) / (trail - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        t.withColumn("mean", mean)
+        .withColumn("std", std)
+        .filter(F.round(F.col("cnt") - F.col("mean") - z * F.col("std"), 6) > 0)
+        .select(
+            F.col("g").alias(group),
+            (F.col("bkt") * b).alias("bucket_start_s"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("mean", 6).alias("trail_mean"),
+            F.round("std", 6).alias("trail_std"),
+        )
+    )
