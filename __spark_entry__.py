@@ -1932,6 +1932,88 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_edges(baskets, min_count=2, max_basket=10)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (round 3, operators/graph_algo.py hits):
+    two integer-exact iterations over a genuinely cyclic mixed edge set
+    (supplier→part for 'N' rows, part→supplier for 'R' rows), L1
+    normalize-at-end so every accumulation the oracle replays is a whole
+    number — the scale-free direction is identical to the textbook
+    per-round-normalized loop."""
+    from node_feedparser_spark.operators.graph_algo import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        li.filter(F.col("l_returnflag") == "N")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+    )
+    back = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return hits(fwd.union(back), iters=2)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity (round 3, operators/graph_algo.py
+    modularity) of the nation partition over the full custkey chain
+    (c → c+1 for every customer, so chain links crossing a nation
+    boundary are inter-community edges): q_c = e_c/m − (d_c/2m)² per
+    community from pure integer counts — the quality score for
+    label_propagation / kg_components output, with no cross-community
+    float sum anywhere."""
+    from node_feedparser_spark.operators.graph_algo import modularity
+
+    cust = _t(spark, sf_dir, "customer")
+    c1 = cust.select(F.col("c_custkey").cast("long").alias("src"))
+    c2 = cust.select(F.col("c_custkey").cast("long").alias("dst"))
+    edges = c1.withColumn("jk", F.col("src") + 1).join(
+        c2, F.col("jk") == F.col("dst")
+    ).select("src", "dst")
+    assign = cust.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.col("c_nationkey").alias("community"),
+    )
+    return modularity(edges, assign)
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree power-law exponent MLE (round 3, operators/graph_algo.py
+    powerlaw_alpha, Clauset-Shalizi-Newman): the one-row hub-tail
+    heaviness profile of the supplier–part graph that decides whether
+    skew salting / pivot caps are load-bearing at the next scale-up;
+    the only float sum runs over the distinct-degree histogram."""
+    from node_feedparser_spark.operators.graph_algo import powerlaw_alpha
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    return powerlaw_alpha(edges, dmin=3)
+
+
+def q_g2_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² log-likelihood collocations (round 3,
+    operators/graph_algo.py g2_edges): the small-count-honest companion
+    to pmi_pairs over the same order×part baskets with the same declared
+    mega-basket cap; every G² derives row-locally from integer counts by
+    one expression the oracle repeats verbatim."""
+    from node_feedparser_spark.operators.graph_algo import g2_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    return g2_edges(baskets, min_count=2, max_basket=10)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling (round 3): 3 rounds of drop-degree<30 over
     the symmetrized supplier<->part graph
@@ -2923,6 +3005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate": q_shacl_validate,
         "rdfs_inferred": q_rdfs_inferred,
         "pmi_pairs": q_pmi_pairs,
+        "g2_colloc": q_g2_colloc,
+        "hits": q_hits,
+        "modularity": q_modularity,
+        "powerlaw_alpha": q_powerlaw_alpha,
         # corpus curation: LM quality + importance resampling (round 3)
         "unigram_lm": q_unigram_lm,
         "dsir_weights": q_dsir_weights,
@@ -4792,6 +4878,118 @@ def _extra_oracles() -> dict[str, str]:
         JOIN ni na ON na.item_id = pp.item_a
         JOIN ni nb ON nb.item_id = pp.item_b
         CROSS JOIN nt
+    """
+    # --- Dunning G2 over the same basket contingency tables
+    d["g2_colloc"] = """
+        WITH m AS (SELECT DISTINCT l_orderkey AS basket_id,
+                          l_partkey AS item_id
+                   FROM lineitem),
+        ok AS (SELECT basket_id FROM m GROUP BY 1 HAVING COUNT(*) <= 10),
+        mm AS (SELECT m.* FROM m JOIN ok USING (basket_id)),
+        nt AS (SELECT CAST(COUNT(DISTINCT basket_id) AS BIGINT) AS ni,
+                      CAST(COUNT(DISTINCT basket_id) AS DOUBLE) AS nd
+               FROM mm),
+        nitem AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_item
+                  FROM mm GROUP BY 1),
+        pp AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                      CAST(COUNT(*) AS BIGINT) AS n_ab
+               FROM mm a JOIN mm b ON a.basket_id = b.basket_id
+                                  AND a.item_id < b.item_id
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        k AS (SELECT item_a, item_b, n_ab,
+                     na.n_item AS n_a, nb.n_item AS n_b, nt.ni, nt.nd
+              FROM pp
+              JOIN nitem na ON na.item_id = pp.item_a
+              JOIN nitem nb ON nb.item_id = pp.item_b
+              CROSS JOIN nt)
+        SELECT item_a, item_b, n_ab,
+               ROUND(2.0 * (
+                   (CASE WHEN n_ab > 0 THEN n_ab *
+                        LN(n_ab * nd / (n_a * n_b)) ELSE 0.0 END)
+                 + (CASE WHEN n_a - n_ab > 0 THEN (n_a - n_ab) *
+                        LN((n_a - n_ab) * nd / (n_a * (ni - n_b)))
+                    ELSE 0.0 END)
+                 + (CASE WHEN n_b - n_ab > 0 THEN (n_b - n_ab) *
+                        LN((n_b - n_ab) * nd / ((ni - n_a) * n_b))
+                    ELSE 0.0 END)
+                 + (CASE WHEN ni - n_a - n_b + n_ab > 0
+                    THEN (ni - n_a - n_b + n_ab) *
+                        LN((ni - n_a - n_b + n_ab) * nd
+                           / ((ni - n_a) * (ni - n_b)))
+                    ELSE 0.0 END)
+               ), 6) AS g2
+        FROM k
+    """
+    # --- HITS: two unrolled integer-exact iterations, L1 normalize at end
+    d["hits"] = """
+        WITH e AS (
+            SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+            FROM lineitem WHERE l_returnflag = 'N'
+            UNION
+            SELECT DISTINCT 'p' || l_partkey, 's' || l_suppkey
+            FROM lineitem WHERE l_returnflag = 'R'),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        h1 AS (SELECT n.node, COALESCE(x.h, 0) AS h
+               FROM nodes n LEFT JOIN
+                    (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS h
+                     FROM e GROUP BY 1) x USING (node)),
+        a1 AS (SELECT n.node, COALESCE(x.a, 0) AS a
+               FROM nodes n LEFT JOIN
+                    (SELECT e.d AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+                     FROM e JOIN h1 ON e.s = h1.node GROUP BY 1) x
+                    USING (node)),
+        h2 AS (SELECT n.node, COALESCE(x.h, 0) AS h
+               FROM nodes n LEFT JOIN
+                    (SELECT e.s AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+                     FROM e JOIN a1 ON e.d = a1.node GROUP BY 1) x
+                    USING (node)),
+        a2 AS (SELECT n.node, COALESCE(x.a, 0) AS a
+               FROM nodes n LEFT JOIN
+                    (SELECT e.d AS node, CAST(SUM(h2.h) AS BIGINT) AS a
+                     FROM e JOIN h2 ON e.s = h2.node GROUP BY 1) x
+                    USING (node)),
+        norms AS (SELECT (SELECT CAST(SUM(h) AS BIGINT) FROM h2) AS nh,
+                         (SELECT CAST(SUM(a) AS BIGINT) FROM a2) AS na)
+        SELECT h2.node,
+               ROUND(CASE WHEN nh > 0 THEN h2.h / nh ELSE 0.0 END, 6) AS hub,
+               ROUND(CASE WHEN na > 0 THEN a2.a / na ELSE 0.0 END, 6) AS auth
+        FROM h2 JOIN a2 ON h2.node = a2.node CROSS JOIN norms
+    """
+    # --- per-community Newman modularity of the nation partition
+    d["modularity"] = """
+        WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey AS nk
+                   FROM customer),
+        e0 AS (SELECT a.k AS u, b.k AS v FROM c a JOIN c b ON b.k = a.k + 1),
+        m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS md FROM e0),
+        lab AS (SELECT CAST(cu.nk AS VARCHAR) AS cu, CAST(cv.nk AS VARCHAR) AS cv
+                FROM e0 JOIN c cu ON e0.u = cu.k JOIN c cv ON e0.v = cv.k),
+        e_in AS (SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS n_in
+                 FROM lab WHERE cu = cv GROUP BY 1),
+        d_tot AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS d_tot FROM
+                  (SELECT cu AS community FROM lab
+                   UNION ALL SELECT cv FROM lab) GROUP BY 1)
+        SELECT d_tot.community,
+               CAST(COALESCE(e_in.n_in, 0) AS BIGINT) AS n_in,
+               d_tot.d_tot,
+               ROUND(COALESCE(e_in.n_in, 0) / m.md
+                     - (d_tot.d_tot / (2 * m.md)) * (d_tot.d_tot / (2 * m.md)),
+                     6) AS q_c
+        FROM d_tot LEFT JOIN e_in USING (community) CROSS JOIN m
+    """
+    # --- Clauset-Shalizi-Newman power-law MLE over the degree histogram
+    d["powerlaw_alpha"] = """
+        WITH e AS (SELECT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+                   FROM lineitem),
+        adj AS (SELECT DISTINCT a, b FROM
+                (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)
+                WHERE a <> b),
+        deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY 1 HAVING COUNT(*) >= 3),
+        hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY 1)
+        SELECT ROUND(1.0 + SUM(cnt) / SUM(cnt * LN(d / 2.5)), 6) AS alpha,
+               CAST(SUM(cnt) AS BIGINT) AS n_tail,
+               CAST(3 AS BIGINT) AS dmin
+        FROM hist
     """
     # --- k-core: 3 unrolled peeling rounds at k=30
     kcore_rounds = []

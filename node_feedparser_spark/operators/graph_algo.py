@@ -1302,3 +1302,238 @@ def hyperanf(
     return out.select(
         "node", "radius", "n_registers", "n_zero_buckets", "hll_estimate"
     )
+
+
+def hits(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 2
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over the directed KG
+    edge shape — "which entities point at the good stuff (hubs) and which
+    ARE the good stuff (authorities)", the bipartite-reinforcement
+    complement of pagerank above.
+
+    Normalize-at-END variant with a0 = 1: every per-iteration
+    accumulation (h = sum of successors' a, then a = sum of NEW
+    predecessors' h) stays a WHOLE NUMBER carried in a long — sums of
+    integers have no float-order sensitivity, so the unrolled DuckDB
+    oracle matches exactly.  Per-iteration rescaling only divides both
+    vectors by a shared constant and HITS scores are scale-free, so the
+    direction after k rounds is identical to the textbook loop; the one
+    normalization here is L1 (scores sum to 1, PageRank-style mass), so
+    the norm itself is an integer sum too — no sum-of-squares overflow
+    anywhere (bound: max long needed is ~(max_deg)^(2*iters) * |V|; keep
+    iters small, default 2, exactly like the unrolled pagerank oracle).
+
+    Each iteration is two edge joins + two map-side-combinable sum aggs;
+    nothing iterates over the driver except the tiny loop counter.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    a = nodes.withColumn("a", F.lit(1).cast("long"))
+    h = nodes.withColumn("h", F.lit(1).cast("long"))
+    for _ in range(iters):
+        hn = (
+            e.join(a.select(F.col("node").alias("d"), "a"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = nodes.join(hn, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0).cast("long")).alias("h")
+        )
+        an = (
+            e.join(h.select(F.col("node").alias("s"), "h"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = nodes.join(an, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0).cast("long")).alias("a")
+        )
+    sc = h.join(a, "node")
+    norms = sc.agg(
+        F.sum("h").cast("long").alias("nh"), F.sum("a").cast("long").alias("na")
+    )
+    return sc.join(F.broadcast(norms)).select(
+        "node",
+        F.round(
+            F.when(F.col("nh") > 0, F.col("h") / F.col("nh")).otherwise(0.0), 6
+        ).alias("hub"),
+        F.round(
+            F.when(F.col("na") > 0, F.col("a") / F.col("na")).otherwise(0.0), 6
+        ).alias("auth"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Per-community Newman modularity contributions of a GIVEN partition
+    over the undirected simple graph: for community c,
+
+        q_c = e_c / m  -  (d_c / (2m))^2
+
+    (e_c = intra-community edges, d_c = total degree mass, m = |E|);
+    global Q = sum of q_c — the quality score for label_propagation /
+    kg_components output, emitted per community so every number derives
+    from INTEGER counts via one identical expression (no cross-community
+    float sum to be order-sensitive about).
+
+    One canonical-edge distinct, one tiny m count, two broadcast-sized
+    joins of the assignment onto edge endpoints, two map-side-combinable
+    count aggs.  Nodes missing from ``assign`` are their own community.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = und.count()
+    amap = assign.select(
+        F.col(node).alias("_n"), F.col(community).alias("_c")
+    )
+    cu = amap.select(F.col("_n").alias("u"), F.col("_c").alias("cu"))
+    cv = amap.select(F.col("_n").alias("v"), F.col("_c").alias("cv"))
+    lab = und.join(cu, "u", "left").join(cv, "v", "left").select(
+        F.coalesce(F.col("cu").cast("string"), F.col("u").cast("string")).alias("cu"),
+        F.coalesce(F.col("cv").cast("string"), F.col("v").cast("string")).alias("cv"),
+    )
+    e_in = (
+        lab.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    d_tot = (
+        lab.select(F.col("cu").alias("community"))
+        .union(lab.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_tot"))
+    )
+    return (
+        d_tot.join(e_in, "community", "left")
+        .select(
+            "community",
+            F.coalesce("n_in", F.lit(0).cast("long")).alias("n_in"),
+            "d_tot",
+            F.round(
+                F.coalesce("n_in", F.lit(0).cast("long")) / F.lit(float(m))
+                - (F.col("d_tot") / F.lit(2.0 * m))
+                * (F.col("d_tot") / F.lit(2.0 * m)),
+                6,
+            ).alias("q_c"),
+        )
+    )
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 3) -> DataFrame:
+    """Degree-distribution power-law exponent, the continuous MLE of
+    Clauset-Shalizi-Newman (SIAM Rev. 2009, eq. 3.7 discrete
+    approximation): alpha = 1 + n / sum_i ln(d_i / (dmin - 1/2)) over the
+    n nodes with degree >= dmin — the one-row "is this KG scale-free and
+    how heavy is the hub tail" profile that decides whether skew salting
+    and pivot caps (link_predict max_degree, conv_apply salting) are
+    load-bearing at the next scale-up.
+
+    The per-node ln never materializes: degrees collapse to a distinct-
+    degree histogram first (bounded by max degree), and the log-sum runs
+    over cnt_d * ln(d / (dmin - 0.5)) — the only float sum is over that
+    tiny histogram, 6dp-rounded inside the ratio's operands' derivation
+    being identical SQL, same discipline as unigram_lm's log-mass.
+    """
+    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    deg = (
+        adj.union(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= dmin)
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return hist.agg(
+        F.round(
+            1.0
+            + F.sum("cnt")
+            / F.sum(F.col("cnt") * F.log(F.col("d") / F.lit(dmin - 0.5))),
+            6,
+        ).alias("alpha"),
+        F.sum("cnt").cast("long").alias("n_tail"),
+        F.lit(dmin).cast("long").alias("dmin"),
+    )
+
+
+def g2_edges(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    min_count: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio (G^2) co-occurrence edges — the
+    small-count-honest companion to pmi_edges above ("Accurate Methods
+    for the Statistics of Surprise and Coincidence", Dunning, CL 1993):
+    PMI explodes for rare pairs; G^2 weights each cell of the 2x2
+    basket-membership contingency table by its evidence mass,
+
+        g2 = 2 * sum_ij O_ij * ln(O_ij / E_ij),   E_ij = row_i*col_j/N
+
+    with zero cells contributing zero.  Same pair plumbing and the same
+    declared mega-basket cap as pmi_edges (the d^2 self-join guard);
+    every G^2 is computed row-locally from integer counts by one
+    expression the oracle repeats verbatim — no cross-row float sums.
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("basket_id"), F.col(item_col).alias("item_id")
+    ).distinct()
+    sized = m.groupBy("basket_id").agg(F.count(F.lit(1)).alias("_sz"))
+    ok = sized.filter(F.col("_sz") <= max_basket).select("basket_id")
+    m = m.join(ok, "basket_id", "left_semi")
+
+    n_total = m.select("basket_id").distinct().count()
+    item_n = m.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pair_n = (
+        a.join(b, "basket_id")
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    na = item_n.select(
+        F.col("item_id").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("item_id").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    N = F.lit(float(n_total))
+    k11 = F.col("n_ab")
+    k12 = F.col("n_a") - F.col("n_ab")
+    k21 = F.col("n_b") - F.col("n_ab")
+    k22 = F.lit(n_total) - F.col("n_a") - F.col("n_b") + F.col("n_ab")
+
+    def _term(k, row, col):
+        return F.when(k > 0, k * F.log(k * N / (row * col))).otherwise(0.0)
+
+    g2 = 2.0 * (
+        _term(k11, F.col("n_a"), F.col("n_b"))
+        + _term(k12, F.col("n_a"), F.lit(n_total) - F.col("n_b"))
+        + _term(k21, F.lit(n_total) - F.col("n_a"), F.col("n_b"))
+        + _term(k22, F.lit(n_total) - F.col("n_a"), F.lit(n_total) - F.col("n_b"))
+    )
+    return (
+        pair_n.join(na, "item_a")
+        .join(nb, "item_b")
+        .select("item_a", "item_b", "n_ab", F.round(g2, 6).alias("g2"))
+    )
