@@ -1634,6 +1634,74 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("triangles").cast("long").alias("triangles"))
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (round 3,
+    operators/graph_algo.py clustering_coeff) over the same co-supply
+    graph as triangle_count — the Watts-Strogatz per-node refinement;
+    the ratio 2*tri/(deg*(deg-1)) is row-local integer arithmetic the
+    oracle repeats on its independently-counted a<b<c triangles."""
+    from node_feedparser_spark.operators.graph_algo import clustering_coeff
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") > 47)
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    pairs = (
+        ps.withColumnRenamed("s", "s1")
+        .join(ps.withColumnRenamed("s", "s2"), "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src_id"), F.col("s2").alias("dst_id"))
+        .distinct()
+    )
+    out = clustering_coeff(pairs)
+    return out.select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.col("triangles").cast("long").alias("triangles"),
+        "coeff",
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (round 3, operators/graph_algo.py
+    assortativity) of the supplier–part graph: four integer sums over
+    the symmetrized stub list, one final float division — the
+    disassortativity probe (bipartite hub-leaf KGs run strongly
+    negative) beside powerlaw_alpha's tail fit."""
+    from node_feedparser_spark.operators.graph_algo import assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    return assortativity(edges)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity (round 3, operators/graph_algo.py
+    reciprocity) of the mixed N/R supplier↔part edge set — the
+    "is this predicate family symmetric in practice" one-row probe;
+    in-plan HALF_UP rounding, no driver-side arithmetic."""
+    from node_feedparser_spark.operators.graph_algo import reciprocity
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.filter(F.col("l_returnflag") == "N").select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    back = li.filter(F.col("l_returnflag") == "R").select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src_id"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst_id"),
+    )
+    return reciprocity(fwd.union(back))
+
+
 def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-hop BFS reachability (round 3, operators/graph_algo.py) over the
     typed KG projected from TPC-H's key chain: customer -[placed]-> order
@@ -2983,6 +3051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
         "triangle_count": q_triangle_count,
+        "clustering_coeff": q_clustering_coeff,
+        "assortativity": q_assortativity,
+        "reciprocity": q_reciprocity,
         "khop_reach": q_khop_reach,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "label_propagation": q_label_propagation,
@@ -4112,6 +4183,77 @@ def _extra_oracles() -> dict[str, str]:
                     GROUP BY node)
             SELECT n.node, CAST(COALESCE(per.t, 0) AS BIGINT) AS triangles
             FROM nodes n LEFT JOIN per ON n.node = per.node
+        """,
+        "clustering_coeff": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p,
+                               's' || l_suppkey AS s
+                        FROM lineitem WHERE l_quantity > 47),
+            und AS (SELECT DISTINCT a.s AS u, b.s AS v
+                    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+            nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM und e1
+                    JOIN und e2 ON e2.u = e1.v
+                    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+            per AS (SELECT node, COUNT(*) AS t
+                    FROM (SELECT a AS node FROM tri
+                          UNION ALL SELECT b FROM tri
+                          UNION ALL SELECT c FROM tri)
+                    GROUP BY node),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM und
+                          UNION ALL SELECT v FROM und)
+                    GROUP BY node)
+            SELECT n.node, deg.deg,
+                   CAST(COALESCE(per.t, 0) AS BIGINT) AS triangles,
+                   ROUND(CASE WHEN deg.deg >= 2
+                              THEN 2.0 * COALESCE(per.t, 0)
+                                   / (deg.deg * (deg.deg - 1))
+                              ELSE 0.0 END, 6) AS coeff
+            FROM nodes n
+            LEFT JOIN per ON n.node = per.node
+            JOIN deg ON n.node = deg.node
+        """,
+        "assortativity": """
+            WITH e AS (SELECT DISTINCT 's' || l_suppkey AS a,
+                              'p' || l_partkey AS b
+                       FROM lineitem),
+            und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                    FROM e WHERE a <> b),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM und
+                          UNION ALL SELECT v FROM und) GROUP BY 1),
+            sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v
+                    FROM und),
+            j AS (SELECT du.deg AS ju, dv.deg AS jv
+                  FROM sym JOIN deg du ON sym.u = du.node
+                           JOIN deg dv ON sym.v = dv.node),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                         CAST(SUM(ju * jv) AS BIGINT) AS sjk,
+                         CAST(SUM(ju) AS BIGINT) AS sj,
+                         CAST(SUM(ju * ju) AS BIGINT) AS sj2
+                  FROM j)
+            SELECT CASE WHEN m2 * sj2 - sj * sj <> 0
+                        THEN ROUND((m2 * sjk - sj * sj)
+                                   / (m2 * sj2 - sj * sj), 6)
+                   END AS assortativity,
+                   CAST(m2 / 2 AS BIGINT) AS n_edges
+            FROM s
+        """,
+        "reciprocity": """
+            WITH e AS (
+                SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+                FROM lineitem WHERE l_returnflag = 'N'
+                UNION
+                SELECT DISTINCT 'p' || l_partkey, 's' || l_suppkey
+                FROM lineitem WHERE l_returnflag = 'R'),
+            mut AS (SELECT e.s, e.d,
+                           CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS m
+                    FROM e LEFT JOIN e r ON e.s = r.d AND e.d = r.s)
+            SELECT ROUND(SUM(m) / COUNT(*), 6) AS reciprocity,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(m) AS BIGINT) AS n_mutual
+            FROM mut
         """,
         "khop_reach": """
             WITH e AS (

@@ -1537,3 +1537,127 @@ def g2_edges(
         .join(nb, "item_b")
         .select("item_a", "item_b", "n_ab", F.round(g2, 6).alias("g2"))
     )
+
+
+def clustering_coeff(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """Per-node local clustering coefficient of the undirected simple
+    graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 for deg < 2 — "how
+    clique-ish is this entity's neighborhood", the per-node refinement of
+    triangle_count above (Watts-Strogatz, Nature 1998).  Reuses the
+    degree-ordered O(m^1.5) triangle kernel, adds one degree join; the
+    coefficient is a row-local ratio of integer counts, so the oracle
+    repeats it verbatim on its independently-counted triangles.
+    """
+    tri = triangle_count(edges, src=src, dst=dst)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return tri.join(deg, "node").select(
+        "node",
+        "deg",
+        "triangles",
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("coeff"),
+    )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """Degree-assortativity coefficient (Newman, PRL 2002) of the
+    undirected simple graph, as ONE row (assortativity, n_edges):
+    the Pearson correlation of endpoint degrees over the symmetrized
+    stub list, assembled from four INTEGER sums so the whole number is
+
+        r = (M2*s_jk - s_j^2) / (M2*s_j2 - s_j^2)
+
+    with exactly one float division at the end — bit-reproducible, no
+    order-sensitive float accumulation (overflow bound: M2*s_jk needs
+    |E|^2 * max_deg^2 < 2^63; shard-and-sum as decimals past ~10^9
+    edges).  Disassortative KGs (hubs link to leaves, r < 0) are the
+    shape where link_predict's pivot cap and salting earn their keep —
+    this is the one-number probe, beside powerlaw_alpha's tail fit.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    j = sym.join(deg.withColumnRenamed("node", "u"), "u").withColumnRenamed(
+        "deg", "ju"
+    ).join(deg.withColumnRenamed("node", "v"), "v").withColumnRenamed("deg", "jv")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum(F.col("ju") * F.col("jv")).alias("sjk"),
+        F.sum("ju").alias("sj"),
+        F.sum(F.col("ju") * F.col("ju")).alias("sj2"),
+    )
+    num = F.col("m2") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("m2") * F.col("sj2") - F.col("sj") * F.col("sj")
+    # regular graph => zero degree variance => undefined r (NULL), and the
+    # guard keeps ANSI mode from throwing DIVIDE_BY_ZERO
+    return s.select(
+        F.when(den != 0, F.round(num / den, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("assortativity"),
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+    )
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+) -> DataFrame:
+    """Directed-edge reciprocity as ONE row (reciprocity, n_edges,
+    n_mutual): the fraction of distinct non-loop directed edges whose
+    reverse edge also exists — the "is this predicate family symmetric
+    in practice" probe that decides whether rdfs-style symmetric-pred
+    materialization would double the edge table.  One distinct + one
+    self-semi-join; the ratio is a row-local integer division.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d")).withColumn(
+        "_r", F.lit(1).cast("long")
+    )
+    # left join + indicator instead of a semi-join so the ratio stays
+    # in-plan (F.round is HALF_UP; Python round is banker's)
+    mut = e.join(rev, ["s", "d"], "left")
+    return mut.agg(
+        F.round(
+            F.sum(F.coalesce("_r", F.lit(0).cast("long"))) / F.count(F.lit(1)),
+            6,
+        ).alias("reciprocity"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.coalesce("_r", F.lit(0).cast("long"))).cast("long").alias("n_mutual"),
+    )
