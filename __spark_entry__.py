@@ -1895,6 +1895,46 @@ def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detect(_t(spark, sf_dir, "events"))
 
 
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed evidence weights (round 3,
+    operators/fusion.py time_decay_weights): per-(user, event_type)
+    recency-weighted mass with a 7-day half-life against a FIXED
+    deterministic now (2024-02-01 UTC — no wall-clock reads); per-row
+    decay rounded at 9 dp before the sum per the fusion module's
+    cross-engine discipline."""
+    from node_feedparser_spark.operators.fusion import time_decay_weights
+
+    ev = _t(spark, sf_dir, "events")
+    return time_decay_weights(
+        ev,
+        key_cols=("user_id", "event_type"),
+        ts="ts",
+        now_s=1_706_745_600,
+        half_life_seconds=604_800,
+    )
+
+
+def q_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-mention edges (round 3, operators/interval_join.py
+    comention_edges): event types co-observed within ±1h for one user,
+    built as the bucketed point-to-point BAND self-join (explode the left
+    side to 3 window buckets, equi-join on (key, bucket), exact |dt|
+    re-verify) — never a nested-loop range join; each unordered point
+    pair claimed once via strict (ts, event_id) order.  The proximity
+    alternative to pmi_pairs' whole-basket pairing."""
+    from node_feedparser_spark.operators.interval_join import comention_edges
+
+    ev = _t(spark, sf_dir, "events")
+    return comention_edges(
+        ev,
+        key="user_id",
+        item="event_type",
+        ts="ts",
+        id_col="event_id",
+        window_seconds=3600,
+    )
+
+
 def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen interval-algebra classification (round 3,
     operators/timeline.py allen_relations): every pair of a customer's
@@ -3063,6 +3103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_conflicts": q_temporal_conflicts,
         "allen_relations": q_allen_relations,
         "burst_detect": q_burst_detect,
+        "time_decay": q_time_decay,
+        "comention": q_comention,
         "roc_auc": q_roc_auc,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
@@ -4854,6 +4896,32 @@ def _extra_oracles() -> dict[str, str]:
         FROM iv a JOIN iv b
           ON a.user_id = b.user_id AND a.src < b.src
         WHERE a.vf < b.vt AND b.vf < a.vt AND a.val <> b.val
+    """
+    # --- exponentially time-decayed evidence weights (fixed now)
+    d["time_decay"] = """
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               ROUND(SUM(ROUND(POW(2.0,
+                   -(1706745600.0 - epoch_us(ts) / 1000000.0) / 604800.0),
+                   9)), 6) AS w_decayed,
+               ROUND(MAX(ROUND(POW(2.0,
+                   -(1706745600.0 - epoch_us(ts) / 1000000.0) / 604800.0),
+                   9)), 6) AS w_latest
+        FROM events GROUP BY 1, 2
+    """
+    # --- windowed co-mention band self-join (naive range join as oracle)
+    d["comention"] = """
+        WITH p AS (SELECT user_id AS k, event_type AS it,
+                          epoch_us(ts) AS t, event_id AS id
+                   FROM events),
+        pr AS (SELECT LEAST(a.it, b.it) AS item_a,
+                      GREATEST(a.it, b.it) AS item_b
+               FROM p a JOIN p b ON a.k = b.k
+               WHERE (a.t < b.t OR (a.t = b.t AND a.id < b.id))
+                 AND b.t - a.t <= CAST(3600 AS BIGINT) * 1000000
+                 AND a.it <> b.it)
+        SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 1
     """
     # --- Mann-Whitney ROC-AUC over the distinct-score histogram
     d["roc_auc"] = """

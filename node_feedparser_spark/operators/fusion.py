@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from node_feedparser_spark.operators.sessionize import epoch_seconds
+
 #: decimal places for intermediate trust/confidence values — enough that
 #: re-rounding at 6 dp downstream is stable across engines' sum orders.
 _ROUND = 9
@@ -105,4 +107,50 @@ def truth_fusion(
         "obj",
         F.round("conf", 6).alias("confidence"),
         "n_sources",
+    )
+
+
+def time_decay_weights(
+    assertions: DataFrame,
+    key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+    ts: str = "ts",
+    now_s: int | None = None,
+    half_life_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Exponentially time-decayed assertion weights: for every key (edge,
+    fact, mention group) emit
+
+        w = sum_i 2^(-(now - t_i) / half_life)
+
+    — the recency-weighted evidence mass a living KG uses instead of raw
+    counts (a fact asserted 100 times last year loses to one asserted 5
+    times today), the standard decay discipline of streaming aggregation
+    (e.g. Chen et al., "Clustering over an evolving data stream", and
+    every feed ranker since).  Deterministic: ``now_s`` must be supplied
+    by the caller (epoch seconds) — there is no wall-clock read here, the
+    same discipline as bench/test seeds.
+
+    One map-side-combinable agg; the decay factor is computed per ROW
+    before the sum (exp2 of an exact integer-seconds ratio), so the only
+    order-sensitive float accumulation is the per-key sum itself — keys
+    with few assertions (the KG edge shape) keep that noise at machine
+    epsilon, and the output is 6dp-rounded like every other score.
+    Emits (key..., n_obs, w_decayed, w_latest = decay of newest ts).
+    """
+    if now_s is None:
+        raise ValueError("now_s is required (no wall-clock reads in operators)")
+    age = F.lit(now_s).cast("double") - epoch_seconds(F.col(ts))
+    # per-row decay rounded at _ROUND dp BEFORE the sum (module discipline:
+    # makes the 6 dp re-round downstream stable across engines' sum orders)
+    decay = F.round(
+        F.pow(F.lit(2.0), -age / F.lit(float(half_life_seconds))), _ROUND
+    )
+    return (
+        assertions.withColumn("_w", decay)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(F.sum("_w"), 6).alias("w_decayed"),
+            F.round(F.max("_w"), 6).alias("w_latest"),
+        )
     )

@@ -85,3 +85,75 @@ def interval_join_naive(
         (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) <= F.col(end_col)),
     )
+
+
+def comention_edges(
+    points: DataFrame,
+    key: str = "key",
+    item: str = "item",
+    ts: str = "ts",
+    id_col: str = "id",
+    window_seconds: int = 3600,
+    min_count: int = 1,
+) -> DataFrame:
+    """Windowed co-mention edge builder — the point-to-point BAND
+    self-join, fourth member of the time-join family here (asof.py =
+    point-to-latest, interval_join = point-in-interval, timeline.py
+    temporal_conflicts = interval-overlap): count unordered item pairs
+    observed within ±window_seconds under the same key ("entities
+    mentioned within an hour of each other in one conversation"), the
+    proximity-weighted alternative to pmi_edges' whole-basket pairing.
+
+    Plan (never a nested-loop range join): right side keyed at its
+    window-width time bucket, left side exploded to {b-1, b, b+1}, one
+    equi-join on (key, bucket) — a candidate pair meets EXACTLY once
+    because the right row's bucket is fixed — then the exact |dt| <= w
+    re-verify.  Each unordered POINT pair is claimed once by the strict
+    (ts, id) lexicographic order (id breaks equal-timestamp ties, so
+    duplicate-timestamp streams stay exact), then oriented by item name.
+    Skew: a mega-key contributes pairs, not a mega-partition — the join
+    key is (key, bucket), the same discipline as temporal_conflicts.
+    """
+    w_us = int(window_seconds) * 1_000_000
+    p = points.select(
+        F.col(key).alias("k"),
+        F.col(item).alias("it"),
+        _us(ts).alias("t"),
+        F.col(id_col).alias("id"),
+    ).withColumn("bkt", (F.col("t") / F.lit(w_us)).cast("long"))
+    left = p.select(
+        "k",
+        F.col("it").alias("it_l"),
+        F.col("t").alias("t_l"),
+        F.col("id").alias("id_l"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    right = p.select(
+        "k",
+        F.col("it").alias("it_r"),
+        F.col("t").alias("t_r"),
+        F.col("id").alias("id_r"),
+        "bkt",
+    )
+    pairs = (
+        left.join(right, ["k", "bkt"])
+        .filter(
+            (
+                (F.col("t_l") < F.col("t_r"))
+                | ((F.col("t_l") == F.col("t_r")) & (F.col("id_l") < F.col("id_r")))
+            )
+            & (F.col("t_r") - F.col("t_l") <= w_us)
+            & (F.col("it_l") != F.col("it_r"))
+        )
+        .select(
+            F.least("it_l", "it_r").alias("item_a"),
+            F.greatest("it_l", "it_r").alias("item_b"),
+        )
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_count)
+    )
