@@ -1604,6 +1604,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-containment join (round 3, operators/dedupe.py
+    containment_pairs): ordered pairs with |S(src) ∩ S(dst)| / |S(src)|
+    >= 0.8 — the asymmetric quote/subset relation Jaccard can't see,
+    found via one-sided rarest-first prefix filtering (src prefixes vs
+    the full dst posting list) and verified exactly in the JVM.  The
+    DuckDB oracle is the brute-force O(n²) ordered join, pinning the
+    prefix filter's losslessness."""
+    from node_feedparser_spark.operators.dedupe import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, k=3
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle counting (round 3, operators/graph_algo.py)
     over the co-supply graph: suppliers are adjacent when they both ship
@@ -3090,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment_join": q_containment_join,
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
         "assortativity": q_assortativity,
@@ -3538,6 +3554,15 @@ def _extra_oracles() -> dict[str, str]:
                                6) AS jaccard
                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
+        """,
+        "containment_join": f"""
+            WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles
+                        FROM documents),
+            c AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                         ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                               / len(a.shingles), 6) AS containment
+                  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+            SELECT src, dst, containment FROM c WHERE containment >= 0.8
         """,
         "simhash": f"""
             WITH {_simhash_cte()}

@@ -659,3 +659,87 @@ def snm_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT shingle-containment join — quote / subset detection: ordered
+    pairs (src, dst), src != dst, with
+
+        C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)| >= threshold
+
+    over distinct token-k-gram sets.  The ASYMMETRIC near-dup relation
+    jaccard_prefix_pairs cannot see: a short post quoted inside a long
+    article has containment ~1 but Jaccard ~|post|/|article| — exactly
+    the pairs a dedup pipeline must catch to avoid training on the same
+    quote twice (the suffix-array substring analog is duplicate_spans;
+    this is the set-level, order-insensitive form).
+
+    ONE-SIDED prefix filtering (AllPairs argument, asymmetric): shingles
+    get the same rarest-first global order as jaccard_prefix_pairs; the
+    SRC side keeps its first |S| - ceil(t*|S|) + 1 shingles, the DST side
+    is indexed on ALL its shingles (containment puts no lower bound on
+    |dst| overlap fraction, so the dst side cannot be prefix-thinned).
+    Completeness: C >= t forces |∩| >= ceil(t*|S_src|) common shingles,
+    so the globally-minimal common shingle sits inside src's prefix.
+    Skew: the full dst index does include stop-word grams, but the join
+    key pairs dst postings with SRC PREFIX occurrences — prefixes are
+    rare-first, so hot shingles meet ~no src prefixes and the candidate
+    count stays near the qualifying-pair count.  Exact JVM verify, no
+    Python anywhere.
+    """
+    sh = shingled(docs, id_col, text_col, k).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
+        "shingle", F.coalesce("shingle", F.lit("\x00"))
+    )
+    df_freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.greatest(
+        F.size("shingles")
+        - F.ceil(F.lit(threshold) * F.size("shingles") - F.lit(1e-9)).cast("int")
+        + 1,
+        F.lit(1),
+    )
+    src_pref = (
+        ex.join(df_freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle").alias("s")))
+            ).alias("ordered")
+        )
+        .join(sh, "doc_id")
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ordered"), F.lit(1), prefix_len),
+                    lambda x: x["s"],
+                )
+            ).alias("shingle"),
+        )
+    )
+    cand = (
+        src_pref.join(ex.select(F.col("doc_id").alias("dst"), "shingle"), "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ssrc = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_s"))
+    sdst = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_d"))
+    return (
+        cand.join(ssrc, "src")
+        .join(sdst, "dst")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_s", "sh_d")) / F.size("sh_s"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src", "dst", "containment")
+    )
