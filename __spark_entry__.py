@@ -1604,6 +1604,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term salience (round 3, operators/text_analysis.py
+    term_salience): frequency × first-position heuristic (Dunietz-Gillick
+    entity-salience features), top-3 terms per document with deterministic
+    (salience DESC, token ASC) tie-breaks — the budget-k entity-node
+    prioritizer for KG construction; per-document windows only."""
+    from node_feedparser_spark.operators.text_analysis import term_salience
+
+    return term_salience(_t(spark, sf_dir, "documents"), top_k=3)
+
+
 def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT shingle-containment join (round 3, operators/dedupe.py
     containment_pairs): ordered pairs with |S(src) ∩ S(dst)| / |S(src)|
@@ -3106,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
         "containment_join": q_containment_join,
+        "term_salience": q_term_salience,
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
         "assortativity": q_assortativity,
@@ -3554,6 +3566,25 @@ def _extra_oracles() -> dict[str, str]:
                                6) AS jaccard
                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
+        """,
+        "term_salience": f"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS token,
+                                 generate_subscripts(string_split(text, ' '),
+                                                     1) AS pos
+                          FROM documents),
+            f AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+                         CAST(MIN(pos) - 1 AS BIGINT) AS first_idx
+                  FROM toks
+                  WHERE token <> '' AND token NOT IN ({en_stop})
+                  GROUP BY 1, 2),
+            s AS (SELECT *, ROUND(cnt * (1.0 + 1.0 / (1.0 + first_idx)),
+                                  6) AS salience FROM f),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY salience DESC, token ASC) AS rnk FROM s)
+            SELECT doc_id, token, cnt, first_idx, salience,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 3
         """,
         "containment_join": f"""
             WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles

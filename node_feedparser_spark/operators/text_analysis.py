@@ -452,3 +452,54 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def term_salience(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    stopwords: tuple[str, ...] = tuple(LANG_STOPWORDS["en"]),
+) -> DataFrame:
+    """Per-document term salience — the entity-salience heuristic of
+    Dunietz & Gillick (EACL 2014): a mention's importance rises with its
+    frequency AND with how early it first appears (news/transcript leads
+    name their subject first).  Deterministic integer-derived score,
+
+        salience = cnt * (1 + 1 / (1 + first_idx))
+
+    (first_idx = 0-based token position of the first occurrence), top_k
+    terms per document by (salience DESC, token ASC).  This is the
+    KG-construction prioritizer: which surface forms deserve an entity
+    node when the budget is k per document.
+
+    Plan: one posexplode + stopword filter (tiny NOT IN literal list, the
+    lang-ID dim), one (doc, token) count/min agg — map-side combinable —
+    and a per-document row_number window (partition size = doc vocab,
+    never corpus-wide).  All arithmetic is row-local on integers.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter((F.col("token") != "") & (~F.col("token").isin(*stopwords)))
+    agg = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("pos").cast("long").alias("first_idx"),
+    )
+    sal = agg.withColumn(
+        "salience",
+        F.round(
+            F.col("cnt") * (1.0 + 1.0 / (1.0 + F.col("first_idx"))), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("token").asc()
+    )
+    return (
+        sal.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id", "token", "cnt", "first_idx", "salience",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
