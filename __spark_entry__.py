@@ -1588,6 +1588,30 @@ def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibrate_link_scores(edges)
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (round 3, operators/graph_algo.py
+    personalized_pagerank): topic-sensitive relevance from the supplier
+    seeds suppkey <= 10 over the weighted supplier→part graph — teleport
+    AND dangling mass restart at the seed vector (Haveliwala / Jeh-Widom),
+    two iterations like the global pagerank query; the oracle unrolls
+    both with the same seed vector."""
+    from node_feedparser_spark.operators.graph_algo import (
+        personalized_pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    ).agg(F.sum(F.col("l_quantity").cast("double")).alias("weight"))
+    seeds = (
+        li.filter(F.col("l_suppkey") <= 10)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, n_iter=2)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (round 3,
     operators/dedupe.py jaccard_prefix_pairs): AllPairs prefix filtering —
@@ -3115,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
+        "ppr": q_ppr,
         "ngram_jaccard": q_ngram_jaccard,
         "containment_join": q_containment_join,
         "term_salience": q_term_salience,
@@ -4526,6 +4551,44 @@ def _extra_oracles() -> dict[str, str]:
                                     + (SELECT m FROM d1) / (SELECT n FROM nn))
                               AS rank
                    FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node)
+            SELECT node, ROUND(rank, 6) AS rank FROM r2
+        """,
+        "ppr": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+                       CAST(SUM(l_quantity) AS DOUBLE) AS w
+                FROM lineitem GROUP BY 1, 2),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            seeds AS (SELECT DISTINCT 's' || l_suppkey AS node
+                      FROM lineitem WHERE l_suppkey <= 10),
+            ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+            sv AS (SELECT n.node,
+                          CASE WHEN s.node IS NOT NULL
+                               THEN 1.0 / (SELECT k FROM ns)
+                               ELSE 0.0 END AS s
+                   FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+            outs AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+            ef AS (SELECT e.src, e.dst, e.w / o.out_w AS frac
+                   FROM e JOIN outs o ON e.src = o.src),
+            r0 AS (SELECT node, s AS rank FROM sv),
+            d0 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r0 r
+                   LEFT JOIN outs o ON r.node = o.src WHERE o.src IS NULL),
+            c1 AS (SELECT ef.dst AS node, SUM(r.rank * ef.frac) AS c
+                   FROM ef JOIN r0 r ON ef.src = r.node GROUP BY ef.dst),
+            r1 AS (SELECT sv.node,
+                          0.15 * sv.s
+                          + 0.85 * (COALESCE(c1.c, 0)
+                                    + (SELECT m FROM d0) * sv.s) AS rank
+                   FROM sv LEFT JOIN c1 ON sv.node = c1.node),
+            d1 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r1 r
+                   LEFT JOIN outs o ON r.node = o.src WHERE o.src IS NULL),
+            c2 AS (SELECT ef.dst AS node, SUM(r.rank * ef.frac) AS c
+                   FROM ef JOIN r1 r ON ef.src = r.node GROUP BY ef.dst),
+            r2 AS (SELECT sv.node,
+                          0.15 * sv.s
+                          + 0.85 * (COALESCE(c2.c, 0)
+                                    + (SELECT m FROM d1) * sv.s) AS rank
+                   FROM sv LEFT JOIN c2 ON sv.node = c2.node)
             SELECT node, ROUND(rank, 6) AS rank FROM r2
         """,
         "xhtml_reserialize": """
