@@ -1588,6 +1588,30 @@ def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibrate_link_scores(edges)
 
 
+def q_type_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label spreading (round 3, operators/graph_algo.py
+    type_spread): clamped Zhu-Ghahramani majority-vote typing, two rounds
+    over the full custkey chain with every 29th customer seeded
+    'n'||nationkey — nodes farther than 2 hops stay honestly NULL; ties
+    break to the lexicographically smallest type so the oracle's two
+    unrolled rounds replay exactly."""
+    from node_feedparser_spark.operators.graph_algo import type_spread
+
+    cust = _t(spark, sf_dir, "customer")
+    c1 = cust.select(F.col("c_custkey").cast("long").alias("src"))
+    c2 = cust.select(F.col("c_custkey").cast("long").alias("dst"))
+    edges = (
+        c1.withColumn("jk", F.col("src") + 1)
+        .join(c2, F.col("jk") == F.col("dst"))
+        .select("src", "dst")
+    )
+    seeds = cust.filter(F.col("c_custkey") % 29 == 0).select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("type"),
+    )
+    return type_spread(edges, seeds, n_rounds=2)
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (round 3, operators/graph_algo.py
     personalized_pagerank): topic-sensitive relevance from the supplier
@@ -3140,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative graph algorithm over the materialized KG shape (round 3)
         "pagerank": q_pagerank,
         "ppr": q_ppr,
+        "type_spread": q_type_spread,
         "ngram_jaccard": q_ngram_jaccard,
         "containment_join": q_containment_join,
         "term_salience": q_term_salience,
@@ -4552,6 +4577,41 @@ def _extra_oracles() -> dict[str, str]:
                               AS rank
                    FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node)
             SELECT node, ROUND(rank, 6) AS rank FROM r2
+        """,
+        "type_spread": """
+            WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey AS nk
+                       FROM customer),
+            e0 AS (SELECT a.k AS u, b.k AS v FROM c a JOIN c b ON b.k = a.k + 1),
+            sym AS (SELECT DISTINCT u, v FROM
+                    (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v
+                     FROM e0) WHERE u <> v),
+            nodes AS (SELECT DISTINCT u AS node FROM sym),
+            sd AS (SELECT k AS node, 'n' || nk AS type FROM c
+                   WHERE k % 29 = 0),
+            v1 AS (SELECT s.u AS node, l.type, COUNT(*) AS cnt
+                   FROM sym s JOIN sd l ON s.v = l.node GROUP BY 1, 2),
+            n1 AS (SELECT node, type FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                        ORDER BY cnt DESC, type ASC) AS rn FROM v1)
+                   WHERE rn = 1),
+            l1 AS (SELECT * FROM sd
+                   UNION ALL
+                   SELECT n1.node, n1.type FROM n1 LEFT JOIN sd
+                   ON n1.node = sd.node WHERE sd.node IS NULL),
+            v2 AS (SELECT s.u AS node, l.type, COUNT(*) AS cnt
+                   FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
+            n2 AS (SELECT node, type FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                        ORDER BY cnt DESC, type ASC) AS rn FROM v2)
+                   WHERE rn = 1),
+            l2 AS (SELECT * FROM sd
+                   UNION ALL
+                   SELECT n2.node, n2.type FROM n2 LEFT JOIN sd
+                   ON n2.node = sd.node WHERE sd.node IS NULL),
+            allnodes AS (SELECT node FROM nodes
+                         UNION SELECT node FROM sd)
+            SELECT a.node, l2.type
+            FROM allnodes a LEFT JOIN l2 ON a.node = l2.node
         """,
         "ppr": """
             WITH e AS (

@@ -1744,3 +1744,63 @@ def personalized_pagerank(
         if checkpoint and (it + 1) % max(1, ckpt_every) == 0:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def type_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Seeded label spreading for entity TYPING — the semi-supervised
+    sibling of label_propagation above (Zhu-Ghahramani label propagation
+    with clamped seeds, deterministic discrete variant): seed nodes carry
+    fixed types; each round every other node takes the MAJORITY type of
+    its currently-typed neighbors, ties broken by lexicographically
+    smallest type so the fixpoint is unique and oracle-replayable.  The
+    KG use: propagate a small human-curated entity-type dimension
+    (suppliers, parts, people) over the edge structure to type the long
+    tail no rule matched.
+
+    Returns (node, type) for EVERY node of the graph — NULL type means
+    unreached within n_rounds (an honest "still untyped", never a guess).
+    Each round is one edge join + one (node, type) count agg + one
+    per-node argmax window over type cardinality, all bounded; seeds are
+    re-clamped after every round so spread can never overwrite ground
+    truth.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    sd = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.col(seeds.columns[1]).cast("string").alias("type"),
+    ).distinct()
+    labels = sd
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("type").asc()
+    )
+    for _ in range(n_rounds):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "type"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "type")
+        )
+        # clamp: seeds always win; spread fills everything else
+        labels = sd.union(new.join(sd.select("node"), "node", "left_anti"))
+        labels = labels.localCheckpoint()
+    out_nodes = nodes.union(sd.select("node")).distinct()
+    return out_nodes.join(labels, "node", "left").select("node", "type")
