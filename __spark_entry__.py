@@ -1708,6 +1708,33 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("triangles").cast("long").alias("triangles"))
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-truss peel (round 3, operators/graph_algo.py
+    ktruss): 2 rounds of drop-edges-with-support<2 (k=4) over the same
+    co-supply graph as triangle_count — the EDGE-level density filter
+    beside kcore's node-level peel, with the declared bounded-round
+    truncation the oracle replays round for round."""
+    from node_feedparser_spark.operators.graph_algo import ktruss
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") > 47)
+        .select(
+            F.col("l_partkey").alias("p"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    pairs = (
+        ps.withColumnRenamed("s", "s1")
+        .join(ps.withColumnRenamed("s", "s2"), "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src_id"), F.col("s2").alias("dst_id"))
+        .distinct()
+    )
+    return ktruss(pairs, k=4, n_rounds=2)
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient (round 3,
     operators/graph_algo.py clustering_coeff) over the same co-supply
@@ -3170,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_salience": q_term_salience,
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
+        "ktruss": q_ktruss,
         "assortativity": q_assortativity,
         "reciprocity": q_reciprocity,
         "khop_reach": q_khop_reach,
@@ -4361,6 +4389,35 @@ def _extra_oracles() -> dict[str, str]:
             FROM nodes n
             LEFT JOIN per ON n.node = per.node
             JOIN deg ON n.node = deg.node
+        """,
+        "ktruss": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p,
+                               's' || l_suppkey AS s
+                        FROM lineitem WHERE l_quantity > 47),
+            e0 AS (SELECT DISTINCT a.s AS u, b.s AS v
+                   FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+            t1 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                   FROM e0 e1
+                   JOIN e0 e2 ON e2.u = e1.v
+                   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+            s1 AS (SELECT u, v, COUNT(*) AS s FROM
+                   (SELECT a AS u, b AS v FROM t1
+                    UNION ALL SELECT a, c FROM t1
+                    UNION ALL SELECT b, c FROM t1) GROUP BY 1, 2),
+            e1r AS (SELECT e0.u, e0.v FROM e0 JOIN s1 USING (u, v)
+                    WHERE s1.s >= 2),
+            t2 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                   FROM e1r e1
+                   JOIN e1r e2 ON e2.u = e1.v
+                   JOIN e1r e3 ON e3.u = e1.u AND e3.v = e2.v),
+            s2 AS (SELECT u, v, COUNT(*) AS s FROM
+                   (SELECT a AS u, b AS v FROM t2
+                    UNION ALL SELECT a, c FROM t2
+                    UNION ALL SELECT b, c FROM t2) GROUP BY 1, 2)
+            SELECT e1r.u AS node_a, e1r.v AS node_b,
+                   CAST(s2.s AS BIGINT) AS support
+            FROM e1r JOIN s2 USING (u, v)
+            WHERE s2.s >= 2
         """,
         "assortativity": """
             WITH e AS (SELECT DISTINCT 's' || l_suppkey AS a,

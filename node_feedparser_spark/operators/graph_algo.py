@@ -1804,3 +1804,100 @@ def type_spread(
         labels = labels.localCheckpoint()
     out_nodes = nodes.union(sd.select("node")).distinct()
     return out_nodes.join(labels, "node", "left").select("node", "type")
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(u, v, support): per-edge triangle count over canonical edges,
+    via the same degree-ordered O(m^1.5) kernel as triangle_count."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+    )
+    lo_first = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    l = oriented.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    r = oriented.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = l.join(r, "a").filter(
+        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    ).select(F.col("a").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3"))
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.least("n1", "n2").alias("u"), F.greatest("n1", "n2").alias("v")
+            ),
+            F.struct(
+                F.least("n1", "n3").alias("u"), F.greatest("n1", "n3").alias("v")
+            ),
+            F.struct(
+                F.least("n2", "n3").alias("u"), F.greatest("n2", "n3").alias("v")
+            ),
+        )
+    )
+    sup = (
+        tris.select(pair.alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return und.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    n_rounds: int = 2,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Bounded-round k-truss peeling — the EDGE-level density filter
+    completing kcore (node-level) and triangle_count (counting): an edge
+    survives a round iff it participates in >= k-2 triangles among the
+    surviving edges (Cohen, "Trusses: cohesive subgraphs for social
+    network analysis", 2008).  ``n_rounds`` bounds the peel exactly like
+    kcore's bounded drop-degree rounds — the declared-truncation trade,
+    replayed by the oracle round for round; each round is one oriented
+    O(m^1.5) support computation + a filter, lineage cut per round.
+    Returns surviving edges with the support that qualified them in the
+    final round.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out = None
+    for _ in range(n_rounds):
+        sup = _edge_support(und)
+        out = sup.filter(F.col("support") >= k - 2)
+        und = out.select("u", "v").localCheckpoint()
+    return out.select(
+        F.col("u").alias("node_a"),
+        F.col("v").alias("node_b"),
+        F.col("support").cast("long").alias("support"),
+    )
