@@ -1983,6 +1983,40 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(labeled)
 
 
+def q_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile (round 3, operators/profile.py
+    fk_orphans): orphan rates for three FK relations — two healthy TPC-H
+    keys (zero orphans is the honest answer) and one deliberately stale
+    dimension (suppliers with suppkey % 7 == 0 dropped) so the non-zero
+    path is exercised; the generic-table face of validate_kg's
+    refs-resolve checks."""
+    from node_feedparser_spark.operators.profile import fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 != 0)
+    a = fk_orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders")
+    b = fk_orphans(orders, cust, "o_custkey", "c_custkey", "orders->customer")
+    c = fk_orphans(
+        li, supp, "l_suppkey", "s_suppkey", "lineitem->supplier_stale"
+    )
+    return a.union(b).union(c)
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column string-domain profile (round 3, operators/profile.py
+    column_profile) of orders — null counts, distinct cardinality,
+    lexicographic min/max by contract (floats out of scope for oracle
+    portability); the ingest-time schema sanity check."""
+    from node_feedparser_spark.operators.profile import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
 def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-burst detection (round 3, operators/profile.py burst_detect):
     per-event-type 6-hour bucket counts flagged when they exceed the
@@ -3211,6 +3245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detect": q_burst_detect,
         "time_decay": q_time_decay,
         "comention": q_comention,
+        "fk_profile": q_fk_profile,
+        "column_profile": q_column_profile,
         "roc_auc": q_roc_auc,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
@@ -5132,6 +5168,69 @@ def _extra_oracles() -> dict[str, str]:
         FROM iv a JOIN iv b
           ON a.user_id = b.user_id AND a.src < b.src
         WHERE a.vf < b.vt AND b.vf < a.vt AND a.val <> b.val
+    """
+    # --- FK orphan-rate profile (one stale dim exercises the >0 path)
+    d["fk_profile"] = """
+        WITH r1 AS (
+            SELECT 'lineitem->orders' AS relation,
+                   CAST(COUNT(*) AS BIGINT) AS n_child,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphan,
+                   ROUND(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 6) AS orphan_rate
+            FROM lineitem l LEFT JOIN
+                 (SELECT DISTINCT o_orderkey FROM orders) o
+                 ON l.l_orderkey = o.o_orderkey),
+        r2 AS (
+            SELECT 'orders->customer',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   ROUND(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 6)
+            FROM orders o LEFT JOIN
+                 (SELECT DISTINCT c_custkey FROM customer) c
+                 ON o.o_custkey = c.c_custkey),
+        r3 AS (
+            SELECT 'lineitem->supplier_stale',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   ROUND(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 6)
+            FROM lineitem l LEFT JOIN
+                 (SELECT DISTINCT s_suppkey FROM supplier
+                  WHERE s_suppkey % 7 <> 0) s
+                 ON l.l_suppkey = s.s_suppkey)
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        SELECT * FROM r3
+    """
+    # --- per-column string-domain profile of orders
+    d["column_profile"] = """
+        SELECT 'o_orderstatus' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT CAST(o_orderstatus AS VARCHAR)) AS BIGINT)
+                   AS n_distinct,
+               MIN(CAST(o_orderstatus AS VARCHAR)) AS min_s,
+               MAX(CAST(o_orderstatus AS VARCHAR)) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(o_orderpriority AS VARCHAR)) AS BIGINT),
+               MIN(CAST(o_orderpriority AS VARCHAR)),
+               MAX(CAST(o_orderpriority AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(o_custkey AS VARCHAR)) AS BIGINT),
+               MIN(CAST(o_custkey AS VARCHAR)),
+               MAX(CAST(o_custkey AS VARCHAR))
+        FROM orders
     """
     # --- exponentially time-decayed evidence weights (fixed now)
     d["time_decay"] = """

@@ -227,3 +227,76 @@ def burst_detect(
             F.round("std", 6).alias("trail_std"),
         )
     )
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity profile for one FK relation, as ONE row
+    (relation, n_child, n_orphan, orphan_rate): how many child rows
+    reference a parent that does not exist — the generic-table face of
+    validate_kg's triple_refs_resolve/edge_refs_resolve checks, run
+    BEFORE graph construction so broken joins surface as a number, not
+    as silently-dropped rows in an inner join downstream.
+
+    Plan: distinct parent keys (dimension-sized) left-joined under the
+    child keys, one count agg; NULL child keys count as orphans (they
+    would vanish in an inner join — that is exactly the bug class this
+    reports).  In-plan HALF_UP rounding.
+    """
+    p = parent.select(F.col(parent_key).alias("_pk")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    j = child.select(F.col(child_key).alias("_pk")).join(p, "_pk", "left")
+    return j.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan"),
+        F.round(
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("orphan_rate"),
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column STRING-DOMAIN profile, one row per column:
+    (column, n_rows, n_null, n_distinct, min_s, max_s) with values cast
+    to string first — min/max are lexicographic BY CONTRACT (float
+    columns are out of scope: engines format doubles differently, so a
+    float profile would not be oracle-portable; profile their rounded
+    string derivation instead).  The ingest-time schema sanity check a
+    pipeline runs before trusting a new snapshot: nullability creep,
+    cardinality collapse, and domain drift all show up here.
+
+    Plan: one pass per column (each a map-side-combinable agg over one
+    projected column — column pruning reaches the scan), unioned; for
+    wide tables Spark scans stay columnar so k small aggs beat one
+    row-exploding unpivot.
+    """
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            df.select(s.alias("_v")).agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.count_distinct(F.col("_v")).cast("long").alias("n_distinct"),
+                F.min("_v").alias("min_s"),
+                F.max("_v").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
