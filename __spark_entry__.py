@@ -1983,6 +1983,18 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(labeled)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile (round 3, operators/profile.py
+    benford_digits) of order totals: per-digit chi-square contributions
+    against log10(1+1/d) — the fraud/synthetic-feed screen; every number
+    row-local from integer counts and shared module literals, leading
+    digit via HALF_UP cents (a raw double→int cast truncates in Spark
+    ANSI but rounds in DuckDB — sidestepped)."""
+    from node_feedparser_spark.operators.profile import benford_digits
+
+    return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile (round 3, operators/profile.py
     fk_orphans): orphan rates for three FK relations — two healthy TPC-H
@@ -3247,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comention": q_comention,
         "fk_profile": q_fk_profile,
         "column_profile": q_column_profile,
+        "benford": q_benford,
         "roc_auc": q_roc_auc,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
@@ -3652,6 +3665,10 @@ def _extra_oracles() -> dict[str, str]:
     h_sql, shingles_sql, _, stopwords = _oracle_builders()
     portable_hash60_sql_ = h_sql
     en_stop = ", ".join(f"'{w}'" for w in stopwords["en"])
+    from node_feedparser_spark.operators.profile import BENFORD_P
+
+    # repr round-trips doubles, so the oracle embeds the SAME constants
+    benford_vals = ", ".join(f"({d}, {p!r})" for d, p in sorted(BENFORD_P.items()))
     cosine_cte = (
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     )
@@ -3680,6 +3697,24 @@ def _extra_oracles() -> dict[str, str]:
                                6) AS jaccard
                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
+        """,
+        "benford": f"""
+            WITH raw AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents FROM orders),
+            obs AS (SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1)
+                                AS INT) AS digit,
+                           CAST(COUNT(*) AS BIGINT) AS n_obs
+                    FROM raw GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+            dim AS (SELECT digit, CAST(exp_p AS DOUBLE) AS exp_p
+                    FROM (VALUES {benford_vals}) v(digit, exp_p))
+            SELECT CAST(dim.digit AS BIGINT) AS digit,
+                   CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+                   ROUND(dim.exp_p, 6) AS exp_p,
+                   ROUND((COALESCE(obs.n_obs, 0) - tot.n * dim.exp_p)
+                         * (COALESCE(obs.n_obs, 0) - tot.n * dim.exp_p)
+                         / (tot.n * dim.exp_p), 6) AS contrib
+            FROM dim LEFT JOIN obs ON dim.digit = obs.digit CROSS JOIN tot
         """,
         "term_salience": f"""
             WITH toks AS (SELECT doc_id,

@@ -300,3 +300,47 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+#: Benford expected first-digit probabilities, log10(1 + 1/d) — module
+#: literals so the Spark plan and the SQL oracle embed the SAME doubles
+BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit profile of a positive money-like column:
+    per digit d in 1..9, (digit, n_obs, exp_p, contrib) where contrib is
+    the chi-square term (n_obs - n*p_d)^2 / (n*p_d) — the fraud/synthetic
+    -data screen (Benford 1938; Nigrini's forensic accounting practice):
+    organically-grown magnitudes follow log10(1+1/d), fabricated or
+    truncated feeds don't.  Sum contrib for the chi-square statistic
+    (df=8); emitting per-digit rows keeps every number derived row-
+    locally from integer counts and literal constants — no float sum
+    crosses rows, the modularity discipline.
+
+    Portability: the leading digit comes from ROUND(x*100) cast to long
+    then string (ROUND is HALF_UP in both engines; a raw double→int cast
+    TRUNCATES in Spark ANSI but ROUNDS in DuckDB — the 9999.99→10000
+    digit flip this sidesteps).  Positive-domain column by contract.
+    """
+    cents = F.round(F.col(col) * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        df.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(d, p) for d, p in sorted(BENFORD_P.items())], "digit int, exp_p double"
+    )
+    j = dim.join(obs, "digit", "left").join(F.broadcast(tot))
+    e = F.col("n") * F.col("exp_p")
+    o = F.coalesce("n_obs", F.lit(0).cast("long"))
+    return j.select(
+        F.col("digit").cast("long").alias("digit"),
+        o.alias("n_obs"),
+        F.round("exp_p", 6).alias("exp_p"),
+        F.round((o - e) * (o - e) / e, 6).alias("contrib"),
+    )
