@@ -1983,6 +1983,34 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(labeled)
 
 
+def q_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-rule application (round 3, operators/rules.py rule_apply):
+    materialize placed(c,o) ∧ contains(o,p) → bought(c,p) over the mixed
+    KG and keep only the heads NOT already asserted — the `bought`
+    predicate is deliberately partial (even custkeys), so the inferred
+    delta is exactly the odd-custkey completion a curator would review;
+    the application half of rule_mining's AMIE loop."""
+    from node_feedparser_spark.operators.rules import rule_apply
+
+    return rule_apply(
+        _kg_triples(spark, sf_dir), "placed", "contains", "bought"
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration (round 3, operators/profile.py
+    gini_concentration) of supplier→part edge weights — the inequality
+    probe beside powerlaw_alpha and assortativity; exact grouped
+    computation over a distinct-value histogram, never a per-row sort."""
+    from node_feedparser_spark.operators.profile import gini_concentration
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_quantity").cast("double")), 6).alias("v")
+    )
+    return gini_concentration(w)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit profile (round 3, operators/profile.py
     benford_digits) of order totals: per-digit chi-square contributions
@@ -3260,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_profile": q_fk_profile,
         "column_profile": q_column_profile,
         "benford": q_benford,
+        "rule_apply": q_rule_apply,
+        "gini": q_gini,
         "roc_auc": q_roc_auc,
         "negative_sampling": q_negative_sampling,
         "kcore": q_kcore,
@@ -5663,6 +5693,35 @@ def _extra_oracles() -> dict[str, str]:
         WHERE support >= 500
     """
     # --- predicate functionality / domain-range profile
+    d["rule_apply"] = f"""
+        WITH {_kg_triples_sql()},
+        b1 AS (SELECT subj AS x, obj AS y FROM t WHERE pred = 'placed'),
+        b2 AS (SELECT subj AS y, obj AS z FROM t WHERE pred = 'contains'),
+        inf AS (SELECT DISTINCT b1.x AS subj, b2.z AS obj
+                FROM b1 JOIN b2 USING (y)),
+        ex AS (SELECT subj, obj FROM t WHERE pred = 'bought')
+        SELECT i.subj, 'bought' AS pred, i.obj
+        FROM inf i LEFT JOIN ex
+        ON i.subj = ex.subj AND i.obj = ex.obj
+        WHERE ex.subj IS NULL
+    """
+    d["gini"] = """
+        WITH e AS (SELECT ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS v
+                   FROM lineitem GROUP BY l_suppkey, l_partkey),
+        hist AS (SELECT v AS _v, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM e GROUP BY 1),
+        t AS (SELECT _v, c,
+                     COALESCE(SUM(c) OVER (ORDER BY _v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS nb
+              FROM hist)
+        SELECT ROUND(2.0 * SUM(_v * (c * nb + c * (c + 1) / 2.0))
+                     / (SUM(c) * SUM(_v * c))
+                     - (SUM(c) + 1) / SUM(c), 6) AS gini,
+               CAST(SUM(c) AS BIGINT) AS n,
+               ROUND(SUM(_v * c), 6) AS total
+        FROM t
+    """
     d["pred_stats"] = f"""
         WITH {_kg_triples_sql()},
         base AS (SELECT pred,

@@ -344,3 +344,50 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
         F.round("exp_p", 6).alias("exp_p"),
         F.round((o - e) * (o - e) / e, 6).alias("contrib"),
     )
+
+
+def gini_concentration(
+    values: DataFrame, value: str = "v", round_dp: int = 6
+) -> DataFrame:
+    """Gini coefficient of a non-negative value column, as ONE row
+    (gini, n, total) — the concentration probe completing the
+    distribution-profile family (powerlaw_alpha: tail exponent;
+    assortativity: degree mixing; this: how unequal the mass is, e.g.
+    "do 1% of entities hold 90% of the edge weight", the number that
+    predicts whether broadcast thresholds and salting plans survive the
+    next snapshot).
+
+    Exact grouped computation, never a per-row sort: values collapse to
+    a distinct-value histogram (map-side-combinable), the single window
+    runs over DISTINCT VALUES ascending (same bounded-table discipline
+    as roc_auc/hist_quantiles), and ties are exact because equal values
+    contribute identical rank-weighted mass whatever their order:
+
+        G = 2 * sum_k v_k * (c_k * n_below_k + c_k*(c_k+1)/2)
+            / (n * S) - (n + 1) / n
+    """
+    hist = (
+        values.select(F.col(value).alias("_v"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    t = hist.select(
+        "_v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")).alias("nb"),
+    )
+    return t.agg(
+        F.round(
+            2.0
+            * F.sum(
+                F.col("_v")
+                * (F.col("c") * F.col("nb") + F.col("c") * (F.col("c") + 1) / 2.0)
+            )
+            / (F.sum("c") * F.sum(F.col("_v") * F.col("c")))
+            - (F.sum("c") + 1) / F.sum("c"),
+            round_dp,
+        ).alias("gini"),
+        F.sum("c").cast("long").alias("n"),
+        F.round(F.sum(F.col("_v") * F.col("c")), 6).alias("total"),
+    )

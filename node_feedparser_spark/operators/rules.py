@@ -233,3 +233,35 @@ def predicate_stats(
             "range_share",
         )
     )
+
+
+def rule_apply(
+    triples: DataFrame, p1: str, p2: str, head: str
+) -> DataFrame:
+    """Apply one 2-hop horn rule p1(x,y) ∧ p2(y,z) → head(x,z): emit the
+    INFERRED head triples not already asserted — the application half of
+    mine_path_rules' AMIE loop (mine the rule, measure its PCA
+    confidence, then MATERIALIZE what it predicts; inferred-minus-known
+    is exactly the KG-completion delta a curator reviews).
+
+    One equi-join on the shared variable + distinct (set semantics, same
+    discipline as eval_path composition) + one anti join against the
+    asserted head relation.  All shuffles are linear in the relation
+    sizes; the pred filters push into the scan/union exactly as bgp.py's
+    constant-folded pattern scans do.
+    """
+    b1 = triples.filter(F.col("pred") == p1).select(
+        F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+    b2 = triples.filter(F.col("pred") == p2).select(
+        F.col("subj").alias("y"), F.col("obj").alias("z")
+    )
+    inferred = (
+        b1.join(b2, "y")
+        .select(F.col("x").alias("subj"), F.col("z").alias("obj"))
+        .distinct()
+    )
+    existing = triples.filter(F.col("pred") == head).select("subj", "obj")
+    return inferred.join(existing, ["subj", "obj"], "left_anti").select(
+        "subj", F.lit(head).alias("pred"), "obj"
+    )
