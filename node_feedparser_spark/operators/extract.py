@@ -84,15 +84,26 @@ _EMPTY_OUT = {
 }
 
 
-def dedupe_first_wins(transcripts: DataFrame) -> DataFrame:
+def dedupe_first_wins(
+    transcripts: DataFrame, partition_prefix: tuple[str, ...] = ()
+) -> DataFrame:
     """Keep the first row per (conv_id, turn_idx) under the spec's
     deterministic total order (ts, text ascending, nulls first).
 
     One shuffle on (conv_id, turn_idx).  At 10^12 turns this key is nearly
     unique so the window is cheap and skew-free: partitioning is by hash of
     the *composite* key, so even a mega-thread's turns spread uniformly.
+
+    partition_prefix (round 3, exchange fusion): extra leading partitionBy
+    columns that MUST each be a pure function of (conv_id, turn_idx) — they
+    then refine nothing (every group is still exactly one (conv_id,
+    turn_idx) key) but let Catalyst ELIDE this window's exchange when the
+    input is already repartitioned on those columns, so one upstream
+    shuffle can serve both the dedupe and a downstream bucketed write
+    (plans/pipeline.py build_kg).  Equality with the unprefixed plan is
+    pinned by tests/test_write_plan.py.
     """
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+    w = Window.partitionBy(*partition_prefix, "conv_id", "turn_idx").orderBy(
         F.col("ts").asc_nulls_first(), F.col("text").asc_nulls_first()
     )
     return (

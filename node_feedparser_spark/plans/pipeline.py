@@ -226,6 +226,86 @@ def _recover_graph_commit(
         os.remove(tmp)
 
 
+#: salt seed for the write sub-split (prepended literal decorrelates the
+#: salt from the bucket hash — see triples_write_frame)
+WRITE_SALT = 0x5A17
+
+
+def write_sub(n_buckets: int, par: int) -> int:
+    """Sub-splits per bucket so write-stage groups >= 4x parallelism: the
+    scheduler load-balances regardless of hash collisions, and files per
+    bucket stay bounded by `sub`, not by task count."""
+    return max(1, -(-4 * par // n_buckets))
+
+
+def fuse_write_partitioning(
+    raw: DataFrame, n_buckets: int, sub: int
+) -> DataFrame:
+    """ONE exchange that serves both the first-wins dedupe and the bucketed
+    triples write (round 3 — this was the write phase's scaling residual:
+    the old plan shuffled the full corpus twice, once for the dedupe window
+    on (conv_id, turn_idx) and once for the write's (bucket, salt)
+    co-location, and the second shuffle carried the ~3x-larger extracted
+    triple payload).
+
+    The salt hashes (conv_id, turn_idx) — NOT conv_id alone — so
+    - same-key duplicate rows still co-locate (the dedupe window sees every
+      candidate for a key in one partition),
+    - a mega-thread spreads across all `sub` salts of its bucket instead of
+      landing in one task (the old write salt put each conversation in
+      exactly ONE write task; this is strictly better),
+    - a bucket's rows live in at most `sub` partitions, so files per bucket
+      stay bounded by `sub` even with NO pre-write repartition: extraction
+      (mapInPandas) and the forced-broadcast mapping joins are
+      partition-preserving, so the clustering laid down here physically
+      survives to the partitioned write.
+
+    Skew bound: a conversation holding fraction f of the corpus makes its
+    bucket's partitions carry ~(f + 1/n_buckets)/sub of the data each (vs
+    the ideal 1/(n_buckets*sub)).  At cluster scale n_buckets grows with
+    the corpus (thousands), so the bound tightens exactly where it matters;
+    the old per-key window shuffle had no such term but paid a second full
+    shuffle for it.  Elision + equality pinned by tests/test_write_plan.py.
+    """
+    salted = raw.withColumn(
+        "wsalt",
+        F.pmod(
+            F.xxhash64(F.lit(WRITE_SALT), "conv_id", "turn_idx"), F.lit(sub)
+        ).cast("int"),
+    )
+    return salted.repartition(n_buckets * sub, "bucket", "wsalt")
+
+
+def triples_clustered_frame(
+    triples: DataFrame, snap: str, n_buckets: int
+) -> DataFrame:
+    """The no-exchange twin of triples_write_frame: attaches the per-row
+    constants and selects the table contract, relying on the clustering
+    laid down by fuse_write_partitioning (broadcast-mapping branch only —
+    a shuffling fallback join would destroy it, so build_kg routes that
+    branch through triples_write_frame instead).  Module-level so
+    tests/test_write_plan.py can pin that its plan adds NO exchange."""
+    bucket_hash = F.array(
+        *[F.lit(partition_hash(snap, n_buckets, b)) for b in range(n_buckets)]
+    )
+    return (
+        triples.withColumn(
+            "lineage",
+            F.struct(
+                F.element_at(bucket_hash, F.col("bucket") + 1).alias(
+                    "partition_hash"
+                ),
+                F.lit(snap).alias("snapshot_id"),
+            ),
+        )
+        .withColumn("snap", F.lit(snap))
+        .select(
+            "conv_id", "turn_idx", "subj", "pred", "obj", "score",
+            "subj_id", "obj_id", "lineage", "bucket", "snap",
+        )
+    )
+
+
 def triples_write_frame(
     triples: DataFrame, snap: str, n_buckets: int, par: int
 ) -> DataFrame:
@@ -250,7 +330,7 @@ def triples_write_frame(
     scheduler then load-balances regardless of hash collisions, and files
     per bucket stay bounded by `sub`, not by task count.
     """
-    sub = max(1, -(-4 * par // n_buckets))
+    sub = write_sub(n_buckets, par)
     bucket_hash = F.array(
         *[F.lit(partition_hash(snap, n_buckets, b)) for b in range(n_buckets)]
     )
@@ -258,7 +338,7 @@ def triples_write_frame(
         triples.repartition(
             n_buckets * sub,
             F.col("bucket"),
-            F.pmod(F.xxhash64(F.lit(0x5A17), F.col("conv_id")), F.lit(sub)),
+            F.pmod(F.xxhash64(F.lit(WRITE_SALT), F.col("conv_id")), F.lit(sub)),
         )
         .withColumn(
             "lineage",
@@ -372,7 +452,17 @@ def build_kg(
         if skipped:
             raw = raw.filter(~F.col("bucket").isin(skipped))
 
-    turns = dedupe_first_wins(raw)
+    # ONE corpus shuffle for dedupe + write (fuse_write_partitioning): the
+    # (bucket, wsalt) exchange satisfies the prefixed dedupe window's
+    # clustering, and — in the broadcast-mapping branch — physically
+    # survives extraction and the joins all the way to the partitioned
+    # write, which then needs no repartition of the triple payload.
+    par = spark.sparkContext.defaultParallelism
+    sub = write_sub(n_buckets, par)
+    turns = dedupe_first_wins(
+        fuse_write_partitioning(raw, n_buckets, sub),
+        partition_prefix=("bucket", "wsalt"),
+    )
     # n_turns = rows surviving first-wins dedupe = distinct (conv_id,
     # turn_idx) keys.  Counting on `turns` would re-run the dedupe window —
     # a second full shuffle of the text column — so count distinct keys on
@@ -431,7 +521,12 @@ def build_kg(
     ).collect()[0]
     phases["mapping_stats"] = round(time.monotonic() - t0, 2)
     est_bytes = int(stats["surface_bytes"]) + 48 * int(stats["rows"])
-    if est_bytes <= 64 * 1024 * 1024:
+    # forced-broadcast joins are partition-preserving, so the (bucket,
+    # wsalt) clustering from fuse_write_partitioning still holds at the
+    # write and the triples need no second shuffle; past the gate the join
+    # may shuffle, so the write falls back to the salted repartition
+    clustered_write = est_bytes <= 64 * 1024 * 1024
+    if clustered_write:
         m_subj, m_obj = F.broadcast(m_subj), F.broadcast(m_obj)
     # the partition hash has only n_buckets distinct values — precompute on
     # the driver (same sha1 as partition_hash()) and look it up by bucket
@@ -514,27 +609,32 @@ def build_kg(
     # cached set — minutes of pure re-read at 30 M triples on 8 cores —
     # purely to get a number parquet footers already carry.)
     def _write_triples() -> None:
-        # co-locate each bucket into FEW tasks before the partitioned write:
-        # without this every task writes a file per bucket (tasks x buckets
-        # small files — a metadata storm at cluster scale).  Plain
-        # repartition(n_buckets, bucket) is NOT enough when n_buckets is
-        # close to the core count: 32 bucket values hash into 32 partitions
-        # balls-in-bins style (expected max ~3 buckets in one task, several
-        # tasks empty), so the write stage runs at a fraction of the
-        # cluster.  A deterministic conv-hash salt sub-splits each bucket
-        # until groups >= 4x parallelism — the scheduler then load-balances
-        # regardless of hash collisions, and files per bucket stay bounded
-        # by `sub`, not by task count.  DYNAMIC partition overwrite on
-        # (snap, bucket) makes a crash-replayed bucket REPLACE its
-        # partition instead of appending duplicates, and leaves other
-        # snapshots' partitions untouched (round 3).  The salted sub-split
-        # + above-exchange lineage/snap attach live in triples_write_frame
-        # (plan properties pinned by tests/test_write_plan.py).
+        # bucket co-location for the partitioned write (without it every
+        # task writes a file per bucket — tasks x buckets small files, a
+        # metadata storm at cluster scale):
+        # - broadcast branch (the common case): already physically
+        #   clustered by fuse_write_partitioning's (bucket, wsalt)
+        #   exchange, which extraction and the forced-broadcast joins
+        #   preserved — triples_clustered_frame attaches the per-row
+        #   constants and writes with NO repartition of the triple payload
+        #   (this second full shuffle was the write phase's scaling
+        #   residual, BENCH/scaling_2_8_r3_warm.json);
+        # - fallback (mapping too big to force): the join may shuffle and
+        #   destroy the clustering, so triples_write_frame re-establishes
+        #   it with the salted sub-split repartition (salt decorrelated
+        #   from the bucket hash; lineage/snap attached ABOVE the
+        #   exchange).  Both frames' plan properties are pinned by
+        #   tests/test_write_plan.py.
+        # DYNAMIC partition overwrite on (snap, bucket) makes a
+        # crash-replayed bucket REPLACE its partition instead of appending
+        # duplicates, and leaves other snapshots' partitions untouched.
+        frame = (
+            triples_clustered_frame(triples, snap, n_buckets)
+            if clustered_write
+            else triples_write_frame(triples, snap, n_buckets, par)
+        )
         (
-            triples_write_frame(
-                triples, snap, n_buckets, spark.sparkContext.defaultParallelism
-            )
-            .write.partitionBy("snap", "bucket")
+            frame.write.partitionBy("snap", "bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(triples_path)
