@@ -13,6 +13,15 @@ Scale design:
 - conv_id is bucketed (pmod of xxhash64) purely for LINEAGE granularity —
   extraction itself never groups by conversation, so mega-thread skew
   cannot stall a task (FIXTURES.md `mega-`).
+- ONE corpus shuffle end to end (round 3, fuse_write_partitioning): the
+  (bucket, wsalt) exchange ahead of the dedupe window doubles as the
+  write's bucket co-location — the salt hashes (conv_id, turn_idx) so
+  same-key duplicates still meet, mega-threads spread across sub salts,
+  and a bucket's rows live in at most `sub` partitions.  Extraction
+  (mapInPandas) and the forced-broadcast mapping joins preserve that
+  physical clustering, so in the common branch the partitioned triples
+  write runs with NO repartition of the ~3x-larger triple payload (the
+  old second shuffle was the measured write-phase scaling residual).
 - resume: committed (snapshot_id, bucket) pairs read from the metrics table
   are anti-joined away from the input — a restart recomputes only missing
   buckets (reference analog: checkpointed incremental emission).
