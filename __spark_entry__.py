@@ -2433,6 +2433,20 @@ def q_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_stats(_kg_triples(spark, sf_dir))
 
 
+def q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID/ABSTAT-style schema graph (late round 3,
+    operators/rules.py schema_summary): the full (subj_type, pred,
+    obj_type) pattern profile over the distinct KG projection — triple /
+    distinct-entity counts and each pattern's share of its predicate.
+    predicate_stats keeps only the dominant prefix per side; this is the
+    complete typed-pattern table a SHACL author or ontology-drift monitor
+    reads.  One groupBy over the triples; the share window touches only
+    the dozens-row summary."""
+    from node_feedparser_spark.operators.rules import schema_summary
+
+    return schema_summary(_kg_triples(spark, sf_dir))
+
+
 def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style basic-graph-pattern match (round 3, operators/bgp.py):
     conjunctive triple-pattern query over the KG projection — bindings of
@@ -2948,6 +2962,52 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (late round 3, operators/profile.py
+    l_diversity_violations): (lang, source) quasi-identifier groups whose
+    SENSITIVE attribute — the 200-char length band standing in for the
+    sensitive column of a real corpus — takes fewer than 3 distinct
+    values, i.e. the homogeneity-attack surface k-anonymity misses
+    (Machanavajjhala et al., ICDE'06).  Complements q_k_anonymity on the
+    same qid tuple: that bounds group size, this bounds the entropy
+    floor.  One groupBy with a two-phase partial-distinct agg; the
+    shuffle carries one row per observed (qid, band) pair."""
+    from node_feedparser_spark.operators.profile import (
+        l_diversity_violations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "band", F.floor(F.col("n_chars") / F.lit(200.0)).cast("long")
+    )
+    return l_diversity_violations(docs, ["lang", "source"], "band", l=3)
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality from HyperANF ball deltas (late
+    round 3, operators/graph_algo.py harmonic_centrality_anf — Boldi &
+    Vigna's own flagship ANF application): H(v) = Σ_t (B_t − B_{t−1})/t
+    over the same undirected supplier<->part shipment graph and the same
+    orderkey%4==0 deterministic bound as q_hyperanf_reach, plus the
+    per-node effective radius (smallest t with B_t ≥ 0.9·B_rounds).
+    Exact harmonic centrality is all-pairs BFS (|V|² ball rows); this is
+    one conditional-max pivot over the |V|·2^p sketch table.  The DuckDB
+    oracle rebuilds the registers bit-for-bit, unrolls both merge
+    rounds, and replays the same exact fixed-point delta weighting
+    (integers x 10^4, one final constant division), so the harmonics
+    are bit-identical doubles."""
+    from node_feedparser_spark.operators.graph_algo import (
+        harmonic_centrality_anf,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id")))
+    return harmonic_centrality_anf(edges, rounds=2, p=7)
+
+
 def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed uncertainty quantification (round 3): Poisson(1)
     bootstrap standard error of the per-event_type mean value — the
@@ -3257,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "link_predict": q_link_predict,
         "link_pred_eval": q_link_pred_eval,
+        "harmonic_centrality": q_harmonic_centrality,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -3295,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "rule_mining": q_rule_mining,
         "pred_stats": q_pred_stats,
+        "schema_graph": q_schema_graph,
         # KG query + schema-enforcement surface (round 3)
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
@@ -3361,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         # k-anonymity audit (round 3)
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -5184,6 +5247,67 @@ def _extra_oracles() -> dict[str, str]:
                           ELSE raw_est END, 4) AS hll_estimate
         FROM fin
     """
+    # --- harmonic centrality from the SAME register chain: difference the
+    # identical 4-dp per-radius estimates, clamp, then the exact
+    # fixed-point 1/t weighting (deltas x 10^4 as integers, one final
+    # division by 20000) so neither engine ever decimal-rounds a
+    # half-way 5th digit
+    d["harmonic_centrality"] = f"""
+        WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'p' || CAST(l_partkey AS VARCHAR) AS b
+                     FROM lineitem WHERE l_orderkey % 4 = 0),
+        e AS (SELECT DISTINCT a AS s, b AS d FROM raw
+              UNION SELECT b, a FROM raw),
+        nodes AS (SELECT DISTINCT s AS node FROM e),
+        h AS (SELECT node,
+                     CAST(('0x' || substr(md5(node), 1, 15)) AS BIGINT)
+                         AS h
+              FROM nodes),
+        c0 AS (SELECT node, h % 128 AS bucket,
+                      CASE WHEN (h >> 7) = 0 THEN 54
+                           ELSE 54 - length(bin(h >> 7)) END AS register
+               FROM h),
+        c1 AS (SELECT node, bucket, MAX(register) AS register FROM (
+                   SELECT node, bucket, register FROM c0
+                   UNION ALL
+                   SELECT e.s, c0.bucket, c0.register
+                   FROM e JOIN c0 ON c0.node = e.d
+               ) u GROUP BY 1, 2),
+        c2 AS (SELECT node, bucket, MAX(register) AS register FROM (
+                   SELECT node, bucket, register FROM c1
+                   UNION ALL
+                   SELECT e.s, c1.bucket, c1.register
+                   FROM e JOIN c1 ON c1.node = e.d
+               ) u GROUP BY 1, 2),
+        est AS (
+            SELECT node, 1 AS radius, COUNT(*) AS n_registers,
+                   ROUND(SUM(POWER(2.0, -register)), 9) AS s
+            FROM c1 GROUP BY 1
+            UNION ALL
+            SELECT node, 2, COUNT(*), ROUND(SUM(POWER(2.0, -register)), 9)
+            FROM c2 GROUP BY 1),
+        fin AS (SELECT node, radius,
+                       128 - n_registers AS nz,
+                       {_a128!r} / (s + (128 - n_registers)) AS raw_est
+                FROM est),
+        r AS (SELECT node, radius,
+                     ROUND(CASE WHEN raw_est <= 320.0 AND nz > 0
+                                THEN 128.0 * LN(128.0 / nz)
+                                ELSE raw_est END, 4) AS b
+              FROM fin),
+        piv AS (SELECT node,
+                       MAX(CASE WHEN radius = 1 THEN b END) AS b1,
+                       MAX(CASE WHEN radius = 2 THEN b END) AS b2
+                FROM r GROUP BY 1)
+        SELECT node, b2 AS anf_max,
+               (CAST(ROUND(GREATEST(b1 - 1.0039, 0) * 10000, 0) AS BIGINT)
+                    * 2
+                + CAST(ROUND(GREATEST(b2 - b1, 0) * 10000, 0) AS BIGINT))
+               / 20000.0 AS harmonic,
+               CAST(CASE WHEN b1 >= 0.9 * b2 THEN 1 ELSE 2 END AS BIGINT)
+                   AS effective_radius
+        FROM piv
+    """
     # --- SCD2 timeline: textbook lag/cumsum islands + lead(valid_from)
     d["entity_timelines"] = """
         WITH flags AS (
@@ -5759,6 +5883,22 @@ def _extra_oracles() -> dict[str, str]:
         FROM base
         JOIN dom ON base.pred = dom.pred
         JOIN rng ON base.pred = rng.pred
+    """
+    # --- VoID/ABSTAT schema graph: full typed-pattern profile + per-pred
+    # share over the same distinct KG projection
+    d["schema_graph"] = f"""
+        WITH {_kg_triples_sql()},
+        g AS (SELECT pred,
+                     substring(subj, 1, 1) AS subj_type,
+                     substring(obj, 1, 1) AS obj_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_triples,
+                     CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+                     CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+              FROM t GROUP BY 1, 2, 3)
+        SELECT pred, subj_type, obj_type, n_triples, n_subjects, n_objects,
+               ROUND(n_triples / CAST(SUM(n_triples) OVER (PARTITION BY pred)
+                                      AS DOUBLE), 6) AS share
+        FROM g
     """
     # --- basic-graph-pattern match: the same conjunction as explicit joins
     d["bgp_match"] = f"""
@@ -6665,6 +6805,15 @@ def _extra_oracles() -> dict[str, str]:
     d["k_anonymity"] = """
         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
         FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 12
+    """
+    # --- l-diversity: same qid tuple, distinct-sensitive floor (band =
+    # 200-char length bucket standing in for the sensitive attribute)
+    d["l_diversity"] = """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(FLOOR(n_chars / 200.0) AS BIGINT))
+                    AS BIGINT) AS n_distinct_sensitive
+        FROM documents GROUP BY 1, 2
+        HAVING COUNT(DISTINCT CAST(FLOOR(n_chars / 200.0) AS BIGINT)) < 3
     """
     # --- interval join: NAIVE range join on DuckDB's native IEJoin (an
     # independently-implemented range algorithm) vs Spark's bucketed plan

@@ -37,6 +37,8 @@ vectors — one more scalar agg — but is deliberately not the oracle query.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1301,6 +1303,90 @@ def hyperanf(
         out = est if out is None else out.unionByName(est)
     return out.select(
         "node", "radius", "n_registers", "n_zero_buckets", "hll_estimate"
+    )
+
+
+def harmonic_centrality_anf(
+    edges: DataFrame,
+    rounds: int = 2,
+    p: int = 7,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Truncated harmonic centrality H(v) = Σ_{u≠v} 1/d(v,u) estimated
+    from the HyperANF neighborhood function — Boldi & Vigna's own
+    flagship application (Boldi & Vigna, "Four Degrees of Separation" /
+    HyperANF 2011): the count of nodes at distance EXACTLY t is the ball
+    delta B_t(v) − B_{t−1}(v), so H(v) ≈ Σ_{t=1..rounds} (B_t − B_{t−1})/t,
+    truncated at `rounds` hops (every farther node contributes less than
+    1/rounds; the whole point of ANF is never enumerating that tail).
+    Exact harmonic centrality needs all-pairs BFS — |V|² ball rows on a
+    small-diameter graph; this reads it off sketches that are |V|·2^p.
+
+    Also emits the per-node effective radius: the smallest t with
+    B_t ≥ 0.9·B_rounds — the node-local reading of the effective-diameter
+    statistic ANF was built for.
+
+    Determinism/oracle contract: consumes the 4-dp-rounded per-radius
+    `hyperanf` estimates, so both engines difference IDENTICAL doubles;
+    deltas clamp at 0 (registers only grow, but the bias-corrected
+    estimator may dip across its linear-counting/raw branch boundary).
+    The 1/t-weighted sum runs in exact fixed-point: each delta scales to
+    an integer (x 10^4 — exact, the inputs are 4-dp), weights become the
+    integer lcm(1..rounds)/t, and ONE final division by the constant
+    lcm x 10^4 produces the double.  Division of exact integers is
+    correctly rounded in IEEE-754, so Spark and any oracle engine emit
+    bit-identical harmonics — no decimal ROUND on a half-way 5th digit
+    (which HALF_UP vs binary-round engines split on) ever happens.
+
+    Plan: hyperanf's per-round join+max-merge, then ONE map-side-combinable
+    conditional-max pivot groupBy(node) — no window, no extra join; the
+    harmonic sum and radius CASE are a codegen projection over `rounds`
+    pivoted columns.
+
+    Returns (node, anf_max, harmonic, effective_radius).
+    """
+    anf = hyperanf(edges, rounds=rounds, p=p, src=src, dst=dst)
+    piv = anf.groupBy("node").agg(
+        *[
+            F.max(
+                F.when(F.col("radius") == t, F.col("hll_estimate"))
+            ).alias(f"_b{t}")
+            for t in range(1, rounds + 1)
+        ]
+    )
+    lcm = 1
+    for t in range(2, rounds + 1):
+        lcm = lcm * t // math.gcd(lcm, t)
+    # B_0 is the SKETCH's estimate of the singleton ball {v} — the
+    # linear-counting value of one occupied register, m*ln(m/(m-1)) at
+    # the same 4-dp rounding as hyperanf's outputs — NOT the literal
+    # 1.0: differencing an estimate against an exact count leaks the
+    # estimator's fixed singleton bias (+0.0039 at p=7) into every
+    # node, giving sinks a phantom nonzero harmonic.
+    m = float(1 << p)
+    b0 = round(m * math.log(m / (m - 1.0)), 4)
+    prev = F.lit(b0)
+    h_scaled = F.lit(0).cast("long")
+    for t in range(1, rounds + 1):
+        bt = F.col(f"_b{t}")
+        delta_int = F.round(
+            F.greatest(bt - prev, F.lit(0.0)) * 10000, 0
+        ).cast("long")
+        h_scaled = h_scaled + delta_int * F.lit(lcm // t)
+        prev = bt
+    h = h_scaled.cast("double") / F.lit(float(lcm * 10000))
+    bmax = F.col(f"_b{rounds}")
+    eff = F.lit(rounds).cast("long")
+    for t in range(rounds - 1, 0, -1):
+        eff = F.when(
+            F.col(f"_b{t}") >= F.lit(0.9) * bmax, F.lit(t).cast("long")
+        ).otherwise(eff)
+    return piv.select(
+        "node",
+        bmax.alias("anf_max"),
+        h.alias("harmonic"),
+        eff.alias("effective_radius"),
     )
 
 

@@ -94,6 +94,52 @@ def k_anonymity_violations(
     )
 
 
+def l_diversity_violations(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer than
+    ``l`` distinct values — the homogeneity-attack audit that k-anonymity
+    alone misses (Machanavajjhala et al., ICDE'06): a group can be large
+    (k-anonymous) yet still leak if every row in it shares one sensitive
+    value, so an attacker who places a person in the group learns the
+    attribute without identifying the row.
+
+    Runs downstream of `k_anonymity_violations` on the SAME qid tuple:
+    k-anonymity bounds group SIZE, this bounds group ENTROPY floor.
+    Plan: one groupBy(qid) with count + count_distinct(sensitive) — the
+    distinct agg is Spark's standard two-phase partial-distinct expand,
+    map-side combinable on (qid, sensitive) first, so the shuffle carries
+    at most one row per observed (qid, sensitive) pair, never the corpus.
+    NULL sensitive values are their own disclosure (the attacker learns
+    "withheld") and count as one distinct value via a coalesce sentinel.
+
+    Returns (qid_cols..., n, n_distinct_sensitive) for violating groups
+    only: n_distinct_sensitive < l.
+    """
+    if not qid_cols:
+        raise ValueError("qid_cols must be non-empty")
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    if sensitive_col in qid_cols:
+        raise ValueError("sensitive_col must not be a qid column")
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("\x00null")
+    )
+    return (
+        df.groupBy(*qid_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(sens).cast("long").alias(
+                "n_distinct_sensitive"
+            ),
+        )
+        .where(F.col("n_distinct_sensitive") < l)
+    )
+
+
 def blocking_quality(
     candidates: DataFrame,
     truth: DataFrame,

@@ -265,3 +265,68 @@ def rule_apply(
     return inferred.join(existing, ["subj", "obj"], "left_anti").select(
         "subj", F.lit(head).alias("pred"), "obj"
     )
+
+
+def schema_summary(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """VoID/ABSTAT-style schema graph induced from the instance data: one
+    row per observed (subject type, predicate, object type) pattern over
+    distinct triples, with triple / distinct-entity counts and the
+    pattern's share of its predicate — the class-partition +
+    property-partition statistics of the W3C VoID vocabulary, and the
+    minimal "abstraction" ABSTAT summarizes LOD datasets with.  Types are
+    the 1-char entity-namespace prefix (the KG pipeline's type tag, same
+    convention as predicate_stats).
+
+    Where predicate_stats keeps only each side's DOMINANT prefix, this is
+    the full typed-pattern profile: the shape a query planner, a SHACL
+    author, or an ontology-drift monitor reads ("0.3 % of `placed` edges
+    now point at a `p` node — upstream extraction regressed").
+
+    Plan: distinct -> ONE groupBy(pred, subj_type, obj_type) carrying
+    count + two-phase partial-distinct entity counts; the per-predicate
+    share window runs over the SUMMARY table only (<= |preds| x observed
+    type pairs — dozens of rows at any corpus size, the mixture_weights
+    tiny-window discipline), never the triple set.
+    """
+    from pyspark.sql import Window
+
+    t = (
+        triples.select(
+            F.col(subj).alias("_s"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("_o"),
+        )
+        .distinct()
+    )
+    g = (
+        t.select(
+            "pred",
+            F.substring("_s", 1, 1).alias("subj_type"),
+            F.substring("_o", 1, 1).alias("obj_type"),
+            "_s",
+            "_o",
+        )
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("_s").cast("long").alias("n_subjects"),
+            F.countDistinct("_o").cast("long").alias("n_objects"),
+        )
+    )
+    w = Window.partitionBy("pred")
+    return g.select(
+        "pred",
+        "subj_type",
+        "obj_type",
+        "n_triples",
+        "n_subjects",
+        "n_objects",
+        F.round(
+            F.col("n_triples") / F.sum("n_triples").over(w), 6
+        ).alias("share"),
+    )

@@ -3,6 +3,8 @@ union, so the neighborhood-function estimate at radius t must equal
 hll_distinct over the explicitly enumerated ball membership — zero
 approximation slack.  Plus directionality and radius monotonicity."""
 
+import math
+
 from pyspark.sql import functions as F
 
 from node_feedparser_spark.operators.graph_algo import hyperanf
@@ -80,3 +82,41 @@ def test_parallel_edges_and_self_loops_are_noops(spark):
     assert sorted(map(tuple, clean), key=str) == sorted(
         map(tuple, dirty), key=str
     )
+
+
+def test_harmonic_centrality_matches_hand_computation(spark):
+    from node_feedparser_spark.operators.graph_algo import (
+        harmonic_centrality_anf,
+    )
+
+    # star out of a: a->{b,c,d}; plus b->c so a's 1-ball already covers c
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c")]
+    anf = {
+        (r["node"], r["radius"]): r["hll_estimate"]
+        for r in hyperanf(_edges(spark, pairs), rounds=2, p=7).collect()
+    }
+    got = {
+        r["node"]: (r["anf_max"], r["harmonic"], r["effective_radius"])
+        for r in harmonic_centrality_anf(
+            _edges(spark, pairs), rounds=2, p=7
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    for v in got:
+        b1, b2 = anf[(v, 1)], anf[(v, 2)]
+        # same exact fixed-point weighting as the operator: deltas x 10^4
+        # as integers, one final division — no decimal rounding anywhere
+        # B_0 is the sketch's own singleton estimate at p=7 (4-dp), so a
+        # never-growing ball differences to exactly 0
+        b0 = round(128 * math.log(128 / 127.0), 4)
+        want_h = (
+            round(max(b1 - b0, 0.0) * 10000) * 2
+            + round(max(b2 - b1, 0.0) * 10000)
+        ) / 20000.0
+        want_eff = 1 if b1 >= 0.9 * b2 else 2
+        assert got[v] == (b2, want_h, want_eff), v
+    # the hub's truncated harmonic dominates every leaf's
+    assert got["a"][1] > max(got[v][1] for v in ("b", "c", "d"))
+    # sinks: ball never grows, harmonic 0, effective radius 1
+    assert got["c"][1] == 0.0 and got["c"][2] == 1
+    assert got["d"][1] == 0.0 and got["d"][2] == 1

@@ -78,3 +78,39 @@ def test_predicate_stats_semantics(spark):
     h = got["h"]
     assert h["domain_prefix"] == "a"
     assert h["domain_share"] == pytest.approx(0.5)
+
+
+def test_schema_summary_patterns_shares_and_duplicate_collapse(spark):
+    from node_feedparser_spark.operators.rules import schema_summary
+
+    rows = [
+        # pred 'p': 3 c->n patterns (one duplicated) + 1 c->r pattern
+        ("c1", "p", "n1"), ("c1", "p", "n1"), ("c2", "p", "n1"),
+        ("c3", "p", "n2"), ("c1", "p", "r1"),
+        # pred 'q': single pattern, share 1.0
+        ("s1", "q", "p9"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r["pred"], r["subj_type"], r["obj_type"]): (
+            r["n_triples"], r["n_subjects"], r["n_objects"], r["share"]
+        )
+        for r in schema_summary(df).collect()
+    }
+    assert got == {
+        # duplicate (c1,p,n1) collapses: 3 distinct c->n triples
+        ("p", "c", "n"): (3, 3, 2, 0.75),
+        ("p", "c", "r"): (1, 1, 1, 0.25),
+        ("q", "s", "p"): (1, 1, 1, 1.0),
+    }
+
+
+def test_schema_summary_share_sums_to_one_per_pred(spark):
+    from node_feedparser_spark.operators.rules import schema_summary
+
+    rows = [(f"c{i}", "p", f"{'nor'[i % 3]}{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = schema_summary(df).collect()
+    # shares are 6-dp rounded, so the sum can be off by 5e-7 per pattern
+    # (3 x round(1/3, 6) = 0.999999)
+    assert abs(sum(r["share"] for r in out) - 1.0) <= 5e-7 * len(out)
