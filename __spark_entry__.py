@@ -2982,6 +2982,37 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_violations(docs, ["lang", "source"], "band", l=3)
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source bounded Brandes betweenness (late round 3,
+    operators/graph_algo.py betweenness): which entities BROKER
+    shortest-path traffic over the undirected supplier<->part shipment
+    graph (orderkey % 4 == 0), sources = suppliers 1..4, paths truncated
+    at 3 hops — the sampled k-betweenness estimator, the one centrality
+    the ball-size family (hyperanf / harmonic) cannot see because it
+    scores interior position, not reach.  Exact long sigma path counts;
+    6-dp level-wise dependency rounding (the ALS float-sum discipline);
+    the DuckDB oracle unrolls both the 3-level multi-source BFS and the
+    backward accumulation with identical arithmetic."""
+    from node_feedparser_spark.operators.graph_algo import betweenness
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.unionByName(
+        e.select(
+            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 4)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    return betweenness(edges, seeds, max_depth=3)
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality from HyperANF ball deltas (late
     round 3, operators/graph_algo.py harmonic_centrality_anf — Boldi &
@@ -3318,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "link_pred_eval": q_link_pred_eval,
         "harmonic_centrality": q_harmonic_centrality,
+        "betweenness": q_betweenness,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -5246,6 +5278,71 @@ def _extra_oracles() -> dict[str, str]:
                           THEN 128.0 * LN(128.0 / n_zero_buckets)
                           ELSE raw_est END, 4) AS hll_estimate
         FROM fin
+    """
+    # --- k-source bounded Brandes: unroll the 3-level multi-source BFS
+    # (exact BIGINT sigma) and the backward dependency accumulation with
+    # the same per-level ROUND(...,6) the Spark side applies
+    d["betweenness"] = """
+        WITH raw AS (SELECT DISTINCT
+                            's' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'p' || CAST(l_partkey AS VARCHAR) AS b
+                     FROM lineitem WHERE l_orderkey % 4 = 0),
+        e AS (SELECT a AS s, b AS d FROM raw
+              UNION SELECT b, a FROM raw),
+        src AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS s
+                FROM supplier WHERE s_suppkey <= 4),
+        l0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM src),
+        l1 AS (SELECT l0.s, e.d AS node,
+                      CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+               FROM l0 JOIN e ON l0.node = e.s
+               WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                                 WHERE v.s = l0.s AND v.node = e.d)
+               GROUP BY 1, 2),
+        l2 AS (SELECT l1.s, e.d AS node,
+                      CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+               FROM l1 JOIN e ON l1.node = e.s
+               WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                                 WHERE v.s = l1.s AND v.node = e.d)
+                 AND NOT EXISTS (SELECT 1 FROM l1 v
+                                 WHERE v.s = l1.s AND v.node = e.d)
+               GROUP BY 1, 2),
+        l3 AS (SELECT l2.s, e.d AS node,
+                      CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+               FROM l2 JOIN e ON l2.node = e.s
+               WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                                 WHERE v.s = l2.s AND v.node = e.d)
+                 AND NOT EXISTS (SELECT 1 FROM l1 v
+                                 WHERE v.s = l2.s AND v.node = e.d)
+                 AND NOT EXISTS (SELECT 1 FROM l2 v
+                                 WHERE v.s = l2.s AND v.node = e.d)
+               GROUP BY 1, 2),
+        d3 AS (SELECT s, node, 0.0 AS delta FROM l3),
+        c2 AS (SELECT l2.s, l2.node,
+                      ROUND(SUM(CAST(l2.sigma AS DOUBLE)
+                                / CAST(l3.sigma AS DOUBLE)
+                                * (1.0 + d3.delta)), 6) AS delta
+               FROM l2 JOIN e ON l2.node = e.s
+               JOIN l3 ON l3.s = l2.s AND l3.node = e.d
+               JOIN d3 ON d3.s = l3.s AND d3.node = l3.node
+               GROUP BY 1, 2),
+        d2 AS (SELECT l2.s, l2.node, COALESCE(c2.delta, 0.0) AS delta
+               FROM l2 LEFT JOIN c2
+                 ON c2.s = l2.s AND c2.node = l2.node),
+        c1 AS (SELECT l1.s, l1.node,
+                      ROUND(SUM(CAST(l1.sigma AS DOUBLE)
+                                / CAST(l2.sigma AS DOUBLE)
+                                * (1.0 + d2.delta)), 6) AS delta
+               FROM l1 JOIN e ON l1.node = e.s
+               JOIN l2 ON l2.s = l1.s AND l2.node = e.d
+               JOIN d2 ON d2.s = l2.s AND d2.node = l2.node
+               GROUP BY 1, 2),
+        d1 AS (SELECT l1.s, l1.node, COALESCE(c1.delta, 0.0) AS delta
+               FROM l1 LEFT JOIN c1
+                 ON c1.s = l1.s AND c1.node = l1.node),
+        alld AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+                 UNION ALL SELECT * FROM d3)
+        SELECT node, ROUND(SUM(delta), 6) AS betweenness
+        FROM alld GROUP BY 1
     """
     # --- harmonic centrality from the SAME register chain: difference the
     # identical 4-dp per-radius estimates, clamp, then the exact

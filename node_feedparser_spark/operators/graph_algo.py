@@ -1218,6 +1218,141 @@ def ranking_eval(
     return j.agg(*aggs)
 
 
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-source Brandes betweenness centrality (Brandes 2001; the fixed
+    deterministic source set makes it the Riondato-Kornaropoulos sampled
+    estimator): for every node v, the summed pair dependency
+    delta_s(v) = Σ_{w} (σ_sv / σ_sw) · (1 + delta_s(w)) over the chosen
+    sources s — "how much shortest-path traffic flows THROUGH v", the
+    broker/bottleneck score no degree or ball-size centrality captures.
+    Exact betweenness is all-sources ( |V| BFS trees); the sampled form
+    with a fixed seed set is the standard scale substitute, and paths are
+    truncated at ``max_depth`` hops (k-betweenness), the same bounded-
+    rounds contract as kcore/sssp — every counted dependency is real.
+
+    Two passes, both level-synchronous and oracle-unrollable:
+
+    - FORWARD multi-source BFS over the distinct directed edge list:
+      level t+1 = (frontier ⋈ edges) anti-join visited, with
+      σ(s, v) = Σ_{u pred} σ(s, u) — path counts are EXACT LONGS, one
+      map-side-combinable sum per level, frontier keyed (source, node)
+      so all k trees advance in the same join.
+    - BACKWARD dependency accumulation, deepest level first: each level
+      is one 3-way equi-join (level-t nodes ⋈ edges ⋈ level-t+1 nodes
+      carrying their δ) + one sum agg; δ is rounded to 6 dp AT EACH
+      LEVEL'S AGGREGATE (the ALS/naive-bayes cross-engine float-sum
+      discipline) so Spark and the SQL oracle never diverge past a ULP
+      reorder.
+
+    Per-level cost is one shuffle bounded by the BFS-DAG edges touched —
+    never |V|², never a window, never Python.  Level frames are
+    localCheckpoint-ed: each is consumed by BOTH the next forward level
+    (join + anti-join) and its backward pass, the khop/kcore multi-
+    consumer recompute signature.
+
+    Returns (node, betweenness): every node reached at 1 <= dist <=
+    max_depth by some source, with its summed (6 dp) dependency; sources
+    score only via paths through them from OTHER sources (delta of the
+    s == v row is excluded per Brandes).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    e = e.localCheckpoint() if checkpoint else e.cache()
+    lvl0 = (
+        sources.select(F.col(sources.columns[0]).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"))
+        .withColumn("sigma", F.lit(1).cast("long"))
+    )
+    if checkpoint:
+        lvl0 = lvl0.localCheckpoint()
+    levels = [lvl0]
+    visited = lvl0.select("s", "node")
+    for _ in range(max_depth):
+        cand = (
+            levels[-1]
+            .join(e, levels[-1]["node"] == e["_s"])
+            .select("s", F.col("_d").alias("node"), "sigma")
+            .join(visited, ["s", "node"], "left_anti")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        if checkpoint:
+            cand = cand.localCheckpoint()
+        if cand.isEmpty():
+            break
+        levels.append(cand)
+        visited = visited.union(cand.select("s", "node"))
+        if checkpoint:
+            visited = visited.localCheckpoint()
+    # backward: deepest level's delta is 0; walk levels up, each node's
+    # delta = round(sum over DAG successors of sigma_v/sigma_w*(1+delta_w), 6)
+    deltas = [None] * len(levels)
+    deltas[-1] = levels[-1].select(
+        "s", "node", F.lit(0.0).alias("delta")
+    )
+    for t in range(len(levels) - 2, -1, -1):
+        succ = levels[t + 1].join(deltas[t + 1], ["s", "node"]).select(
+            "s",
+            F.col("node").alias("_w"),
+            F.col("sigma").alias("_sigma_w"),
+            F.col("delta").alias("_delta_w"),
+        )
+        contrib = (
+            levels[t]
+            .join(e, levels[t]["node"] == e["_s"])
+            .join(
+                succ,
+                (F.col("_d") == succ["_w"])
+                & (levels[t]["s"] == succ["s"]),
+            )
+            .select(
+                levels[t]["s"].alias("s"),
+                levels[t]["node"].alias("node"),
+                (
+                    F.col("sigma").cast("double")
+                    / F.col("_sigma_w").cast("double")
+                    * (F.lit(1.0) + F.col("_delta_w"))
+                ).alias("term"),
+            )
+            .groupBy("s", "node")
+            .agg(F.round(F.sum("term"), 6).alias("delta"))
+        )
+        d = (
+            levels[t]
+            .select("s", "node")
+            .join(contrib, ["s", "node"], "left")
+            .select(
+                "s", "node", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        )
+        if checkpoint:
+            d = d.localCheckpoint()
+        deltas[t] = d
+    acc = None
+    for t in range(1, len(levels)):  # level 0 is the source itself
+        acc = deltas[t] if acc is None else acc.unionByName(deltas[t])
+    if acc is None:
+        return lvl0.select("node").withColumn(
+            "betweenness", F.lit(0.0)
+        ).limit(0)
+    return acc.groupBy("node").agg(
+        F.round(F.sum("delta"), 6).alias("betweenness")
+    )
+
+
 def hyperanf(
     edges: DataFrame,
     rounds: int = 2,
