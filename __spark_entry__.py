@@ -1526,6 +1526,17 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         strongly_connected_components,
     )
 
+    edges, nodes = _scc_ring_graph(spark, sf_dir)
+    return strongly_connected_components(edges, nodes)
+
+
+def _scc_ring_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic directed graph q_scc and q_scc_condensation
+    share: per-nation custkey-rank rings of 6 (one SCC each) plus one
+    high->low edge between consecutive block minima (the condensation
+    chain).  Returns (edges(src, dst), nodes(node))."""
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
     b = (
@@ -1561,7 +1572,23 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hi.mck").alias("src"), F.col("lo.mck").alias("dst"))
     )
     nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    return strongly_connected_components(ring.union(cross), nodes)
+    return ring.union(cross), nodes
+
+
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG over q_scc's graph (late round 3,
+    operators/scc.py condensation): every ring SCC contracted to its MIN
+    member, leaving exactly the per-nation high->low chain between block
+    minima — one row per consecutive block pair, n_edges = 1.  The
+    acyclic component-level graph cycle analysis and topological
+    scheduling consume after SCC detection; two label equi-joins + one
+    count agg on top of the SCC peel.  The DuckDB oracle composes the
+    same recursive-CTE mutual-reachability labels with the same
+    join-filter-count."""
+    from node_feedparser_spark.operators.scc import condensation
+
+    edges, nodes = _scc_ring_graph(spark, sf_dir)
+    return condensation(edges, nodes)
 
 
 def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3346,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected components as a first-class named query (round 3)
         "kg_components": q_kg_components,
         "scc": q_scc,
+        "scc_condensation": q_scc_condensation,
         "link_predict": q_link_predict,
         "link_pred_eval": q_link_pred_eval,
         "harmonic_centrality": q_harmonic_centrality,
@@ -5278,6 +5306,50 @@ def _extra_oracles() -> dict[str, str]:
                           THEN 128.0 * LN(128.0 / n_zero_buckets)
                           ELSE raw_est END, 4) AS hll_estimate
         FROM fin
+    """
+    # --- condensation: the scc oracle's recursive-CTE mutual-reachability
+    # labels, composed with the same two label joins + filter + count
+    d["scc_condensation"] = """
+        WITH RECURSIVE b AS (
+            SELECT CAST(c_custkey AS BIGINT) AS ck, c_nationkey AS nk,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_custkey) - 1 AS rn
+            FROM customer),
+        bb AS (SELECT ck, nk, CAST(rn // 6 AS BIGINT) AS blk,
+                      rn % 6 AS pos
+               FROM b),
+        bs AS (SELECT *, COUNT(*) OVER (PARTITION BY nk, blk) AS bsz
+               FROM bb),
+        ring AS (SELECT a.ck AS src, c.ck AS dst
+                 FROM bs a JOIN bs c
+                 ON a.nk = c.nk AND a.blk = c.blk
+                    AND c.pos = (a.pos + 1) % a.bsz),
+        mins AS (SELECT nk, blk, MIN(ck) AS mck FROM bb GROUP BY nk, blk),
+        cross_e AS (SELECT hi.mck AS src, lo.mck AS dst
+                    FROM mins hi JOIN mins lo
+                    ON hi.nk = lo.nk AND hi.blk = lo.blk + 1),
+        edges AS (SELECT DISTINCT src, dst
+                  FROM (SELECT * FROM ring UNION ALL SELECT * FROM cross_e)
+                  WHERE src <> dst),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        mutual AS (SELECT r1.src AS node, MIN(r1.dst) AS mn
+                   FROM reach r1 JOIN reach r2
+                   ON r1.src = r2.dst AND r1.dst = r2.src
+                   GROUP BY r1.src),
+        labels AS (SELECT bb.ck AS node,
+                          CAST(LEAST(bb.ck, COALESCE(mutual.mn, bb.ck))
+                               AS BIGINT) AS scc_id
+                   FROM bb LEFT JOIN mutual ON bb.ck = mutual.node)
+        SELECT ls.scc_id AS src_scc, ld.scc_id AS dst_scc,
+               CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM edges e
+        JOIN labels ls ON e.src = ls.node
+        JOIN labels ld ON e.dst = ld.node
+        WHERE ls.scc_id <> ld.scc_id
+        GROUP BY 1, 2
     """
     # --- k-source bounded Brandes: unroll the 3-level multi-source BFS
     # (exact BIGINT sigma) and the backward dependency accumulation with

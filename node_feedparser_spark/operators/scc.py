@@ -150,3 +150,53 @@ def strongly_connected_components(
             .localCheckpoint()
         )
     raise RuntimeError(f"SCC did not converge in {max_outer} outer rounds")
+
+
+def condensation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_outer: int = 50,
+    max_inner: int = 200,
+) -> DataFrame:
+    """Condensation DAG of the directed graph: every SCC contracted to its
+    ``scc_id`` (MIN member, the strongly_connected_components contract),
+    one row per ordered pair of DISTINCT components with a cross edge,
+    carrying the count of distinct underlying edges.  Acyclic by
+    construction (a cycle between condensation vertices would merge the
+    SCCs) — the object cycle/feedback analysis, topological scheduling,
+    and hierarchy extraction over the KG actually consume after SCC
+    detection.
+
+    Plan: the scc label table (|V| rows) equi-joins the distinct edge
+    list twice (src label, dst label), intra-component edges filter out
+    row-locally, and one map-side-combinable count groups the survivors —
+    nothing beyond the SCC computation itself exceeds one |E|-bounded
+    shuffle, and the output is condensation-sized (<= #SCC-adjacencies).
+
+    Returns (src_scc, dst_scc, n_edges).
+    """
+    labels = strongly_connected_components(
+        edges, nodes, max_outer=max_outer, max_inner=max_inner
+    )
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        e.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("scc_id").alias("src_scc")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("scc_id").alias("dst_scc")
+            ),
+            "dst",
+        )
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

@@ -57,3 +57,46 @@ def test_nonconvergence_guard(spark):
     e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     with pytest.raises(RuntimeError):
         strongly_connected_components(e, max_outer=0)
+
+
+def _cond(spark, edges, nodes=None):
+    from node_feedparser_spark.operators.scc import condensation
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = (
+        spark.createDataFrame([(x,) for x in nodes], "node long")
+        if nodes
+        else None
+    )
+    return {
+        (r["src_scc"], r["dst_scc"]): r["n_edges"]
+        for r in condensation(e, n).collect()
+    }
+
+
+def test_condensation_counts_distinct_cross_edges(spark):
+    # ring {1,2,3} -> ring {4,5} via TWO distinct cross edges (one of them
+    # duplicated in the input), plus an intra-ring chord that must vanish
+    edges = [
+        (1, 2), (2, 3), (3, 1), (4, 5), (5, 4),
+        (1, 4), (1, 4), (2, 5),  # cross edges, one duplicated
+        (1, 3),                  # intra-SCC chord
+    ]
+    assert _cond(spark, edges) == {(1, 4): 2}
+
+
+def test_condensation_chain_and_self_loops(spark):
+    # three singleton SCCs in a chain; self-loop dropped; isolated node
+    # (from `nodes`) contributes no condensation edge
+    edges = [(1, 2), (2, 3), (2, 2)]
+    assert _cond(spark, edges, nodes=[1, 2, 3, 99]) == {
+        (1, 2): 1,
+        (2, 3): 1,
+    }
+
+
+def test_condensation_is_acyclic(spark):
+    # two rings with edges both ways between them would merge into ONE
+    # SCC — so no condensation edge may survive
+    edges = [(1, 2), (2, 1), (4, 5), (5, 4), (1, 4), (5, 2)]
+    assert _cond(spark, edges) == {}
