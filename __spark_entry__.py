@@ -1391,6 +1391,33 @@ def q_hyperanf_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperanf(edges, rounds=2, p=7)
 
 
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global effective diameter from HyperANF (late round 3,
+    operators/graph_algo.py effective_diameter): smallest t with
+    N(t) >= 0.9 * N(rounds) over the undirected supplier<->part shipment
+    graph — the per-GRAPH statistic ANF was built for (Boldi-Vigna "Four
+    Degrees of Separation"), alongside harmonic_centrality's per-node
+    effective radius from the same sketches.  Deterministic bound: the
+    l_orderkey%8==0 projection (half hyperanf_reach's %4 edge fan — the
+    register-join intermediate is the algorithm's intrinsic cost and this
+    query adds only a 3-row radius sum on top, so it doesn't pay the full
+    fan twice in the bench).  The DuckDB oracle rebuilds the identical
+    registers, unrolls the same two merge rounds, scales each 4-dp
+    estimate to an exact integer before the global sum, and applies the
+    same exact-integer threshold test — bit-identical on both engines."""
+    from node_feedparser_spark.operators.graph_algo import (
+        effective_diameter,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 8 == 0)
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.union(e.select(F.col("dst_id"), F.col("src_id")))
+    return effective_diameter(edges, rounds=2, p=7)
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec/DeepWalk sampling over the undirected
     supplier<->part graph: 2 walks of length 3 from every node, each step
@@ -3378,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_eval": q_link_pred_eval,
         "harmonic_centrality": q_harmonic_centrality,
         "betweenness": q_betweenness,
+        "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -5306,6 +5334,71 @@ def _extra_oracles() -> dict[str, str]:
                           THEN 128.0 * LN(128.0 / n_zero_buckets)
                           ELSE raw_est END, 4) AS hll_estimate
         FROM fin
+    """
+    # --- effective diameter: the hyperanf register chain on the %8
+    # projection, each 4-dp estimate scaled to an exact integer BEFORE the
+    # global sum, threshold test in exact integer arithmetic (x10 vs x9)
+    d["effective_diameter"] = f"""
+        WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'p' || CAST(l_partkey AS VARCHAR) AS b
+                     FROM lineitem WHERE l_orderkey % 8 = 0),
+        e AS (SELECT DISTINCT a AS s, b AS d FROM raw
+              UNION SELECT b, a FROM raw),
+        nodes AS (SELECT DISTINCT s AS node FROM e),
+        h AS (SELECT node,
+                     CAST(('0x' || substr(md5(node), 1, 15)) AS BIGINT)
+                         AS h
+              FROM nodes),
+        c0 AS (SELECT node, h % 128 AS bucket,
+                      CASE WHEN (h >> 7) = 0 THEN 54
+                           ELSE 54 - length(bin(h >> 7)) END AS register
+               FROM h),
+        c1 AS (SELECT node, bucket, MAX(register) AS register FROM (
+                   SELECT node, bucket, register FROM c0
+                   UNION ALL
+                   SELECT e.s, c0.bucket, c0.register
+                   FROM e JOIN c0 ON c0.node = e.d
+               ) u GROUP BY 1, 2),
+        c2 AS (SELECT node, bucket, MAX(register) AS register FROM (
+                   SELECT node, bucket, register FROM c1
+                   UNION ALL
+                   SELECT e.s, c1.bucket, c1.register
+                   FROM e JOIN c1 ON c1.node = e.d
+               ) u GROUP BY 1, 2),
+        est AS (
+            SELECT node, CAST(1 AS BIGINT) AS radius,
+                   COUNT(*) AS n_registers,
+                   ROUND(SUM(POWER(2.0, -register)), 9) AS s
+            FROM c1 GROUP BY 1
+            UNION ALL
+            SELECT node, CAST(2 AS BIGINT), COUNT(*),
+                   ROUND(SUM(POWER(2.0, -register)), 9)
+            FROM c2 GROUP BY 1),
+        fin AS (SELECT node, radius,
+                       128 - n_registers AS nz,
+                       {_a128!r} / (s + (128 - n_registers)) AS raw_est
+                FROM est),
+        r AS (SELECT node, radius,
+                     ROUND(CASE WHEN raw_est <= 320.0 AND nz > 0
+                                THEN 128.0 * LN(128.0 / nz)
+                                ELSE raw_est END, 4) AS b
+              FROM fin),
+        nf AS (SELECT CAST(0 AS BIGINT) AS radius,
+                      CAST(COUNT(*) AS BIGINT) * 10039 AS nf_fp
+               FROM nodes
+               UNION ALL
+               SELECT radius,
+                      SUM(CAST(ROUND(b * 10000, 0) AS BIGINT)) AS nf_fp
+               FROM r GROUP BY radius),
+        mx AS (SELECT nf_fp AS nf_max FROM nf WHERE radius = 2),
+        eff AS (SELECT MIN(nf.radius) AS ed FROM nf, mx
+                WHERE nf.nf_fp * 10 >= 9 * mx.nf_max)
+        SELECT nf.radius,
+               CAST(nf.nf_fp AS DOUBLE) / 10000.0 AS nf,
+               ROUND(CAST(nf.nf_fp AS DOUBLE) / CAST(mx.nf_max AS DOUBLE),
+                     6) AS frac_of_max,
+               eff.ed AS effective_diameter
+        FROM nf, mx, eff
     """
     # --- condensation: the scc oracle's recursive-CTE mutual-reachability
     # labels, composed with the same two label joins + filter + count

@@ -1525,6 +1525,85 @@ def harmonic_centrality_anf(
     )
 
 
+def effective_diameter(
+    edges: DataFrame,
+    rounds: int = 2,
+    p: int = 7,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """GLOBAL effective diameter from HyperANF — the statistic ANF was
+    invented for (Palmer-Gibbons-Faloutsos ANF 2002; Boldi & Vigna's
+    "Four Degrees of Separation" runs exactly this over Facebook): the
+    smallest t such that the neighborhood function N(t) = Σ_v |ball(v,t)|
+    reaches `threshold` (default 9/10) of its value at the truncation
+    horizon.  harmonic_centrality_anf reads the per-NODE effective
+    radius off the same sketches; this is the per-GRAPH reading — one
+    number an analyst quotes ("90 % of reachable pairs are within t
+    hops").
+
+    Exact N(t) is all-pairs BFS (|V|² ball rows); here it is ONE
+    radius-keyed sum over hyperanf's |V|·rounds estimate rows.
+
+    Determinism/oracle contract: per-node estimates are hyperanf's
+    4-dp-rounded doubles, scaled to exact integers (x 10^4) BEFORE the
+    global sum, so N(t) is a bit-portable BIGINT in both engines (float
+    summation order can never leak in).  N(0) uses the sketch's own
+    singleton-ball estimate (m·ln(m/(m−1)) at the same 4-dp rounding,
+    the harmonic_centrality_anf B_0 discipline) times |V| — differencing
+    or ratio-ing sketch values against exact counts would leak the
+    estimator's fixed singleton bias.  The threshold test runs in exact
+    integer arithmetic (nf_fp·den ≥ num·nf_fp_max), never on a rounded
+    ratio, so an engine pair can never disagree on the diameter at the
+    boundary.  The reported `frac_of_max` is one IEEE long/long division
+    (exactly rounded) for display.
+
+    Plan: hyperanf's per-round join + max-merge (the intrinsic cost),
+    then one map-side-combinable groupBy(radius) sum — the window that
+    picks the diameter runs over a (rounds+1)-row frame, never the
+    corpus.
+
+    Returns one row per t in 0..rounds:
+    (radius, nf, frac_of_max, effective_diameter) — `effective_diameter`
+    repeated on every row (NULL only if no radius meets the threshold,
+    impossible for t = rounds where frac = 1).
+    """
+    if threshold_num <= 0 or threshold_den <= 0:
+        raise ValueError("threshold must be a positive rational")
+    anf = hyperanf(edges, rounds=rounds, p=p, src=src, dst=dst)
+    m = float(1 << p)
+    b0_fp = int(round(round(m * math.log(m / (m - 1.0)), 4) * 10000))
+    per_t = anf.groupBy(F.col("radius").cast("long").alias("radius")).agg(
+        F.sum(
+            F.round(F.col("hll_estimate") * 10000, 0).cast("long")
+        ).alias("nf_fp")
+    )
+    t0 = (
+        anf.filter(F.col("radius") == 1)
+        .agg((F.count(F.lit(1)) * F.lit(b0_fp)).alias("nf_fp"))
+        .select(F.lit(0).cast("long").alias("radius"), "nf_fp")
+    )
+    nf = t0.unionByName(per_t)
+    w = Window.partitionBy()  # (rounds+1)-row frame, never the corpus
+    nf_max = F.max(
+        F.when(F.col("radius") == rounds, F.col("nf_fp"))
+    ).over(w)
+    meets = F.col("nf_fp") * F.lit(threshold_den) >= F.lit(
+        threshold_num
+    ) * nf_max
+    eff = F.min(F.when(meets, F.col("radius"))).over(w)
+    return nf.select(
+        "radius",
+        (F.col("nf_fp").cast("double") / F.lit(10000.0)).alias("nf"),
+        F.round(F.col("nf_fp").cast("double") / nf_max.cast("double"), 6).alias(
+            "frac_of_max"
+        ),
+        eff.alias("effective_diameter"),
+    )
+
+
 def hits(
     edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 2
 ) -> DataFrame:
