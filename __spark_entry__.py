@@ -3067,6 +3067,32 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness(edges, seeds, max_depth=3)
 
 
+def q_wl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman structural fingerprints (late round 3,
+    operators/graph_algo.py wl_fingerprints): 2 rounds of 1-WL color
+    refinement over the undirected supplier<->part shipment graph
+    (orderkey % 8 == 1 — disjoint from the hyperanf family's
+    projections), md5-of-sorted-multiset relabeling from an out-degree
+    seed.  The final label partitions the graph into structural-
+    equivalence classes (role discovery: two nodes share a label iff
+    their 2-hop neighborhood trees agree) — returned per node with the
+    class size.  Pure string/hash arithmetic, so the DuckDB oracle
+    (same degree seed, same list_sort + md5 chain) is bit-identical."""
+    from node_feedparser_spark.operators.graph_algo import wl_fingerprints
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 8 == 1)
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = e.unionByName(
+        e.select(
+            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+        )
+    )
+    return wl_fingerprints(edges, rounds=2)
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality from HyperANF ball deltas (late
     round 3, operators/graph_algo.py harmonic_centrality_anf — Boldi &
@@ -3405,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_eval": q_link_pred_eval,
         "harmonic_centrality": q_harmonic_centrality,
         "betweenness": q_betweenness,
+        "wl_fingerprints": q_wl_fingerprints,
         "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
@@ -5443,6 +5470,36 @@ def _extra_oracles() -> dict[str, str]:
         JOIN labels ld ON e.dst = ld.node
         WHERE ls.scc_id <> ld.scc_id
         GROUP BY 1, 2
+    """
+    # --- Weisfeiler-Lehman: the same degree seed + two rounds of
+    # md5-of-sorted-multiset relabeling; pure string/hash arithmetic, so
+    # both engines produce bit-identical labels (lexicographic sort of
+    # pure-ASCII labels is binary collation on both sides)
+    d["wl_fingerprints"] = """
+        WITH raw AS (SELECT DISTINCT
+                            's' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'p' || CAST(l_partkey AS VARCHAR) AS b
+                     FROM lineitem WHERE l_orderkey % 8 = 1),
+        e AS (SELECT a AS s, b AS d FROM raw
+              UNION SELECT b, a FROM raw),
+        l0 AS (SELECT s AS node, CAST(COUNT(*) AS VARCHAR) AS lbl
+               FROM e GROUP BY 1),
+        n1 AS (SELECT e.s AS node,
+                      array_to_string(list_sort(list(l0.lbl)), ',') AS nbrs
+               FROM e JOIN l0 ON l0.node = e.d GROUP BY 1),
+        l1 AS (SELECT n1.node,
+                      substr(md5(l0.lbl || '|' || n1.nbrs), 1, 16) AS lbl
+               FROM n1 JOIN l0 ON l0.node = n1.node),
+        n2 AS (SELECT e.s AS node,
+                      array_to_string(list_sort(list(l1.lbl)), ',') AS nbrs
+               FROM e JOIN l1 ON l1.node = e.d GROUP BY 1),
+        l2 AS (SELECT n2.node,
+                      substr(md5(l1.lbl || '|' || n2.nbrs), 1, 16) AS lbl
+               FROM n2 JOIN l1 ON l1.node = n2.node)
+        SELECT l2.node AS node, l0.lbl AS wl0, l2.lbl AS wl,
+               CAST(COUNT(*) OVER (PARTITION BY l2.lbl) AS BIGINT)
+                   AS class_size
+        FROM l2 JOIN l0 ON l0.node = l2.node
     """
     # --- k-source bounded Brandes: unroll the 3-level multi-source BFS
     # (exact BIGINT sigma) and the backward dependency accumulation with

@@ -2201,3 +2201,102 @@ def ktruss(
         F.col("v").alias("node_b"),
         F.col("support").cast("long").alias("support"),
     )
+
+
+def wl_fingerprints(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Weisfeiler-Lehman structural fingerprints — iterative color
+    refinement (1-WL), the standard structural-role signature and the
+    primitive behind WL graph kernels (Shervashidze et al. 2011) and the
+    GIN expressiveness bound.  Two nodes share a round-t label iff their
+    t-hop neighborhood trees are isomorphic (up to hash collisions), so
+    the final label partitions the KG into structural-equivalence
+    classes: "all leaf suppliers attached to a degree-2 part look alike"
+    — the role discovery / graph-dedup reading the centrality family
+    (pagerank/betweenness/harmonic) can't give.
+
+    Refinement step (classic sorted-multiset form)::
+
+        lbl_0(v) = str(out_degree(v))
+        lbl_t(v) = md5(lbl_{t-1}(v) || '|' ||
+                       ','.join(sorted(lbl_{t-1}(u) for u in N_out(v))))[:16]
+
+    Callers symmetrize ``edges`` for the undirected reading.  Nodes with
+    no out-neighbors hash an empty multiset (''), so sinks refine too.
+
+    Determinism/oracle contract: md5 and lexicographic string sort are
+    bit-portable (pure-ASCII labels, binary collation on both engines),
+    so every round's labels are identical across Spark and DuckDB — no
+    float, no platform hash.
+
+    Plan, per round: one shuffle join (edge x current label, |E| rows) +
+    one groupBy(src) with sort_array(collect_list(..)) — the multiset
+    row is bounded by max out-degree, which makes CELEBRITY HUBS the cost
+    center (a 10^6-degree node builds a 10^6-element array on one task).
+    At hub scale swap the sorted-concat for a commutative per-neighbor
+    hash fold (sum of md5-derived longs — map-side combinable, no array),
+    which preserves the multiset-equality semantics modulo collisions;
+    the sorted form is kept here because it is the citable 1-WL and the
+    class partition is what downstream reads.  Label width is fixed
+    (16 hex chars), so round t+1's shuffle never grows with t.
+
+    Returns (node, wl0, wl, class_size): initial and final labels plus
+    the size of the node's final structural-equivalence class
+    (window partitioned BY LABEL — never a global window).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = e.select("s").union(e.select("d")).distinct().toDF("node")
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    lbl = nodes.join(deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("_deg"), F.lit(0)).cast("string").alias("lbl"),
+    )
+    for _ in range(rounds):
+        nbrs = (
+            e.join(
+                lbl.select(F.col("node").alias("d"), F.col("lbl").alias("_nl")),
+                "d",
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("_nl"))).alias(
+                    "_nbrs"
+                )
+            )
+        )
+        lbl = (
+            lbl.join(nbrs, "node", "left")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("lbl"), F.coalesce("_nbrs", F.lit(""))
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    l0 = nodes.join(deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("_deg"), F.lit(0)).cast("string").alias("wl0"),
+    )
+    cls_w = Window.partitionBy("lbl")
+    return (
+        l0.join(lbl, "node")
+        .select(
+            "node",
+            "wl0",
+            F.col("lbl").alias("wl"),
+            F.count(F.lit(1)).over(cls_w).cast("long").alias("class_size"),
+        )
+    )
