@@ -257,26 +257,6 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
-def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood blocking (late round 3, operators/dedupe.py
-    sorted_neighborhood_pairs): the classic merge/purge dedupe blocking —
-    sort by a normalized 24-char text-prefix key, compare only records
-    within rank distance < 4, verify with exact 3-gram Jaccard >= 0.7.
-    The non-hash complement of the LSH/simhash family with linear,
-    DATA-INDEPENDENT candidate volume; global rank built scalably from a
-    monotone prefix bucket + tiny offset prefix-sum (never one
-    single-partition window over the corpus).  The DuckDB oracle computes
-    the same total order with one global row_number and the same
-    gap/Jaccard filters."""
-    from node_feedparser_spark.operators.dedupe import (
-        sorted_neighborhood_pairs,
-    )
-
-    return sorted_neighborhood_pairs(
-        _t(spark, sf_dir, "documents"), window=4, threshold=0.7
-    )
-
-
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (operators/dedupe.py)."""
     from node_feedparser_spark.operators.dedupe import simhash
@@ -3385,7 +3365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         # training-data pipeline operators
         "minhash_near_dup": q_minhash_near_dup,
-        "sorted_neighborhood": q_sorted_neighborhood,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3916,33 +3895,6 @@ def _extra_oracles() -> dict[str, str]:
                                6) AS jaccard
                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
-        """,
-        "sorted_neighborhood": f"""
-            WITH k AS (SELECT doc_id,
-                              substr(regexp_replace(lower(text),
-                                     '[^a-z0-9]', '', 'g'), 1, 24) AS key
-                       FROM documents),
-            r AS (SELECT doc_id,
-                         row_number() OVER (ORDER BY key, doc_id) AS rnk
-                  FROM k),
-            sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles
-                   FROM documents),
-            cand AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
-                            b.rnk - a.rnk AS rank_gap
-                     FROM r a JOIN r b
-                       ON b.rnk - a.rnk BETWEEN 1 AND 3),
-            j AS (SELECT LEAST(id_lo, id_hi) AS doc_a,
-                         GREATEST(id_lo, id_hi) AS doc_b,
-                         CAST(rank_gap AS BIGINT) AS rank_gap,
-                         ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                               / len(list_distinct(list_concat(sa.shingles,
-                                                               sb.shingles))),
-                               6) AS jaccard
-                  FROM cand
-                  JOIN sh sa ON sa.doc_id = cand.id_lo
-                  JOIN sh sb ON sb.doc_id = cand.id_hi)
-            SELECT doc_a, doc_b, rank_gap, jaccard FROM j
-            WHERE jaccard >= 0.7
         """,
         "ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id, {shingles_sql('text', 3)} AS shingles

@@ -743,121 +743,3 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src", "dst", "containment")
     )
-
-
-def sorted_neighborhood_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 4,
-    threshold: float = DEFAULT_JACCARD,
-    k: int = 3,
-    key_len: int = 24,
-    bucket_len: int = 2,
-) -> DataFrame:
-    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995 merge/purge)
-    — the classic NON-hash dedupe blocking method, complementing the LSH /
-    simhash / prefix-filter family: sort the corpus by a normalized key
-    (lowercased alnum-collapsed text prefix, ``key_len`` chars, doc id
-    tiebreak), compare only records whose GLOBAL SORT RANKS differ by
-    < ``window``, then verify candidates with exact shingle Jaccard.
-    Candidate volume is exactly n*(window-1)/ordering — LINEAR AND
-    DATA-INDEPENDENT, the property LSH cannot promise on adversarial
-    corpora (a hot band bucket is quadratic in its occupancy).
-
-    Scale-shaped global rank (no single-partition window): the sort key's
-    own ``bucket_len``-char prefix is MONOTONE in the total order, so
-    (bucket, key, id) IS (key, id) — rank = per-bucket row_number +
-    prefix-sum of bucket counts over the tiny distinct-prefix table
-    (the token_budget_sample cumsum pattern, but with a range bucket
-    instead of a hash bucket because order must survive).  A hot prefix
-    (every doc starting "the ...") concentrates one bucket — the knob is
-    ``bucket_len`` (longer prefix, finer buckets), the same lever as
-    range-partition boundary count.
-
-    Rank-window join without inequality-join blowup: block ranks by
-    ``s = window-1``; a pair with 1 <= gap <= s lives in the same or
-    adjacent block, so the a-side probes exactly two block keys (explode,
-    stays an equi-join) and the gap filter runs post-join on ~2*s rows
-    per doc.
-
-    Returns (doc_a, doc_b, rank_gap, jaccard): id-normalized pair
-    (doc_a < doc_b), the rank distance that found it, and the exact
-    verified Jaccard >= ``threshold``.
-    """
-    from pyspark.sql import Window as W
-
-    if window < 2:
-        raise ValueError("window must be >= 2 (no neighbors otherwise)")
-    key = F.substring(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
-        1,
-        key_len,
-    )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        key.alias("key"),
-        F.substring(key, 1, bucket_len).alias("bucket"),
-    )
-    local_w = W.partitionBy("bucket").orderBy("key", "doc_id")
-    local = base.withColumn("local_rk", F.row_number().over(local_w))
-    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    off_w = W.partitionBy().orderBy("bucket").rowsBetween(
-        W.unboundedPreceding, -1
-    )  # distinct-prefix table: <= 36^bucket_len rows, never the corpus
-    offsets = counts.withColumn(
-        "offset", F.coalesce(F.sum("n").over(off_w), F.lit(0))
-    ).select("bucket", "offset")
-    s = window - 1
-    ranked = (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rk")).alias("rank"),
-        )
-        .withColumn("blk", ((F.col("rank") - 1) - F.pmod(F.col("rank") - 1, s)) / s)
-    )
-    probe = ranked.select(
-        F.col("doc_id").alias("id_lo"),
-        F.col("rank").alias("rank_lo"),
-        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("blk"),
-    )
-    cand = (
-        probe.join(
-            ranked.select(
-                F.col("doc_id").alias("id_hi"),
-                F.col("rank").alias("rank_hi"),
-                "blk",
-            ),
-            "blk",
-        )
-        .filter(
-            (F.col("rank_hi") > F.col("rank_lo"))
-            & (F.col("rank_hi") - F.col("rank_lo") <= s)
-        )
-        .select(
-            "id_lo", "id_hi", (F.col("rank_hi") - F.col("rank_lo")).alias("rank_gap")
-        )
-    )
-    sh = shingled(docs, id_col, text_col, k)
-    sa = sh.select(F.col("doc_id").alias("id_lo"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_hi"), F.col("shingles").alias("sh_b"))
-    return (
-        cand.join(sa, "id_lo")
-        .join(sb, "id_hi")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.least("id_lo", "id_hi").alias("doc_a"),
-            F.greatest("id_lo", "id_hi").alias("doc_b"),
-            F.col("rank_gap").cast("long").alias("rank_gap"),
-            "jaccard",
-        )
-    )
