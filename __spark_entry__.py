@@ -3093,6 +3093,46 @@ def q_wl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_fingerprints(edges, rounds=2)
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (late round 3,
+    operators/graph_algo.py temporal_reachability): earliest-arrival
+    relaxation over the TEMPORAL supplier<->part contact graph — each
+    lineitem (orderkey % 12 == 3) is two directed temporal edges at
+    l_shipdate; suppliers 1..3 are seeded at 1990-01-01; three
+    synchronous rounds answer "which entities could this information
+    have reached, and when, respecting time order" — the provenance /
+    contagion question static khop_reach cannot ask (a topological path
+    running backward in time transmits nothing).  Exact timestamp
+    arithmetic only; the DuckDB oracle unrolls the same three
+    full-outer min-merges bit-identically."""
+    from node_feedparser_spark.operators.graph_algo import (
+        temporal_reachability,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 12 == 3)
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    edges = fwd.unionByName(
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst_id"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 3)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            F.lit("1990-01-01").cast("timestamp").alias("arrival"),
+        )
+    )
+    return temporal_reachability(edges, seeds, rounds=3)
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality from HyperANF ball deltas (late
     round 3, operators/graph_algo.py harmonic_centrality_anf — Boldi &
@@ -3432,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "betweenness": q_betweenness,
         "wl_fingerprints": q_wl_fingerprints,
+        "temporal_reach": q_temporal_reach,
         "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
@@ -5470,6 +5511,49 @@ def _extra_oracles() -> dict[str, str]:
         JOIN labels ld ON e.dst = ld.node
         WHERE ls.scc_id <> ld.scc_id
         GROUP BY 1, 2
+    """
+    # --- temporal reachability: three unrolled earliest-arrival
+    # relaxations (join + time-respect filter + min-agg + full-outer
+    # min-merge), exact timestamp arithmetic — bit-identical
+    d["temporal_reach"] = """
+        WITH e AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                          'p' || CAST(l_partkey AS VARCHAR) AS v,
+                          l_shipdate AS t
+                   FROM lineitem WHERE l_orderkey % 12 = 3
+                   UNION ALL
+                   SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                          's' || CAST(l_suppkey AS VARCHAR), l_shipdate
+                   FROM lineitem WHERE l_orderkey % 12 = 3),
+        a0 AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+                      TIMESTAMP '1990-01-01' AS arrival,
+                      CAST(0 AS BIGINT) AS first_hop
+               FROM supplier WHERE s_suppkey <= 3),
+        r1 AS (SELECT e.v AS node, MIN(e.t) AS new_arr
+               FROM e JOIN a0 ON a0.node = e.u AND e.t >= a0.arrival
+               GROUP BY 1),
+        a1 AS (SELECT COALESCE(a0.node, r1.node) AS node,
+                      LEAST(COALESCE(a0.arrival, r1.new_arr),
+                            COALESCE(r1.new_arr, a0.arrival)) AS arrival,
+                      COALESCE(a0.first_hop, 1) AS first_hop
+               FROM a0 FULL JOIN r1 ON a0.node = r1.node),
+        r2 AS (SELECT e.v AS node, MIN(e.t) AS new_arr
+               FROM e JOIN a1 ON a1.node = e.u AND e.t >= a1.arrival
+               GROUP BY 1),
+        a2 AS (SELECT COALESCE(a1.node, r2.node) AS node,
+                      LEAST(COALESCE(a1.arrival, r2.new_arr),
+                            COALESCE(r2.new_arr, a1.arrival)) AS arrival,
+                      COALESCE(a1.first_hop, 2) AS first_hop
+               FROM a1 FULL JOIN r2 ON a1.node = r2.node),
+        r3 AS (SELECT e.v AS node, MIN(e.t) AS new_arr
+               FROM e JOIN a2 ON a2.node = e.u AND e.t >= a2.arrival
+               GROUP BY 1),
+        a3 AS (SELECT COALESCE(a2.node, r3.node) AS node,
+                      LEAST(COALESCE(a2.arrival, r3.new_arr),
+                            COALESCE(r3.new_arr, a2.arrival)) AS arrival,
+                      COALESCE(a2.first_hop, 3) AS first_hop
+               FROM a2 FULL JOIN r3 ON a2.node = r3.node)
+        SELECT node, arrival, CAST(first_hop AS BIGINT) AS first_hop
+        FROM a3
     """
     # --- Weisfeiler-Lehman: the same degree seed + two rounds of
     # md5-of-sorted-multiset relabeling; pure string/hash arithmetic, so

@@ -2300,3 +2300,79 @@ def wl_fingerprints(
             F.count(F.lit(1)).over(cls_w).cast("long").alias("class_size"),
         )
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Time-respecting reachability over a TEMPORAL graph (Holme &
+    Saramaki temporal networks; Kempe-Kleinberg-Kumar time-respecting
+    paths): an edge (u, v, t) can forward only if u was already reached
+    at some a_u <= t, and v's arrival becomes the earliest such t.  The
+    question static khop cannot answer: "could information have flowed
+    from A to B?" — a path that exists topologically but runs BACKWARD
+    in time transmits nothing.  On a KG this is provenance/contagion
+    over timestamped interaction edges.
+
+    Earliest-arrival relaxation (temporal Bellman-Ford), ``rounds``
+    synchronous rounds::
+
+        a_0(v)   = seed arrival (seeds carry their own release time)
+        a_t(v)   = min(a_{t-1}(v),
+                       min { t_e : (u, v, t_e), t_e >= a_{t-1}(u) })
+
+    A LONGER path can deliver an EARLIER arrival, so arrivals may keep
+    falling after a node first becomes reachable — ``first_hop`` (the
+    round a node first appeared) and ``arrival`` (the converged earliest
+    time within the horizon) are therefore separate facts and both are
+    returned.  Everything is exact timestamp comparison — no floats, so
+    the unrolled DuckDB oracle is bit-identical.
+
+    Plan per round: one join of the static temporal edge list with the
+    current arrival vector on u + the time-respect filter + one
+    map-side-combinable min-agg on v, then a full-outer min-merge with
+    the previous vector.  The arrival vector is |reached| rows (<= |V|,
+    starts at |seeds|); the edge list never re-shuffles (hash-partition
+    once on u).  The vector is consumed TWICE per round (join + merge),
+    so each round is lazily localCheckpoint-ed — the kcore/khop lesson,
+    not the random_walks one.
+
+    Returns (node, arrival timestamp, first_hop long) for nodes reached
+    within the horizon (seeds: their seed arrival, first_hop 0).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(ts).alias("t")
+    )
+    arr = seeds.select(
+        F.col("node"),
+        F.col("arrival").cast("timestamp").alias("arrival"),
+        F.lit(0).cast("long").alias("first_hop"),
+    ).localCheckpoint(eager=False)
+    for r in range(1, rounds + 1):
+        relax = (
+            e.join(
+                arr.select(F.col("node").alias("u"), F.col("arrival").alias("a_u")),
+                "u",
+            )
+            .filter(F.col("t") >= F.col("a_u"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("t").alias("new_arr"))
+        )
+        arr = (
+            arr.join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("arrival", F.col("new_arr")),
+                    F.coalesce("new_arr", F.col("arrival")),
+                ).alias("arrival"),
+                F.coalesce("first_hop", F.lit(r)).cast("long").alias("first_hop"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return arr
