@@ -3036,6 +3036,28 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_violations(docs, ["lang", "source"], "band", l=3)
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (late round 3, operators/profile.py
+    t_closeness_violations): (lang, source) quasi-identifier groups whose
+    sensitive-attribute distribution (the 200-char length band) sits more
+    than t=0.15 total-variation distance from the global distribution —
+    the skewness-attack surface l-diversity misses (Li, Li &
+    Venkatasubramanian, ICDE'07).  Completes the privacy trio on the same
+    qid tuple: q_k_anonymity bounds group size, q_l_diversity the
+    distinct floor, this the distributional gap.  Absent-domain mass
+    folded in algebraically (no class x domain cross product); exact
+    integer numerators, one 6-dp-rounded division — the DuckDB oracle is
+    bit-identical."""
+    from node_feedparser_spark.operators.profile import (
+        t_closeness_violations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "band", F.floor(F.col("n_chars") / F.lit(200.0)).cast("long")
+    )
+    return t_closeness_violations(docs, ["lang", "source"], "band", t=0.15)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-source bounded Brandes betweenness (late round 3,
     operators/graph_algo.py betweenness): which entities BROKER
@@ -3580,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-anonymity audit (round 3)
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7217,6 +7240,38 @@ def _extra_oracles() -> dict[str, str]:
                     AS BIGINT) AS n_distinct_sensitive
         FROM documents GROUP BY 1, 2
         HAVING COUNT(DISTINCT CAST(FLOOR(n_chars / 200.0) AS BIGINT)) < 3
+    """
+    # --- t-closeness: same pair/class/value/total re-aggregation chain,
+    # exact integer numerators with the absent-domain mass folded in
+    # algebraically, one 6-dp-rounded division — bit-identical
+    d["t_closeness"] = """
+        WITH pairs AS (
+            SELECT lang, source,
+                   COALESCE(CAST(CAST(FLOOR(n_chars / 200.0) AS BIGINT)
+                                 AS VARCHAR), chr(0) || 'null') AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_cs
+            FROM documents GROUP BY 1, 2, 3),
+        pc AS (SELECT lang, source, CAST(SUM(n_cs) AS BIGINT) AS n_c
+               FROM pairs GROUP BY 1, 2),
+        pv AS (SELECT s, CAST(SUM(n_cs) AS BIGINT) AS n_s
+               FROM pairs GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM pv),
+        a AS (SELECT p.lang, p.source, MIN(pc.n_c) AS n_c,
+                     MIN(tot.n_tot) AS n_tot,
+                     CAST(SUM(ABS(p.n_cs * tot.n_tot - pv.n_s * pc.n_c))
+                          AS BIGINT) AS num_present,
+                     CAST(SUM(pv.n_s) AS BIGINT) AS ns_present
+              FROM pairs p
+              JOIN pv USING (s)
+              JOIN pc ON p.lang = pc.lang AND p.source = pc.source
+              CROSS JOIN tot
+              GROUP BY 1, 2)
+        SELECT lang, source, n_c AS n,
+               ROUND((num_present + n_c * (n_tot - ns_present))
+                     / (2.0 * n_c * n_tot), 6) AS tv_distance
+        FROM a
+        WHERE ROUND((num_present + n_c * (n_tot - ns_present))
+                    / (2.0 * n_c * n_tot), 6) > 0.15
     """
     # --- interval join: NAIVE range join on DuckDB's native IEJoin (an
     # independently-implemented range algorithm) vs Spark's bucketed plan

@@ -140,6 +140,101 @@ def l_diversity_violations(
     )
 
 
+def t_closeness_violations(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE-attribute distribution sits
+    farther than ``t`` from the table-global distribution — the
+    skewness-attack audit that l-diversity misses (Li, Li &
+    Venkatasubramanian, ICDE'07): a group can carry >= l distinct
+    sensitive values yet still leak if its MIX differs sharply from the
+    population (e.g. 90% of one diagnosis where the population has 5%).
+    Completes the trio: `k_anonymity_violations` bounds group SIZE,
+    `l_diversity_violations` bounds the distinct floor, this bounds the
+    DISTRIBUTIONAL gap.
+
+    Distance is the earth-mover distance under equal ground distance
+    (the paper's categorical case) = total variation:
+
+        tv(c) = 1/2 * sum_s | n_cs/n_c - n_s/n |
+
+    summed over the GLOBAL sensitive domain.  Values absent from the
+    class contribute |0 - n_s/n| — materializing that class x domain
+    cross product would explode, so the absent mass is folded in
+    algebraically: sum_{absent s} n_s*n_c = n_c*(n - sum_{present} n_s),
+    keeping the shuffle at ONE row per observed (qid, sensitive) pair,
+    the l_diversity scale shape exactly.
+
+    All mass terms are exact integer arithmetic (|n_cs*n - n_s*n_c| as
+    longs; sound for n below ~3e9 rows — beyond that, audit per
+    partition); ONE double division at the end, rounded 6 dp, so the SQL
+    oracle is bit-identical.  NULL sensitive values are their own
+    disclosure and count as a domain value via a coalesce sentinel.
+
+    Plan: one groupBy(qid, sensitive) count (map-side combinable), two
+    re-aggregations of that pair table (per-class, per-value — both tiny
+    relative to the corpus), a 1-row global total broadcast-crossed in,
+    and one final per-class sum.  The corpus shuffles once.
+
+    Returns (qid_cols..., n, tv_distance) for violating groups only:
+    tv_distance > t (strictly — a class AT the bound passes).
+    """
+    if not qid_cols:
+        raise ValueError("qid_cols must be non-empty")
+    if not 0 < t < 1:
+        raise ValueError("t must be in (0, 1)")
+    if sensitive_col in qid_cols:
+        raise ValueError("sensitive_col must not be a qid column")
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("\x00null")
+    )
+    pairs = df.groupBy(*qid_cols, sens.alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    per_class = pairs.groupBy(*qid_cols).agg(
+        F.sum("n_cs").cast("long").alias("n_c")
+    )
+    per_value = pairs.groupBy("__s").agg(
+        F.sum("n_cs").cast("long").alias("n_s")
+    )
+    total = per_value.agg(F.sum("n_s").cast("long").alias("n_tot"))
+    enriched = (
+        pairs.join(per_value, "__s")
+        .join(per_class, qid_cols)
+        .join(F.broadcast(total))
+    )
+    numer_present = F.abs(
+        F.col("n_cs") * F.col("n_tot") - F.col("n_s") * F.col("n_c")
+    )
+    agg = enriched.groupBy(*qid_cols).agg(
+        F.first("n_c").alias("n_c"),
+        F.first("n_tot").alias("n_tot"),
+        F.sum(numer_present).cast("long").alias("num_present"),
+        F.sum("n_s").cast("long").alias("ns_present"),
+    )
+    numer_total = F.col("num_present") + F.col("n_c") * (
+        F.col("n_tot") - F.col("ns_present")
+    )
+    return (
+        agg.withColumn(
+            "tv_distance",
+            F.round(
+                numer_total / (F.lit(2.0) * F.col("n_c") * F.col("n_tot")),
+                6,
+            ),
+        )
+        .where(F.col("tv_distance") > t)
+        .select(
+            *qid_cols,
+            F.col("n_c").cast("long").alias("n"),
+            "tv_distance",
+        )
+    )
+
+
 def blocking_quality(
     candidates: DataFrame,
     truth: DataFrame,
