@@ -1618,6 +1618,36 @@ def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation(edges, nodes)
 
 
+def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological longest-path layers (late round 3, operators/scc.py
+    topological_layers): the PERT/critical-path level assignment over a
+    deterministic divisor DAG on part keys (k -> 2k and k -> 3k while
+    within range) — layer(k) = a+b for k = m*2^a*3^b reachable in range,
+    i.e. the schedule wave in which k's "task" can run.  Depth is
+    log2(max key), so rounds stay bounded at ANY scale factor; pure
+    integer arithmetic, sum-stationary convergence, and the DuckDB
+    recursive-CTE longest-path oracle is bit-identical.  The condensation
+    composition (cycle-contract, then layer) is pinned in
+    tests/test_topo_layers.py."""
+    from node_feedparser_spark.operators.scc import topological_layers
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    mx = part.agg(F.max("k").alias("mx"))
+    keyed = part.join(F.broadcast(mx))
+    edges = (
+        keyed.filter(F.col("k") * 2 <= F.col("mx"))
+        .select(F.col("k").alias("src"), (F.col("k") * 2).alias("dst"))
+        .unionByName(
+            keyed.filter(F.col("k") * 3 <= F.col("mx")).select(
+                F.col("k").alias("src"), (F.col("k") * 3).alias("dst")
+            )
+        )
+    )
+    return topological_layers(edges, nodes=part.select(F.col("k").alias("node")))
+
+
 def q_link_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-link score calibration (round 3,
     operators/link_scoring.py): the north rule's 'entity-link scoring'
@@ -3603,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
+        "topo_layers": q_topo_layers,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7240,6 +7271,28 @@ def _extra_oracles() -> dict[str, str]:
                     AS BIGINT) AS n_distinct_sensitive
         FROM documents GROUP BY 1, 2
         HAVING COUNT(DISTINCT CAST(FLOOR(n_chars / 200.0) AS BIGINT)) < 3
+    """
+    # --- topological layers: recursive-CTE longest path over the same
+    # divisor DAG; every node seeds at 0, UNION ALL walk, MAX(len) per
+    # node — pure integer arithmetic, bit-identical
+    d["topo_layers"] = """
+        WITH RECURSIVE mx AS (
+            SELECT CAST(MAX(p_partkey) AS BIGINT) AS m FROM part),
+        e AS (SELECT CAST(p_partkey AS BIGINT) AS src,
+                     CAST(p_partkey * 2 AS BIGINT) AS dst
+              FROM part, mx
+              WHERE p_partkey * 2 <= m AND p_partkey > 0
+              UNION ALL
+              SELECT CAST(p_partkey AS BIGINT),
+                     CAST(p_partkey * 3 AS BIGINT)
+              FROM part, mx
+              WHERE p_partkey * 3 <= m AND p_partkey > 0),
+        walk(node, len) AS (
+            SELECT CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part
+            UNION ALL
+            SELECT e.dst, w.len + 1 FROM walk w JOIN e ON e.src = w.node)
+        SELECT node, CAST(MAX(len) AS BIGINT) AS layer
+        FROM walk GROUP BY 1
     """
     # --- t-closeness: same pair/class/value/total re-aggregation chain,
     # exact integer numerators with the absent-domain mass folded in

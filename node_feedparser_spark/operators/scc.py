@@ -200,3 +200,85 @@ def condensation(
         .groupBy("src_scc", "dst_scc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def topological_layers(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Longest-path layer of every node of a DAG: layer(v) = length of
+    the longest directed path ending at v (equivalently, from some
+    in-degree-0 source — in a DAG any path extends backward to one).
+    This is the level assignment topological scheduling actually wants:
+    all nodes in one layer are mutually independent and a schedule of
+    exactly depth+1 waves is optimal — the natural consumer of
+    `condensation` (its docstring names this), since real dependency
+    graphs must be cycle-contracted first.
+
+    Level-synchronous max-relaxation (the PERT/critical-path recurrence):
+
+        layer_0(v) = 0
+        layer_t(v) = max(layer_{t-1}(v),
+                         1 + max over in-edges (u,v) of layer_{t-1}(u))
+
+    Layers only ever increase and the total sum is stationary exactly at
+    the fixpoint, so convergence is detected by ONE map-side-combinable
+    sum per round — no row-diff join.  A cycle never reaches a fixpoint
+    (its layers rise forever), so exhausting ``max_rounds`` raises: this
+    operator refuses cyclic input instead of silently looping, and the
+    error says to condense first.  Pure integer arithmetic — the
+    recursive-CTE oracle is bit-identical.
+
+    Plan per round: one edge-vector equi-join + max-agg on dst + one
+    left-join merge; the layer vector is |V| rows, the edge list is
+    hash-partitioned once and never re-shuffles.  The vector is consumed
+    by join, merge, AND the sum probe, so each round is eagerly
+    localCheckpoint-ed (the scc/khop multi-consumer lesson).  Rounds =
+    DAG depth + 1 — the inherent sequential critical path; any
+    topological schedule takes that many waves, so no log-round
+    shortcut is attempted (transitive doubling would square the edge
+    set at 100 TB for a constant-factor latency win).
+
+    Returns (node, layer) for every vertex; isolated vertices (via
+    ``nodes``) sit at layer 0.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = raw.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    seen = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if nodes is not None:
+        seen = seen.union(nodes.select(F.col("node").cast("long"))).distinct()
+    lay = seen.select(
+        "node", F.lit(0).cast("long").alias("layer")
+    ).localCheckpoint()
+    prev = 0
+    for _ in range(max_rounds):
+        relax = (
+            e.join(lay.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        lay = (
+            lay.join(relax, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("layer"), F.coalesce("cand", F.col("layer"))
+                ).alias("layer"),
+            )
+            .localCheckpoint()
+        )
+        total = lay.agg(F.sum("layer")).first()[0] or 0
+        if total == prev:
+            return lay
+        prev = total
+    raise ValueError(
+        f"no fixpoint after {max_rounds} rounds: the graph has a cycle "
+        "(condense SCCs first) or its depth exceeds max_rounds"
+    )
