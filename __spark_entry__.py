@@ -1618,6 +1618,30 @@ def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation(edges, nodes)
 
 
+def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent itemsets (late round 3, operators/itemsets.py
+    frequent_itemsets): which part-brand combinations co-occur in at
+    least 0.15% of order baskets — the market-basket/co-mention pattern
+    family (Agrawal-Srikant VLDB'94), the corpus-level generalization of
+    the reference's per-item category accumulate (SURVEY A5).  Baskets =
+    order -> distinct brands via a broadcast part-dim join; support is
+    RELATIVE and compared in exact integer arithmetic (s*den >= num*n),
+    so the same mining travels across corpus sizes; monotonicity prunes
+    are broadcast semi-joins — the corpus shuffles once.  The DuckDB
+    oracle mirrors all three levels with the same integer threshold."""
+    from node_feedparser_spark.operators.itemsets import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return frequent_itemsets(baskets, support_num=15, support_den=10000)
+
+
 def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological longest-path layers (late round 3, operators/scc.py
     topological_layers): the PERT/critical-path level assignment over a
@@ -3634,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "topo_layers": q_topo_layers,
+        "freq_itemsets": q_freq_itemsets,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7271,6 +7296,51 @@ def _extra_oracles() -> dict[str, str]:
                     AS BIGINT) AS n_distinct_sensitive
         FROM documents GROUP BY 1, 2
         HAVING COUNT(DISTINCT CAST(FLOOR(n_chars / 200.0) AS BIGINT)) < 3
+    """
+    # --- frequent itemsets: the same three A-priori levels with the
+    # same exact integer relative-support threshold — bit-identical
+    d["freq_itemsets"] = """
+        WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS bk,
+                          CAST(p_brand AS VARCHAR) AS i
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+        f1 AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS support
+               FROM b GROUP BY 1
+               HAVING CAST(COUNT(*) AS BIGINT) * 10000
+                      >= 15 * (SELECT n FROM n)),
+        f2 AS (SELECT x.i AS i1, y.i AS i2,
+                      CAST(COUNT(*) AS BIGINT) AS support
+               FROM b x JOIN b y ON x.bk = y.bk AND x.i < y.i
+               WHERE x.i IN (SELECT i FROM f1)
+                 AND y.i IN (SELECT i FROM f1)
+               GROUP BY 1, 2
+               HAVING CAST(COUNT(*) AS BIGINT) * 10000
+                      >= 15 * (SELECT n FROM n)),
+        f3 AS (SELECT x.i AS i1, y.i AS i2, z.i AS i3,
+                      CAST(COUNT(*) AS BIGINT) AS support
+               FROM b x
+               JOIN b y ON x.bk = y.bk AND x.i < y.i
+               JOIN b z ON x.bk = z.bk AND y.i < z.i
+               WHERE x.i IN (SELECT i FROM f1)
+                 AND y.i IN (SELECT i FROM f1)
+                 AND z.i IN (SELECT i FROM f1)
+                 AND EXISTS (SELECT 1 FROM f2
+                             WHERE f2.i1 = x.i AND f2.i2 = y.i)
+                 AND EXISTS (SELECT 1 FROM f2
+                             WHERE f2.i1 = x.i AND f2.i2 = z.i)
+                 AND EXISTS (SELECT 1 FROM f2
+                             WHERE f2.i1 = y.i AND f2.i2 = z.i)
+               GROUP BY 1, 2, 3
+               HAVING CAST(COUNT(*) AS BIGINT) * 10000
+                      >= 15 * (SELECT n FROM n))
+        SELECT CAST(1 AS BIGINT) AS k, i AS i1,
+               CAST(NULL AS VARCHAR) AS i2, CAST(NULL AS VARCHAR) AS i3,
+               support
+        FROM f1
+        UNION ALL
+        SELECT 2, i1, i2, NULL, support FROM f2
+        UNION ALL
+        SELECT 3, i1, i2, i3, support FROM f3
     """
     # --- topological layers: recursive-CTE longest path over the same
     # divisor DAG; every node seeds at 0, UNION ALL walk, MAX(len) per
