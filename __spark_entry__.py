@@ -1642,6 +1642,29 @@ def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(baskets, support_num=15, support_den=10000)
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (late round 3, operators/itemsets.py
+    association_rules): X -> Y with confidence and lift over the same
+    order -> part-brand baskets as q_freq_itemsets (support 0.15%,
+    confidence >= 5%) — Agrawal-Srikant's second stage.  The confidence
+    gate is an exact integer comparison BEFORE the two 6-dp-rounded
+    divisions, and everything after the mining runs on
+    frequent-set-sized tables, so the corpus shuffles exactly once."""
+    from node_feedparser_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(
+        baskets, support_num=15, support_den=10000, conf_num=1, conf_den=20
+    )
+
+
 def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological longest-path layers (late round 3, operators/scc.py
     topological_layers): the PERT/critical-path level assignment over a
@@ -3659,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "topo_layers": q_topo_layers,
         "freq_itemsets": q_freq_itemsets,
+        "assoc_rules": q_assoc_rules,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7341,6 +7365,97 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- association rules: the freq_itemsets levels + the 8 rule
+    # splits, integer confidence gate before the two rounded divisions
+    d["assoc_rules"] = """
+        WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS bk,
+                          CAST(p_brand AS VARCHAR) AS i
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+        f1 AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS support
+               FROM b GROUP BY 1
+               HAVING CAST(COUNT(*) AS BIGINT) * 10000
+                      >= 15 * (SELECT n FROM n)),
+        f2 AS (SELECT x.i AS i1, y.i AS i2,
+                      CAST(COUNT(*) AS BIGINT) AS support
+               FROM b x JOIN b y ON x.bk = y.bk AND x.i < y.i
+               WHERE x.i IN (SELECT i FROM f1)
+                 AND y.i IN (SELECT i FROM f1)
+               GROUP BY 1, 2
+               HAVING CAST(COUNT(*) AS BIGINT) * 10000
+                      >= 15 * (SELECT n FROM n)),
+        f3 AS (SELECT x.i AS i1, y.i AS i2, z.i AS i3,
+                      CAST(COUNT(*) AS BIGINT) AS support
+               FROM b x
+               JOIN b y ON x.bk = y.bk AND x.i < y.i
+               JOIN b z ON x.bk = z.bk AND y.i < z.i
+               WHERE x.i IN (SELECT i FROM f1)
+                 AND y.i IN (SELECT i FROM f1)
+                 AND z.i IN (SELECT i FROM f1)
+                 AND EXISTS (SELECT 1 FROM f2
+                             WHERE f2.i1 = x.i AND f2.i2 = y.i)
+                 AND EXISTS (SELECT 1 FROM f2
+                             WHERE f2.i1 = x.i AND f2.i2 = z.i)
+                 AND EXISTS (SELECT 1 FROM f2
+                             WHERE f2.i1 = y.i AND f2.i2 = z.i)
+               GROUP BY 1, 2, 3
+               HAVING CAST(COUNT(*) AS BIGINT) * 10000
+                      >= 15 * (SELECT n FROM n)),
+        raw_rules AS (
+            SELECT i1 AS ante, i2 AS cons, support,
+                   (SELECT support FROM f1 WHERE i = f2.i1) AS sx,
+                   (SELECT support FROM f1 WHERE i = f2.i2) AS sy
+            FROM f2
+            UNION ALL
+            SELECT i2, i1, support,
+                   (SELECT support FROM f1 WHERE i = f2.i2),
+                   (SELECT support FROM f1 WHERE i = f2.i1)
+            FROM f2
+            UNION ALL
+            SELECT i1, i2 || ',' || i3, support,
+                   (SELECT support FROM f1 WHERE i = f3.i1),
+                   (SELECT support FROM f2
+                    WHERE i1 = f3.i2 AND i2 = f3.i3)
+            FROM f3
+            UNION ALL
+            SELECT i2, i1 || ',' || i3, support,
+                   (SELECT support FROM f1 WHERE i = f3.i2),
+                   (SELECT support FROM f2
+                    WHERE i1 = f3.i1 AND i2 = f3.i3)
+            FROM f3
+            UNION ALL
+            SELECT i3, i1 || ',' || i2, support,
+                   (SELECT support FROM f1 WHERE i = f3.i3),
+                   (SELECT support FROM f2
+                    WHERE i1 = f3.i1 AND i2 = f3.i2)
+            FROM f3
+            UNION ALL
+            SELECT i1 || ',' || i2, i3, support,
+                   (SELECT support FROM f2
+                    WHERE i1 = f3.i1 AND i2 = f3.i2),
+                   (SELECT support FROM f1 WHERE i = f3.i3)
+            FROM f3
+            UNION ALL
+            SELECT i1 || ',' || i3, i2, support,
+                   (SELECT support FROM f2
+                    WHERE i1 = f3.i1 AND i2 = f3.i3),
+                   (SELECT support FROM f1 WHERE i = f3.i2)
+            FROM f3
+            UNION ALL
+            SELECT i2 || ',' || i3, i1, support,
+                   (SELECT support FROM f2
+                    WHERE i1 = f3.i2 AND i2 = f3.i3),
+                   (SELECT support FROM f1 WHERE i = f3.i1)
+            FROM f3)
+        SELECT ante AS antecedent, cons AS consequent, support,
+               ((2 * support * 1000000 + sx) // (2 * sx))
+                   / 1000000.0 AS confidence,
+               ((2 * support * (SELECT n FROM n) * 1000000 + sx * sy)
+                   // (2 * sx * sy)) / 1000000.0 AS lift
+        FROM raw_rules
+        WHERE sx IS NOT NULL AND sy IS NOT NULL
+          AND support * 20 >= 1 * sx
     """
     # --- topological layers: recursive-CTE longest path over the same
     # divisor DAG; every node seeds at 0, UNION ALL walk, MAX(len) per
