@@ -1642,6 +1642,23 @@ def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(baskets, support_num=15, support_den=10000)
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier butterfly counts (late round 3,
+    operators/bipartite.py butterfly_counts): 2x2 bicliques over the
+    bipartite supplier<->part shipment graph (orderkey % 6 == 1) — the
+    bipartite analogue of triangle counting (triangle_count returns 0 on
+    bipartite graphs: no odd cycles), the collusion/density signature.
+    Wedge self-join on the part key, pair count, C(w,2) row-local, one
+    per-node sum — pure integer arithmetic, bit-identical oracle."""
+    from node_feedparser_spark.operators.bipartite import butterfly_counts
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 6 == 1)
+    edges = li.select(
+        F.col("l_suppkey").alias("left"), F.col("l_partkey").alias("right")
+    )
+    return butterfly_counts(edges)
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules (late round 3, operators/itemsets.py
     association_rules): X -> Y with confidence and lift over the same
@@ -3683,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_layers": q_topo_layers,
         "freq_itemsets": q_freq_itemsets,
         "assoc_rules": q_assoc_rules,
+        "butterflies": q_butterflies,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7365,6 +7383,24 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- butterflies: same wedge self-join + pair count + C(w,2) sum,
+    # pure integer — bit-identical
+    d["butterflies"] = """
+        WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+                          CAST(l_partkey AS BIGINT) AS r
+                   FROM lineitem WHERE l_orderkey % 6 = 1),
+        p AS (SELECT a.u AS u1, b.u AS u2,
+                     CAST(COUNT(*) AS BIGINT) AS w
+              FROM e a JOIN e b ON a.r = b.r AND a.u < b.u
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 2),
+        bf AS (SELECT u1, u2, w * (w - 1) // 2 AS bf FROM p)
+        SELECT node, CAST(SUM(bf) AS BIGINT) AS butterflies
+        FROM (SELECT u1 AS node, bf FROM bf
+              UNION ALL
+              SELECT u2, bf FROM bf)
+        GROUP BY 1
     """
     # --- association rules: the freq_itemsets levels + the 8 rule
     # splits, integer confidence gate before the two rounded divisions
