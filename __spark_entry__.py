@@ -3249,6 +3249,32 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_reachability(edges, seeds, rounds=3)
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (late round 3, operators/graph_algo.py
+    katz_centrality): walk-count centrality with beta = 1/4 over three
+    rounds on the symmetrized supplier<->part contact graph (orderkey %
+    8 == 5; both directions, so longer walks exist) — no per-node
+    normalization (vs pagerank), repeated walks all count (vs hyperanf
+    ball sizes).  Walk counts are exact longs,
+    attenuation is accumulated integer-scaled by 4^rounds, and the one
+    final division is dyadic (power of two) hence FLOAT-EXACT — the
+    unrolled DuckDB oracle is bit-identical with no rounding clause."""
+    from node_feedparser_spark.operators.graph_algo import katz_centrality
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 8 == 5)
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_id"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_id"),
+    )
+    edges = fwd.unionByName(
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src_id"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst_id"),
+        )
+    ).distinct()
+    return katz_centrality(edges, rounds=3, beta_den=4)
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality from HyperANF ball deltas (late
     round 3, operators/graph_algo.py harmonic_centrality_anf — Boldi &
@@ -3589,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "wl_fingerprints": q_wl_fingerprints,
         "temporal_reach": q_temporal_reach,
+        "katz": q_katz,
         "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,
@@ -5632,6 +5659,32 @@ def _extra_oracles() -> dict[str, str]:
         JOIN labels ld ON e.dst = ld.node
         WHERE ls.scc_id <> ld.scc_id
         GROUP BY 1, 2
+    """
+    # --- Katz: three unrolled integer walk-count relaxations, scaled
+    # attenuation sum, one dyadic (float-exact) division — bit-identical
+    d["katz"] = """
+        WITH e AS (SELECT DISTINCT u, v FROM (
+                   SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                          'p' || CAST(l_partkey AS VARCHAR) AS v
+                   FROM lineitem WHERE l_orderkey % 8 = 5
+                   UNION ALL
+                   SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                          's' || CAST(l_suppkey AS VARCHAR)
+                   FROM lineitem WHERE l_orderkey % 8 = 5)),
+        w0 AS (SELECT node, CAST(1 AS BIGINT) AS w FROM (
+               SELECT u AS node FROM e UNION SELECT v FROM e)),
+        w1 AS (SELECT e.v AS node, CAST(SUM(w0.w) AS BIGINT) AS w
+               FROM e JOIN w0 ON w0.node = e.u GROUP BY 1),
+        w2 AS (SELECT e.v AS node, CAST(SUM(w1.w) AS BIGINT) AS w
+               FROM e JOIN w1 ON w1.node = e.u GROUP BY 1),
+        w3 AS (SELECT e.v AS node, CAST(SUM(w2.w) AS BIGINT) AS w
+               FROM e JOIN w2 ON w2.node = e.u GROUP BY 1),
+        acc AS (SELECT node, CAST(SUM(t) AS BIGINT) AS acc FROM (
+                SELECT node, w * 16 AS t FROM w1
+                UNION ALL SELECT node, w * 4 FROM w2
+                UNION ALL SELECT node, w FROM w3)
+                GROUP BY 1)
+        SELECT node, acc / 64.0 AS katz FROM acc
     """
     # --- temporal reachability: three unrolled earliest-arrival
     # relaxations (join + time-respect filter + min-agg + full-outer

@@ -2376,3 +2376,83 @@ def temporal_reachability(
             .localCheckpoint(eager=False)
         )
     return arr
+
+
+def katz_centrality(
+    edges: DataFrame,
+    rounds: int = 3,
+    beta_den: int = 4,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): katz(v) = sum over walk
+    lengths k = 1..rounds of beta^k * (number of length-k walks ending
+    at v), with attenuation beta = 1/beta_den.  The WALK-counting
+    centrality: unlike PageRank there is no per-node normalization (a
+    hub passes its full count to every successor), unlike the ball-size
+    family (hyperanf/harmonic) repeated paths count every time, and
+    unlike betweenness it scores termination, not brokerage.
+
+    Exactness: walk counts are exact LONG integers (w_k(v) = sum of
+    w_{k-1} over in-neighbors, w_0 = 1 everywhere); the attenuated sum
+    is accumulated SCALED by beta_den^rounds —
+
+        acc(v) = sum_k w_k(v) * beta_den^(rounds-k)   (pure integer)
+        katz(v) = acc(v) / beta_den^rounds
+
+    and with beta_den a power of two the final division is EXACT in
+    binary floating point (one dyadic division, no rounding) — the
+    unrolled SQL oracle is bit-identical with zero rounding discipline.
+    Walk counts grow like (avg degree)^rounds; the long accumulator is
+    sound while d^rounds * beta_den^rounds < 2^63 — truncation depth is
+    the caller's contract, same as khop/betweenness.
+
+    Plan per round: ONE equi-join of the static edge list with the
+    current walk vector on the source + one map-side-combinable sum on
+    the destination, then an integer-weighted full-outer merge into the
+    accumulator.  The walk vector (<= |V| rows) is consumed twice per
+    round (next relaxation + merge), so rounds are lazily
+    localCheckpoint-ed; the edge list never re-shuffles.
+
+    Returns (node, katz) for nodes with at least one incoming walk
+    within the horizon.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if beta_den < 2 or (beta_den & (beta_den - 1)) != 0:
+        raise ValueError("beta_den must be a power of two >= 2")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    w = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.lit(1).cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    acc = None
+    for k in range(1, rounds + 1):
+        w = (
+            e.join(w.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        scale = beta_den ** (rounds - k)
+        term = w.select(
+            "node", (F.col("w") * F.lit(scale)).cast("long").alias("t")
+        )
+        if acc is None:
+            acc = term.withColumnRenamed("t", "acc")
+        else:
+            acc = (
+                acc.join(term, "node", "full")
+                .select(
+                    "node",
+                    (F.coalesce("acc", F.lit(0)) + F.coalesce("t", F.lit(0)))
+                    .cast("long")
+                    .alias("acc"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    denom = float(beta_den**rounds)
+    return acc.select("node", (F.col("acc") / F.lit(denom)).alias("katz"))
