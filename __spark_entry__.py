@@ -907,6 +907,25 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping ids (late round 3): the full 2^2 subtotal
+    lattice over (returnflag, linestatus) — the OLAP companion of
+    q_rollup_revenue's hierarchy-only subtotals; grouping_id()
+    disambiguates a NULL group key from a subtotal row (both engines use
+    the same first-arg-most-significant bitmask).  Quantity is
+    integer-valued so its double sum is order-independent and exact; one
+    expand + partial/final agg, no joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
 def q_whitespace_hoist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 whitespace-only drop + hoist: trim, then NULL out empty strings
     (the reference deletes all-whitespace text nodes)."""
@@ -1640,6 +1659,33 @@ def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
     )
     return frequent_itemsets(baskets, support_num=15, support_den=10000)
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union coverage (late round 3, operators/timeline.py
+    interval_coverage): events become half-open activity intervals
+    [ts, ts + value seconds) in exact long microseconds and overlaps
+    merge — effective uptime / speaker airtime, the interval companion
+    of sessionize (gap rule on points) and allen_relations (pairwise
+    classification).  Runs the BUCKETED plan (coverage is additive over
+    a time partition: clip to 1-hour buckets, merge islands locally,
+    subtract boundary junctions) so no task ever windows a whole
+    mega-key; the DuckDB oracle is the independent single-window
+    gaps-and-islands plan.  FLOOR before the double->long cast on both
+    engines (Spark casts truncate, DuckDB casts round — the Benford
+    lesson)."""
+    from node_feedparser_spark.operators.timeline import interval_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * 1000000).cast("long")
+        ).alias("e_us"),
+    )
+    return interval_coverage(iv, bucket_us=3_600_000_000)
 
 
 def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3728,6 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_itemsets": q_freq_itemsets,
         "assoc_rules": q_assoc_rules,
         "butterflies": q_butterflies,
+        "interval_coverage": q_interval_coverage,
+        "cube_pricing": q_cube_pricing,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7436,6 +7484,47 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- cube: same 2^2 lattice, GROUPING() bitmask matches Spark's
+    # grouping_id() first-arg-most-significant convention
+    d["cube_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    # --- interval coverage: the INDEPENDENT single-window
+    # gaps-and-islands plan (vs Spark's bucketed-clip plan) — exact
+    # long microseconds, FLOOR before the cast
+    d["interval_coverage"] = """
+        WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+                           epoch_us(ts)
+                           + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+                    FROM events
+                    WHERE epoch_us(ts)
+                          + CAST(FLOOR(value * 1000000) AS BIGINT)
+                          > epoch_us(ts)),
+        m AS (SELECT k, s, e,
+                     MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS rm
+              FROM iv),
+        f AS (SELECT k, s, e,
+                     CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END AS ni
+              FROM m),
+        g AS (SELECT k, s, e,
+                     SUM(ni) OVER (PARTITION BY k ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS iid
+              FROM f),
+        isl AS (SELECT k, iid, MIN(s) AS ms, MAX(e) AS me,
+                       COUNT(*) AS n_iv
+                FROM g GROUP BY 1, 2)
+        SELECT k AS key, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(me - ms) AS BIGINT) AS covered_us
+        FROM isl GROUP BY 1
     """
     # --- butterflies: same wedge self-join + pair count + C(w,2) sum,
     # pure integer — bit-identical

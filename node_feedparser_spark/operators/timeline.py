@@ -342,3 +342,162 @@ def allen_relations(
         .filter(F.col("a") < F.col("b"))
         .select(F.col("_k").alias(key), "a", "b", rel.alias("rel"))
     )
+
+
+def interval_coverage_naive(
+    df: DataFrame,
+    key: str = "key",
+    start: str = "s_us",
+    end: str = "e_us",
+) -> DataFrame:
+    """Reference plan for `interval_coverage`: classic gaps-and-islands
+    with ONE window per key — correct, but a mega-key sorts inside a
+    single task (the scd2_timeline_naive caveat verbatim).  Kept as the
+    equality oracle for the bucketed plan; intervals are half-open
+    ``[s, e)`` LONG microseconds, rows with ``e <= s`` drop.
+
+    Returns (key, n_intervals, n_islands, covered_us).
+    """
+    iv = df.select(
+        F.col(key).alias("k"),
+        F.col(start).cast("long").alias("s"),
+        F.col(end).cast("long").alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    w = Window.partitionBy("k").orderBy("s", "e")
+    run_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "ni",
+        F.when(
+            run_max.isNull() | (F.col("s") > run_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "iid", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = flagged.groupBy("k", "iid").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return islands.groupBy(F.col("k").alias(key)).agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key: str = "key",
+    start: str = "s_us",
+    end: str = "e_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-key union coverage of half-open ``[s, e)`` intervals: how much
+    of the timeline each key actually covers after overlaps merge — the
+    effective-uptime / SLA / speaker-airtime statistic, and the interval
+    companion of `sessionize` (points with a gap rule) and
+    `allen_relations` (pairwise interval classification).
+
+    Returns (key, n_intervals, n_islands, covered_us): raw interval
+    count, merged-run count (touching intervals merge: gap 0 is no gap),
+    and the exact union length in LONG microseconds — pure integer
+    arithmetic, bit-identical oracle.
+
+    Scale plan (no per-key window over the whole key — the
+    sessionize/scd2 mega-key discipline, by a different route):
+    coverage MEASURE is additive over any partition of the time axis, so
+    intervals are first CLIPPED to ``bucket_us`` buckets (one row per
+    touched bucket via a sequence explode), islands merge LOCALLY inside
+    each (key, bucket) window — bounded task, whatever the key's total
+    span — and per-key sums re-assemble the answer.  The island COUNT is
+    not additive: a run crossing a bucket boundary appears once on each
+    side, so junctions (coverage touching the boundary from BOTH sides —
+    detected from each bucket's min-start / max-end against the bucket
+    edges, empty buckets cannot intervene because a spanning interval
+    leaves a clipped piece in every bucket it crosses) are counted with
+    one self-join on (key, bucket+1) and subtracted.  An interval
+    spanning B buckets explodes into B rows — bounded by span /
+    bucket_us; pick the bucket so typical intervals touch O(1) buckets.
+
+    Matches `interval_coverage_naive` exactly (pinned by test).
+    """
+    if bucket_us < 1:
+        raise ValueError("bucket_us must be >= 1")
+    iv = df.select(
+        F.col(key).alias("k"),
+        F.col(start).cast("long").alias("s"),
+        F.col(end).cast("long").alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    n_raw = iv.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    b = F.lit(bucket_us)
+    pieces = iv.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / b).cast("long"),
+                F.floor((F.col("e") - 1) / b).cast("long"),
+            )
+        ).alias("bkt"),
+        "s",
+        "e",
+    ).select(
+        "k",
+        "bkt",
+        F.greatest(F.col("s"), F.col("bkt") * b).alias("ps"),
+        F.least(F.col("e"), (F.col("bkt") + 1) * b).alias("pe"),
+    )
+    w = Window.partitionBy("k", "bkt").orderBy("ps", "pe")
+    run_max = F.max("pe").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pieces.withColumn(
+        "ni",
+        F.when(
+            run_max.isNull() | (F.col("ps") > run_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "iid", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = flagged.groupBy("k", "bkt", "iid").agg(
+        F.min("ps").alias("ms"), F.max("pe").alias("me")
+    )
+    per_bucket = islands.groupBy("k", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_isl"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("cov"),
+        F.max(
+            (F.col("me") == (F.col("bkt") + 1) * b).cast("int")
+        ).alias("touch_r"),
+        F.max(
+            (F.col("ms") == F.col("bkt") * b).cast("int")
+        ).alias("touch_l"),
+    ).localCheckpoint(eager=False)
+    junctions = (
+        per_bucket.filter(F.col("touch_r") == 1)
+        .select("k", (F.col("bkt") + 1).alias("bkt"))
+        .join(
+            per_bucket.filter(F.col("touch_l") == 1).select("k", "bkt"),
+            ["k", "bkt"],
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_junc"))
+    )
+    agg = per_bucket.groupBy("k").agg(
+        F.sum("n_isl").cast("long").alias("isl_raw"),
+        F.sum("cov").cast("long").alias("covered_us"),
+    )
+    return (
+        agg.join(junctions, "k", "left")
+        .join(n_raw, "k")
+        .select(
+            F.col("k").alias(key),
+            "n_intervals",
+            (F.col("isl_raw") - F.coalesce("n_junc", F.lit(0)))
+            .cast("long")
+            .alias("n_islands"),
+            "covered_us",
+        )
+    )
