@@ -907,6 +907,22 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quartiles (late round 3, operators/profile.py
+    exact_percentiles): p25/p50/p75 of lineitem quantity per
+    (returnflag, linestatus) by pure integer position selection
+    (ceil(q*n), type-1/lower quantile, NO interpolation) over a
+    distinct-value histogram — the sketch-free exact twin of
+    hist_quantiles for bounded value domains; the cumulative window runs
+    over the ~50 distinct quantities per key, never the row count."""
+    from node_feedparser_spark.operators.profile import exact_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_percentiles(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity"
+    )
+
+
 def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with grouping ids (late round 3): the full 2^2 subtotal
     lattice over (returnflag, linestatus) — the OLAP companion of
@@ -3776,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": q_butterflies,
         "interval_coverage": q_interval_coverage,
         "cube_pricing": q_cube_pricing,
+        "exact_percentiles": q_exact_percentiles,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7484,6 +7501,30 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- exact percentiles: same distinct-histogram + integer position
+    # selection (type-1 quantile, no interpolation) — bit-identical
+    d["exact_percentiles"] = """
+        WITH h AS (SELECT l_returnflag, l_linestatus,
+                          CAST(l_quantity AS BIGINT) AS v,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1, 2, 3),
+        cum AS (SELECT l_returnflag, l_linestatus, v,
+                       SUM(c) OVER (PARTITION BY l_returnflag, l_linestatus
+                                    ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER (PARTITION BY l_returnflag,
+                                    l_linestatus) AS n
+                FROM h)
+        SELECT l_returnflag, l_linestatus,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END)
+                    AS BIGINT) AS p25,
+               CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END)
+                    AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END)
+                    AS BIGINT) AS p75
+        FROM cum GROUP BY 1, 2
     """
     # --- cube: same 2^2 lattice, GROUPING() bitmask matches Spark's
     # grouping_id() first-arg-most-significant convention

@@ -532,3 +532,63 @@ def gini_concentration(
         F.sum("c").cast("long").alias("n"),
         F.round(F.sum(F.col("_v") * F.col("c")), 6).alias("total"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """EXACT grouped quartiles (p25 / p50 / p75) of an integer-valued
+    column — the sketch-free twin of `hist_quantiles`: where that trades
+    accuracy for a fixed-size state at unbounded cardinality, this is
+    bit-exact whenever the value DOMAIN is bounded (quantities, counts,
+    ages, star-ratings — most KG edge statistics), which is the common
+    case the sketch needlessly approximates.
+
+    Selection semantics: p_q = the element at 1-indexed position
+    ``ceil(q * n)`` of the sorted multiset (the lower/type-1 empirical
+    quantile) — pure integer position arithmetic, NO interpolation, so
+    no float ever enters and the SQL oracle is bit-identical (engines
+    disagree on interpolated percentile conventions; they cannot
+    disagree on element selection).
+
+    Plan (the gini/roc_auc distinct-histogram discipline): values
+    collapse to a per-(key, value) count first (map-side combinable —
+    the only corpus-sized shuffle), the cumulative window runs over
+    DISTINCT VALUES per key, never rows, and one final min-conditional
+    agg picks each quartile.  A key with millions of rows but a bounded
+    value domain costs its distinct-value count, not its row count.
+
+    Returns (key_cols..., n, p25, p50, p75), all longs.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    hist = df.groupBy(
+        *key_cols, F.col(value_col).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_ord = (
+        Window.partitionBy(*key_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    cum = hist.select(
+        *key_cols,
+        "v",
+        F.sum("c").over(w_ord).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def _pick(num: int, den: int, name: str):
+        pos = F.expr(f"(n * {num} + {den} - 1) DIV {den}")
+        return F.min(
+            F.when(F.col("cum") >= pos, F.col("v"))
+        ).cast("long").alias(name)
+
+    return cum.groupBy(*key_cols).agg(
+        F.first("n").cast("long").alias("n"),
+        _pick(1, 4, "p25"),
+        _pick(1, 2, "p50"),
+        _pick(3, 4, "p75"),
+    )
