@@ -907,6 +907,34 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (late round 3): per-type event counts
+    and distinct users over 30-minute windows sliding every 10 — the
+    overlapping-window surface (F.window with a slide) that tumbling
+    bucket queries (burst_detect, drift) don't exercise; each event
+    lands in exactly window/slide = 3 windows, which the DuckDB oracle
+    reproduces by exploding the three epoch-aligned starts in exact
+    microsecond arithmetic (Spark aligns window starts to multiples of
+    the slide from the epoch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window(F.col("ts").cast("timestamp"), "30 minutes", "10 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n",
+            "n_users",
+        )
+    )
+
+
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped quartiles (late round 3, operators/profile.py
     exact_percentiles): p25/p50/p75 of lineitem quantity per
@@ -3793,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "cube_pricing": q_cube_pricing,
         "exact_percentiles": q_exact_percentiles,
+        "sliding_counts": q_sliding_counts,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7501,6 +7530,18 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- sliding windows: each event explodes into its 3 epoch-aligned
+    # covering windows (30 min / 10 min slide), exact microsecond ints
+    d["sliding_counts"] = """
+        WITH x AS (SELECT event_type, user_id,
+                          (epoch_us(ts) // 600000000) * 600000000
+                          - k.i * 600000000 AS ws
+                   FROM events, range(0, 3) k(i))
+        SELECT event_type, make_timestamp(ws) AS win_start,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY 1, 2
     """
     # --- exact percentiles: same distinct-histogram + integer position
     # selection (type-1 quantile, no interpolation) — bit-identical
