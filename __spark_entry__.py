@@ -907,6 +907,28 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source (late round 3,
+    operators/cluster_eval.py cohen_kappa): chance-corrected agreement
+    between two deterministic 'annotators' of the documents table (lang
+    vs lang-with-every-7th-doc-relabeled) — the labeled-data quality
+    gate before either label set is trusted as gold; completes the
+    evaluation family next to cluster_quality (clustering vs gold) and
+    blocking_quality (candidate generation).  Exact integer
+    numerator/denominator, sign/abs 6-dp fixed point — bit-identical
+    oracle."""
+    from node_feedparser_spark.operators.cluster_eval import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("lang").alias("ann_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+        .alias("ann_b"),
+    )
+    return cohen_kappa(docs, "ann_a", "ann_b", ["source"])
+
+
 def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (late round 3): per-type event counts
     and distinct users over 30-minute windows sliding every 10 — the
@@ -3822,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": q_cube_pricing,
         "exact_percentiles": q_exact_percentiles,
         "sliding_counts": q_sliding_counts,
+        "annotator_kappa": q_annotator_kappa,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7530,6 +7553,40 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- Cohen's kappa: same confusion-table marginal algebra, exact
+    # integer num/den, sign/abs fixed point — bit-identical
+    d["annotator_kappa"] = """
+        WITH lab AS (SELECT source, lang AS a,
+                            CASE WHEN doc_id % 7 = 0 THEN 'zz'
+                                 ELSE lang END AS b
+                     FROM documents),
+        conf AS (SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM lab GROUP BY 1, 2, 3),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END)
+                            AS BIGINT) AS diag
+                FROM conf GROUP BY 1),
+        r AS (SELECT source, a AS lbl, CAST(SUM(c) AS BIGINT) AS r
+              FROM conf GROUP BY 1, 2),
+        cl AS (SELECT source, b AS lbl, CAST(SUM(c) AS BIGINT) AS cc
+               FROM conf GROUP BY 1, 2),
+        ch AS (SELECT r.source, CAST(SUM(r.r * cl.cc) AS BIGINT) AS rc
+               FROM r JOIN cl ON r.source = cl.source AND r.lbl = cl.lbl
+               GROUP BY 1)
+        SELECT t.source, t.n,
+               ((2 * t.diag * 1000000 + t.n) // (2 * t.n))
+                   / 1000000.0 AS po,
+               ((2 * ch.rc * 1000000 + t.n * t.n) // (2 * t.n * t.n))
+                   / 1000000.0 AS pe,
+               CASE WHEN t.n * t.n - ch.rc <> 0 THEN
+                   CAST(SIGN(t.n * t.diag - ch.rc) AS BIGINT)
+                   * ((2 * ABS(t.n * t.diag - ch.rc) * 1000000
+                       + (t.n * t.n - ch.rc))
+                      // (2 * (t.n * t.n - ch.rc)))
+                   / 1000000.0
+               END AS kappa
+        FROM tot t JOIN ch ON t.source = ch.source
     """
     # --- sliding windows: each event explodes into its 3 epoch-aligned
     # covering windows (30 min / 10 min slide), exact microsecond ints

@@ -123,3 +123,99 @@ def cluster_quality(
             F.when(ari_den != 0, ari_num / ari_den).otherwise(F.lit(0.0)), 6
         ).alias("ari"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement (Cohen
+    1960), per group: the labeled-training-data quality stat this module
+    was missing next to cluster_quality (scores a clustering against
+    gold) and blocking_quality (scores candidate generation) — kappa
+    scores TWO LABELERS against each other, the gate before either label
+    set is trusted as gold at all.
+
+    With confusion counts n_ab over the joint label domain, row/column
+    marginals r_c = sum_b n_cb and c_c = sum_a n_ac:
+
+        po    = sum_c n_cc / n          (observed agreement)
+        pe    = sum_c r_c * c_c / n^2   (chance agreement)
+        kappa = (po - pe) / (1 - pe)
+              = (n * sum_c n_cc - sum_c r_c c_c) / (n^2 - sum_c r_c c_c)
+
+    — ONE exact integer numerator over one exact integer denominator,
+    emitted as the repo's 6-dp integer fixed point, HALF-UP AWAY FROM
+    ZERO on both signs: sign(num) * (2*|num|*10^6 + den) DIV (2*den) /
+    10^6 — the abs keeps both operands positive, where Spark's DIV
+    (truncating) and DuckDB's // (flooring) agree, so negative kappa
+    (systematic disagreement) rounds identically too (pinned by test)
+    and the SQL oracle is bit-identical.  A degenerate group where pe = 1 (both annotators
+    constant and equal) has kappa undefined: emitted as NULL.
+
+    NULL labels are their own category via a coalesce sentinel (an
+    annotator abstaining IS a disagreement signal).
+
+    Plan: one groupBy(group, a, b) count is the only corpus shuffle;
+    diagonal sums and both marginals are re-aggregations of that
+    confusion table (tiny: one row per observed label pair), joined on
+    the label within each group.
+
+    Returns (group_cols..., n, po, pe, kappa).
+    """
+    g = list(group_cols or [])
+    a = F.coalesce(F.col(a_col).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(b_col).cast("string"), F.lit("\x00null"))
+    conf = df.groupBy(
+        *g, a.alias("__a"), b.alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    if g:
+        gb = lambda d: d.groupBy(*g)  # noqa: E731
+        join_keys = g
+    else:
+        conf = conf.withColumn("__one", F.lit(1))
+        gb = lambda d: d.groupBy("__one")  # noqa: E731
+        join_keys = ["__one"]
+    totals = gb(conf).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("diag"),
+    )
+    rows = (
+        conf.groupBy(*join_keys, F.col("__a").alias("lbl"))
+        .agg(F.sum("c").cast("long").alias("r"))
+    )
+    cols = (
+        conf.groupBy(*join_keys, F.col("__b").alias("lbl"))
+        .agg(F.sum("c").cast("long").alias("cc"))
+    )
+    chance = (
+        rows.join(cols, [*join_keys, "lbl"])
+        .groupBy(*join_keys)
+        .agg(F.sum(F.col("r") * F.col("cc")).cast("long").alias("rc"))
+    )
+    out = totals.join(chance, join_keys).select(
+        *g,
+        "n",
+        F.expr("(2 * diag * 1000000 + n) DIV (2 * n)").cast("long")
+        .alias("po6"),
+        F.expr("(2 * rc * 1000000 + n * n) DIV (2 * n * n)").cast("long")
+        .alias("pe6"),
+        F.when(
+            F.expr("n * n - rc") != 0,
+            F.expr(
+                "sign(n * diag - rc) * "
+                "((2 * abs(n * diag - rc) * 1000000 + (n * n - rc))"
+                " DIV (2 * (n * n - rc)))"
+            ).cast("long"),
+        ).alias("k6"),
+    )
+    return out.select(
+        *g,
+        "n",
+        (F.col("po6") / F.lit(1000000.0)).alias("po"),
+        (F.col("pe6") / F.lit(1000000.0)).alias("pe"),
+        (F.col("k6") / F.lit(1000000.0)).alias("kappa"),
+    )
