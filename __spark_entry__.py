@@ -907,6 +907,24 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization (late round 3, operators/export.py
+    to_ntriples): every document row as a spec-escaped
+    `<urn:kg:e:ID> <urn:kg:p:text> "..." .` line — the KG's
+    standard-format exit door (RDF 1.1 N-Triples), with the literal
+    ECHAR escapes and IRI percent-encoding done by one chain of JVM
+    literal replaces (no regex, no Python).  The DuckDB oracle applies
+    the identical REPLACE chain byte-for-byte."""
+    from node_feedparser_spark.operators.export import to_ntriples
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("subj"),
+        F.lit("text").alias("pred"),
+        F.col("text").alias("obj"),
+    )
+    return to_ntriples(docs)
+
+
 def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa per source (late round 3,
     operators/cluster_eval.py cohen_kappa): chance-corrected agreement
@@ -3845,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_percentiles": q_exact_percentiles,
         "sliding_counts": q_sliding_counts,
         "annotator_kappa": q_annotator_kappa,
+        "ntriples_export": q_ntriples_export,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
         # bucketed interval-containment join (round 3)
@@ -7553,6 +7572,23 @@ def _extra_oracles() -> dict[str, str]:
         SELECT 2, i1, i2, NULL, support FROM f2
         UNION ALL
         SELECT 3, i1, i2, i3, support FROM f3
+    """
+    # --- N-Triples: identical literal REPLACE chain (escape char first)
+    d["ntriples_export"] = """
+        SELECT '<urn:kg:e:'
+               || REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                  CAST(doc_id AS VARCHAR),
+                  '%', '%25'), '\\', '%5C'), ' ', '%20'), '<', '%3C'),
+                  '>', '%3E'), '"', '%22'), '{', '%7B'), '}', '%7D'),
+                  '|', '%7C'), '^', '%5E'), '`', '%60')
+               || '> <urn:kg:p:text> "'
+               || REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                  COALESCE(text, ''),
+                  '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                  chr(13), '\\r'), chr(9), '\\t')
+               || '" .' AS line
+        FROM documents
     """
     # --- Cohen's kappa: same confusion-table marginal algebra, exact
     # integer num/den, sign/abs fixed point — bit-identical
