@@ -3379,6 +3379,27 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_reachability(edges, seeds, rounds=3)
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum spanning forest (late round 3,
+    operators/graph_algo.py boruvka_mst): backbone extraction over the
+    weighted supplier<->part graph (orderkey % 10 == 7; weight = summed
+    quantity as exact long) — every component picks its cheapest
+    outgoing edge simultaneously, components at least halve per round,
+    contraction via the existing connected_components hybrid.  Priority
+    selection inside a fixpoint is not SQL-expressible, so this entry
+    takes the driver's rows-only check; correctness is pinned by
+    tests/test_mst.py's exact Kruskal-parity under the same (w, a, b)
+    total order."""
+    from node_feedparser_spark.operators.graph_algo import boruvka_mst
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 7)
+    edges = li.groupBy(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + 1000000).alias("dst"),
+    ).agg(F.sum("l_quantity").cast("long").alias("w"))
+    return boruvka_mst(edges)
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (late round 3, operators/graph_algo.py
     katz_centrality): walk-count centrality with beta = 1/4 over three
@@ -3746,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_fingerprints": q_wl_fingerprints,
         "temporal_reach": q_temporal_reach,
         "katz": q_katz,
+        "mst": q_mst,
         "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,

@@ -2456,3 +2456,131 @@ def katz_centrality(
             )
     denom = float(beta_den**rounds)
     return acc.select("node", (F.col("acc") / F.lit(denom)).alias("katz"))
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Minimum spanning forest via Boruvka's algorithm (1926 — THE
+    textbook distributed MST: Kruskal needs a global edge sort and
+    sequential union-find, Prim grows one frontier; Boruvka lets every
+    component pick its cheapest outgoing edge simultaneously, so each
+    round is three joins + one min_by agg and the component count at
+    least HALVES — <= log2(V) rounds).  On the KG this is the backbone
+    extraction / single-linkage clustering primitive (cut the k heaviest
+    MST edges = k clusters).
+
+    Determinism without a uniqueness assumption: edges canonicalize to
+    (a < b), parallel edges keep the min weight, and every selection is
+    min_by the lexicographic struct (w, a, b) — a total order on edge
+    keys — so the forest is unique and equals Kruskal run with the same
+    tie-break (pinned by test against a pure-Python union-find).
+
+    Per round: label each edge's endpoints with their component (two
+    joins against the |V| label vector), drop intra-component edges,
+    pick per-component minima (map-side-combinable min_by from BOTH
+    endpoints' perspectives, then distinct — both components may pick
+    the same edge), then CONTRACT by running connected_components on
+    the selection graph, which has at most one edge per live component
+    and halves every round (the tiny-input regime where
+    `components.connected_components`' hybrid local path applies).
+    Weights must be integer-typed for the exact-equality contract
+    (scale fixed-point upstream); the accumulated forest and label
+    vector are lazily checkpoint-ed per round.
+
+    Not SQL-expressible (priority selection inside a fixpoint), so the
+    named query takes the driver's rows-only check; correctness is
+    pinned by the Kruskal-parity pytest.  Returns (a, b, w): the forest
+    edges, |V| - #components rows.
+    """
+    from node_feedparser_spark.operators.components import (
+        connected_components,
+    )
+
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    mst = None
+    for _ in range(max_rounds):
+        lab = (
+            e.join(
+                comp.select(
+                    F.col("node").alias("a"), F.col("comp").alias("ca")
+                ),
+                "a",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("b"), F.col("comp").alias("cb")
+                ),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=False)
+        )
+        if lab.isEmpty():
+            break
+        cand = lab.select(
+            F.col("ca").alias("c"), "a", "b", "w"
+        ).union(lab.select(F.col("cb").alias("c"), "a", "b", "w"))
+        key = F.struct("w", "a", "b")
+        sel = (
+            cand.groupBy("c")
+            .agg(F.min_by(key, key).alias("e"))
+            .select("e.a", "e.b", "e.w")
+            .distinct()
+            .localCheckpoint()
+        )
+        mst = sel if mst is None else mst.union(sel).localCheckpoint(
+            eager=False
+        )
+        selc = (
+            sel.join(
+                comp.select(
+                    F.col("node").alias("a"), F.col("comp").alias("ca")
+                ),
+                "a",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("b"), F.col("comp").alias("cb")
+                ),
+                "b",
+            )
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        )
+        relab = connected_components(selc)
+        comp = (
+            comp.join(
+                relab.withColumnRenamed("node", "comp"), "comp", "left"
+            )
+            .select(
+                "node",
+                F.coalesce("component", F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+    if mst is None:
+        return e.filter(F.lit(False)).select("a", "b", "w")
+    return mst.distinct()
