@@ -3400,6 +3400,22 @@ def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_mst(edges)
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (late round 3,
+    operators/graph_algo.py luby_mis): deterministic symmetry breaking
+    over the per-nation customer rings + condensation chain
+    (_scc_ring_graph, undirected) — conflict-free scheduling / anchor
+    selection over a KG; md5 round priorities make the output a
+    reproducible function of the graph.  Iterative symmetry breaking is
+    not SQL-expressible, so this entry takes the driver's rows-only
+    check; tests/test_mis.py pins bit-exact parity with a pure-Python
+    replica plus the independence and maximality invariants."""
+    from node_feedparser_spark.operators.graph_algo import luby_mis
+
+    edges, nodes = _scc_ring_graph(spark, sf_dir)
+    return luby_mis(edges, nodes=nodes)
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (late round 3, operators/graph_algo.py
     katz_centrality): walk-count centrality with beta = 1/4 over three
@@ -3768,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": q_temporal_reach,
         "katz": q_katz,
         "mst": q_mst,
+        "mis": q_mis,
         "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,

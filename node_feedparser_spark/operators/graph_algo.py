@@ -2584,3 +2584,102 @@ def boruvka_mst(
     if mst is None:
         return e.filter(F.lit(False)).select("a", "b", "w")
     return mst.distinct()
+
+
+def luby_mis(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (1986) — the
+    foundational symmetry-breaking primitive of distributed graph
+    computing (greedy MIS is inherently sequential; Luby finishes in
+    O(log n) rounds w.h.p.): every active node draws a priority, joins
+    the MIS iff its priority beats every active neighbor's, then
+    winners AND their neighborhoods deactivate.  Downstream uses:
+    conflict-free scheduling over the co-mention graph, graph coloring
+    seeds, landmark/anchor selection.
+
+    Deterministic, not pseudo-random-seeded: the round-r priority of
+    node v is ``md5(v || ':' || r)`` (hex) suffixed with the zero-padded
+    node id — a reproducible total order both engines and a pure-Python
+    replica compute bit-identically (the WL-fingerprint md5 discipline),
+    so the output is a FUNCTION of the graph, testable by exact
+    equality.  `Date`-free, seed-free, retry-safe.
+
+    Plan per round: one join of the symmetrized active edge list with
+    the priority vector + a min agg per node (its best neighbor), one
+    comparison projection (winners), one join to collect the
+    deactivated neighborhood, two anti-joins to shrink the active set,
+    and a semi-join pair to shrink the edge list — everything bounded
+    by the ACTIVE subgraph, which empties in O(log n) rounds.  Isolated
+    nodes win their first round by definition (no neighbors).
+
+    Raises if the active set survives ``max_rounds`` (cannot happen on
+    a finite simple graph within O(log n) w.h.p. — the guard catches
+    caller bugs like self-loops in disguise).  Self-loops are dropped.
+    Returns (node,) — the MIS members.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    raw = edges.select(F.col(src).cast("long"), F.col(dst).cast("long"))
+    e = raw.filter(F.col(src) != F.col(dst))
+    sym = (
+        e.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(e.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    active = raw.select(F.col(src).alias("node")).union(
+        raw.select(F.col(dst).alias("node"))
+    ).distinct()
+    if nodes is not None:
+        active = active.union(
+            nodes.select(F.col("node").cast("long"))
+        ).distinct()
+    active = active.localCheckpoint()
+    mis = None
+    for r in range(max_rounds):
+        if active.isEmpty():
+            return (
+                mis
+                if mis is not None
+                else active.select("node")
+            )
+        prio = active.select(
+            "node",
+            F.concat(
+                F.md5(F.concat(F.col("node").cast("string"), F.lit(f":{r}"))),
+                F.lit(":"),
+                F.lpad(F.col("node").cast("string"), 20, "0"),
+            ).alias("p"),
+        ).localCheckpoint(eager=False)
+        nbr_best = (
+            sym.join(prio.select(F.col("node").alias("u"), "p"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("p").alias("np"))
+        )
+        winners = (
+            prio.join(nbr_best, "node", "left")
+            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
+            .select("node")
+            .localCheckpoint()
+        )
+        mis = winners if mis is None else mis.union(winners).localCheckpoint(
+            eager=False
+        )
+        dead = winners.union(
+            sym.join(
+                winners.withColumnRenamed("node", "u"), "u"
+            ).select(F.col("v").alias("node"))
+        ).distinct()
+        active = active.join(dead, "node", "anti").localCheckpoint()
+        sym = (
+            sym.join(active.withColumnRenamed("node", "u"), "u", "semi")
+            .join(active.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    raise ValueError(f"active set survived {max_rounds} rounds")
