@@ -3416,6 +3416,21 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(edges, nodes=nodes)
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated-MIS graph coloring (late round 3,
+    operators/graph_algo.py greedy_coloring): conflict-serialization
+    schedule over the customer ring graph — nodes of one color share no
+    edge, the color count is the schedule length; rings of 6 are
+    2-colorable plus the chain's occasional third color.  Deterministic
+    through the md5 priority chain; rows-only driver check (iterated
+    symmetry breaking), pinned bit-exact against the pure-Python
+    replica in tests/test_coloring.py."""
+    from node_feedparser_spark.operators.graph_algo import greedy_coloring
+
+    edges, nodes = _scc_ring_graph(spark, sf_dir)
+    return greedy_coloring(edges, nodes=nodes, max_colors=8)
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (late round 3, operators/graph_algo.py
     katz_centrality): walk-count centrality with beta = 1/4 over three
@@ -3785,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "mst": q_mst,
         "mis": q_mis,
+        "coloring": q_coloring,
         "effective_diameter": q_effective_diameter,
         "hyperanf_reach": q_hyperanf_reach,
         "random_walks": q_random_walks,

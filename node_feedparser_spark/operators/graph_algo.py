@@ -2683,3 +2683,70 @@ def luby_mis(
             .localCheckpoint()
         )
     raise ValueError(f"active set survived {max_rounds} rounds")
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_colors: int = 50,
+) -> DataFrame:
+    """Distributed graph coloring by ITERATED MIS (the Luby reduction:
+    color c = a maximal independent set of the residual graph, then
+    delete it) — the conflict-serialization schedule for a KG: nodes of
+    one color touch no common edge, so all of color c's updates/merges
+    can run concurrently and the color count is the schedule length.
+    Jones-Plassmann in its classic iterated form; colors <= Delta + 1
+    on any graph because an MIS is maximal (every uncolored node loses
+    a neighbor each round... strictly: every node is colored by round
+    deg(v)+1, since an uncolored node always has an MIS neighbor).
+
+    Fully deterministic: inherits `luby_mis`'s md5 priority chain on
+    each residual graph, so the coloring is a pure function of the
+    graph — pinned bit-exact against a pure-Python replica.  Cost is
+    (#colors) x (MIS rounds); suited to the bounded-degree graphs a
+    canonicalized KG has, with the `max_colors` guard raising on
+    degenerate inputs (a clique of size > max_colors).
+
+    Returns (node, color): color ids 0..k-1 in assignment order.
+    Self-loops are dropped (a self-adjacent node cannot be properly
+    colored under any convention).
+    """
+    if max_colors < 1:
+        raise ValueError("max_colors must be >= 1")
+    raw = edges.select(F.col(src).cast("long"), F.col(dst).cast("long"))
+    e = (
+        raw.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = raw.select(F.col(src).alias("node")).union(
+        raw.select(F.col(dst).alias("node"))
+    ).distinct()
+    if nodes is not None:
+        remaining = remaining.union(
+            nodes.select(F.col("node").cast("long"))
+        ).distinct()
+    remaining = remaining.localCheckpoint()
+    out = None
+    for color in range(max_colors):
+        if remaining.isEmpty():
+            return out if out is not None else remaining.select(
+                "node", F.lit(0).cast("long").alias("color")
+            )
+        mis = luby_mis(e, nodes=remaining).select(
+            "node", F.lit(color).cast("long").alias("color")
+        ).localCheckpoint()
+        out = mis if out is None else out.union(mis).localCheckpoint(
+            eager=False
+        )
+        remaining = remaining.join(mis, "node", "anti").localCheckpoint()
+        e = (
+            e.join(remaining.withColumnRenamed("node", "src"), "src", "semi")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise ValueError(f"graph not colored within {max_colors} colors")
