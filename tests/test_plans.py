@@ -247,3 +247,48 @@ def test_unigram_lm_totals_are_broadcast_not_collected(spark):
     df = entrymod.q_unigram_lm(spark, SF_DIR)
     p = plan_of(df, "simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_freq_itemsets_prunes_are_broadcast(spark):
+    """A-priori's scale claim: every monotonicity prune is a broadcast
+    semi-join (LeftSemi + BroadcastHashJoin), and the pair/triple
+    self-joins never fall back to SortMergeJoin on the corpus."""
+    p = plan_of(entrymod.q_freq_itemsets(spark, SF_DIR), "simple")
+    # every surviving semi prune is broadcast (Catalyst may merge some)
+    assert p.count("LeftSemi") >= 3
+    assert p.count("BroadcastHashJoin") >= 3
+    # the only SortMergeJoins are the within-basket self-joins on the
+    # basket key, and the only nested-loop join is the broadcast of the
+    # 1-row global basket count — never an unbroadcast cartesian
+    assert "CartesianProduct" not in p
+
+
+def test_t_closeness_single_corpus_shuffle(spark):
+    """The pair table (qid, sensitive) is the only corpus-sized
+    aggregation; the global total joins in as a broadcast, never a
+    shuffle."""
+    p = plan_of(entrymod.q_t_closeness(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_interval_coverage_windows_are_bucket_local(spark):
+    """The bucketed-clip plan must window on (key, bucket), never on the
+    bare key — the mega-key discipline."""
+    p = plan_of(entrymod.q_interval_coverage(spark, SF_DIR), "formatted")
+    assert "bkt" in p  # bucket key present in the window/exchange spec
+    assert "CartesianProduct" not in p
+
+
+def test_exact_percentiles_histogram_before_window(spark):
+    """The cumulative window must consume the distinct-value histogram
+    (partial_count before the exchange), not raw rows."""
+    p = plan_of(entrymod.q_exact_percentiles(spark, SF_DIR), "formatted")
+    assert "partial_count" in p or "partial count" in p.lower()
+
+
+def test_katz_and_butterflies_no_cartesian(spark):
+    for q in (entrymod.q_katz, entrymod.q_butterflies):
+        p = plan_of(q(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
