@@ -991,6 +991,63 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (late round 3): per-user event counts pivoted into one
+    column per event type — the long-to-wide reshape surface
+    (`groupBy().pivot()`), with the value list passed EXPLICITLY so
+    Spark skips the extra collect-distinct pass (the scale-safe form:
+    an implicit pivot scans the corpus twice and caps at
+    spark.sql.pivotMaxValues).  Missing combinations coalesce to 0.
+    The DuckDB oracle is the equivalent conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+def q_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family (late round 3): rank / dense_rank over a
+    tied band ordering plus ntile(4) and row_number over the fully
+    tie-broken ordering, per nation — the analytic-function surface
+    beyond q_window_order's bare row_number.  rank/dense_rank are
+    evaluated over the BAND-ONLY ordering (ties collapse identically in
+    both engines regardless of intra-tie row order), ntile/row_number
+    over (band desc, custkey) — a total order, so every output is a
+    deterministic integer; top 7 per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    banded = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    w_band = Window.partitionBy("nation").orderBy(F.col("band").desc())
+    w_full = Window.partitionBy("nation").orderBy(
+        F.col("band").desc(), F.col("custkey")
+    )
+    return (
+        banded.select(
+            "nation",
+            "custkey",
+            "band",
+            F.rank().over(w_band).cast("long").alias("rnk"),
+            F.dense_rank().over(w_band).cast("long").alias("drnk"),
+            F.ntile(4).over(w_full).cast("long").alias("quartile"),
+            F.row_number().over(w_full).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 7)
+    )
+
+
 def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with grouping ids (late round 3): the full 2^2 subtotal
     lattice over (returnflag, linestatus) — the OLAP companion of
@@ -3918,6 +3975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_percentiles": q_exact_percentiles,
         "sliding_counts": q_sliding_counts,
         "annotator_kappa": q_annotator_kappa,
+        "pivot_counts": q_pivot_counts,
+        "rank_analytics": q_rank_analytics,
         "ntriples_export": q_ntriples_export,
         # in-plan ANN quality evaluation (round 3)
         "ann_recall_eval": q_ann_recall_eval,
@@ -7644,6 +7703,43 @@ def _extra_oracles() -> dict[str, str]:
                   chr(13), '\\r'), chr(9), '\\t')
                || '" .' AS line
         FROM documents
+    """
+    # --- pivot: conditional aggregation, missing combos = 0
+    d["pivot_counts"] = """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                   AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                   AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                   AS n_view
+        FROM events GROUP BY 1
+    """
+    # --- rank family: band-only ordering for rank/dense_rank (ties
+    # collapse), total order for ntile/row_number — all integers
+    d["rank_analytics"] = """
+        WITH b AS (SELECT c_nationkey AS nation, c_custkey AS custkey,
+                          CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+                   FROM customer),
+        r AS (SELECT nation, custkey, band,
+                     CAST(RANK() OVER (PARTITION BY nation
+                                       ORDER BY band DESC) AS BIGINT)
+                         AS rnk,
+                     CAST(DENSE_RANK() OVER (PARTITION BY nation
+                                             ORDER BY band DESC) AS BIGINT)
+                         AS drnk,
+                     CAST(NTILE(4) OVER (PARTITION BY nation
+                                         ORDER BY band DESC, custkey)
+                          AS BIGINT) AS quartile,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                                             ORDER BY band DESC, custkey)
+                          AS BIGINT) AS rn
+              FROM b)
+        SELECT * FROM r WHERE rn <= 7
     """
     # --- Cohen's kappa: same confusion-table marginal algebra, exact
     # integer num/den, sign/abs fixed point — bit-identical
