@@ -1015,6 +1015,27 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (late round 3): the wide-to-long inverse of
+    q_pivot_counts — lineitem's four measure columns become
+    (orderkey, linenumber, measure, value) rows via the native
+    `DataFrame.unpivot` (SQL UNPIVOT / stack surface; one projection +
+    generator, no shuffle at all).  Values are carried verbatim (no
+    arithmetic), so double equality is bit-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        "measure",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-function family (late round 3): rank / dense_rank over a
     tied band ordering plus ntile(4) and row_number over the fully
@@ -3976,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": q_sliding_counts,
         "annotator_kappa": q_annotator_kappa,
         "pivot_counts": q_pivot_counts,
+        "unpivot_measures": q_unpivot_measures,
         "rank_analytics": q_rank_analytics,
         "ntriples_export": q_ntriples_export,
         # in-plan ANN quality evaluation (round 3)
@@ -7718,6 +7740,23 @@ def _extra_oracles() -> dict[str, str]:
                CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
                    AS n_view
         FROM events GROUP BY 1
+    """
+    # --- unpivot: UNION ALL of the four measures, values verbatim
+    d["unpivot_measures"] = """
+        WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+        SELECT l_orderkey AS orderkey,
+               CAST(l_linenumber AS BIGINT) AS linenumber,
+               'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM f
+        UNION ALL
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+               'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM f
+        UNION ALL
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+               'l_discount', CAST(l_discount AS DOUBLE) FROM f
+        UNION ALL
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+               'l_tax', CAST(l_tax AS DOUBLE) FROM f
     """
     # --- rank family: band-only ordering for rank/dense_rank (ties
     # collapse), total order for ntile/row_number — all integers
