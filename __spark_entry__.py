@@ -303,6 +303,27 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC lookup tables (late round 3,
+    operators/similarity.py pq_topk — Jégou et al. TPAMI 2011): 8
+    subspaces x 16-code codebooks over the scalar-quantized corpus, so a
+    vector is 8 codes (8 B) instead of 256 B float32 — the representation
+    a 100 TB embedding corpus needs to fit cluster memory — and a query
+    scores candidates with m_sub integer table lookups, never a d-dim op.
+    Every distance is an exact int64 sum of squared integer differences
+    (no float summation), codebooks seed from the quantized subvectors of
+    the 16 smallest vec_ids and take one Lloyd round with pure-integer
+    means ((2*sum+n)//(2*n)), encode tie-breaks argmin-first == smallest
+    code: the DuckDB oracle replays seed, Lloyd round, re-encode, ADC
+    tables, and the (adist asc, vec_id asc) top-5 bit-identically."""
+    from node_feedparser_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_codes=16, m_sub=8
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.4, size-dispatched (r3)
     — exact broadcast matmul below the 50k cutoff (this oracle's regime),
@@ -3811,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
         "quantized_topk": q_quantized_topk,
+        "pq_topk": q_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
@@ -4457,6 +4479,65 @@ def _extra_oracles() -> dict[str, str]:
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                              ORDER BY score DESC, vec_id ASC) AS rnk FROM s)
             SELECT query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 5
+        """,
+        # product quantization replayed relationally: same scalar quantize,
+        # codebooks = quantized subvectors of vec_id < 16, encode = per
+        # (vector, subspace) argmin code (dist asc, code asc), ADC = exact
+        # integer table-lookup sum — no float summation anywhere
+        "pq_topk": f"""
+            WITH {cosine_cte},
+            x AS (SELECT vec_id, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            st AS (SELECT pos, MIN(x) AS mn,
+                          (MAX(x) - MIN(x)) / 255.0 AS sc
+                   FROM x GROUP BY pos),
+            q AS (SELECT x.vec_id,
+                         (x.pos - 1) // 8 AS m,
+                         (x.pos - 1) % 8 AS d,
+                         CASE WHEN st.sc > 0
+                              THEN CAST(ROUND((x.x - st.mn) / st.sc) AS BIGINT)
+                              ELSE 0 END AS qx
+                  FROM x JOIN st USING (pos)),
+            cent AS (SELECT vec_id AS code, m, d, qx FROM q WHERE vec_id < 16),
+            cd AS (SELECT q.vec_id, q.m, c.code,
+                          SUM((q.qx - c.qx) * (q.qx - c.qx)) AS dist
+                   FROM q JOIN cent c ON c.m = q.m AND c.d = q.d
+                   GROUP BY q.vec_id, q.m, c.code),
+            ccode AS (SELECT vec_id, m, code FROM (
+                          SELECT vec_id, m, code,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist ASC, code ASC) AS rn
+                          FROM cd) WHERE rn = 1),
+            -- one Lloyd round: integer half-up mean (2*sum+n)//(2*n) of each
+            -- cell's members; empty cells keep their seed (COALESCE)
+            refm AS (SELECT a.m, a.code, q.d,
+                            (2 * SUM(q.qx) + COUNT(*)) // (2 * COUNT(*)) AS qx
+                     FROM ccode a JOIN q ON q.vec_id = a.vec_id AND q.m = a.m
+                     GROUP BY a.m, a.code, q.d),
+            cent2 AS (SELECT c.code, c.m, c.d, COALESCE(r.qx, c.qx) AS qx
+                      FROM cent c LEFT JOIN refm r
+                        ON r.m = c.m AND r.code = c.code AND r.d = c.d),
+            cd2 AS (SELECT q.vec_id, q.m, c.code,
+                           SUM((q.qx - c.qx) * (q.qx - c.qx)) AS dist
+                    FROM q JOIN cent2 c ON c.m = q.m AND c.d = q.d
+                    GROUP BY q.vec_id, q.m, c.code),
+            ccode2 AS (SELECT vec_id, m, code FROM (
+                           SELECT vec_id, m, code,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, code ASC) AS rn
+                           FROM cd2) WHERE rn = 1),
+            qtab AS (SELECT vec_id AS query_id, m, code, dist
+                     FROM cd2 WHERE vec_id < 10),
+            ad AS (SELECT t.query_id, c.vec_id,
+                          CAST(SUM(t.dist) AS BIGINT) AS adist
+                   FROM ccode2 c JOIN qtab t ON t.m = c.m AND t.code = c.code
+                   WHERE c.vec_id <> t.query_id
+                   GROUP BY t.query_id, c.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY adist ASC, vec_id ASC) AS rnk FROM ad)
+            SELECT query_id, vec_id, adist, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 5
         """,
         "embedding_near_dup": f"""
             WITH {cosine_cte}

@@ -50,6 +50,7 @@ PYTHON_ALLOWED = {
     "ivf_ann_topk",
     "ivf_kmeans_topk",
     "quantized_topk",
+    "pq_topk",              # int-ADC product quantization (encode+score pass)
     "embedding_topk",
     "ann_recall_eval",      # composes the two Arrow topk lanes above
     "retro_resolve",        # JVM-prescreened Arrow URL resolution

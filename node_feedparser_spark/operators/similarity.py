@@ -656,3 +656,214 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rrf_score", "rank")
     )
+
+
+def _quantize_with_stats(
+    df: DataFrame,
+    mn: list[float],
+    sc: list[float],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Quantize a vector column with PRE-COMPUTED per-dimension (min, scale)
+    stats — the shared projection behind quantize_embeddings and pq_topk, so
+    a query frame can be quantized with the CORPUS's stats.  Pure in-row
+    transform (literal dim-sized arrays), JVM-side F.round (HALF_UP on the
+    non-negative (x-min)/scale), no shuffle."""
+    mn_lit = F.array(*[F.lit(v) for v in mn])
+    sc_lit = F.array(*[F.lit(v) for v in sc])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(sc_lit, i + 1) > 0.0,
+            F.round(
+                (x.cast("double") - F.element_at(mn_lit, i + 1))
+                / F.element_at(sc_lit, i + 1)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.select(F.col(id_col).alias("vec_id"), q.alias("qvec"))
+
+
+def _pq_lloyd_round(
+    corpus_q: DataFrame, cent3: np.ndarray
+) -> np.ndarray:
+    """One deterministic Lloyd refinement of the PQ codebooks: assign every
+    corpus subvector to its argmin code (ties -> smallest code), replace
+    each centroid with the INTEGER mean of its members — round-half-up via
+    pure integer arithmetic, (2*sum + n) // (2*n), so Spark and the oracle
+    agree bit-for-bit with zero float ops.  Empty cells keep their seed.
+
+    Plan: ONE mapInPandas pass emitting per-Arrow-batch PARTIAL
+    (m, code, d, sum, count) aggregates — batch-count-sized, not
+    corpus-sized — then a m_sub*n_codes*sub_dim-row final agg to the
+    driver (1024 rows here): the kmeans_centroids partial/final
+    discipline, corpus never shuffled."""
+    n_codes, m_sub, sub = cent3.shape
+    c3 = cent3
+
+    def train_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x3 = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+            ).reshape(len(pdf), m_sub, sub)
+            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(axis=1)  # (batch, m_sub)
+            out_m: list[int] = []
+            out_c: list[int] = []
+            out_d: list[int] = []
+            out_s: list[int] = []
+            out_n: list[int] = []
+            for m in range(m_sub):
+                cs = codes[:, m]
+                sums = np.zeros((n_codes, sub), dtype=np.int64)
+                np.add.at(sums, cs, x3[:, m, :])
+                cnts = np.bincount(cs, minlength=n_codes)
+                for j in range(n_codes):
+                    if cnts[j] == 0:
+                        continue
+                    for d in range(sub):
+                        out_m.append(m)
+                        out_c.append(j)
+                        out_d.append(d)
+                        out_s.append(int(sums[j, d]))
+                        out_n.append(int(cnts[j]))
+            yield pd.DataFrame(
+                {"m": out_m, "code": out_c, "d": out_d, "s": out_s, "n": out_n}
+            )
+
+    rows = (
+        corpus_q.mapInPandas(
+            train_partials, "m int, code int, d int, s long, n long"
+        )
+        .groupBy("m", "code", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    refined = cent3.copy()
+    for r in rows:
+        s, n = int(r["s"]), int(r["n"])
+        refined[r["code"], r["m"], r["d"]] = (2 * s + n) // (2 * n)
+    return refined
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_levels: int = 256,
+    train_iters: int = 1,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the vector is split into m_sub
+    subvectors, each subspace gets an n_codes codebook, and a corpus vector
+    is stored as m_sub small codes — log2(n_codes)*m_sub bits per vector
+    (16 codes x 8 subspaces = 8 B/vector here vs 256 B float32/64d), the
+    representation that lets a 100 TB embedding corpus live in cluster
+    memory.  Queries score candidates with the classic ADC table: one
+    (m_sub x n_codes) distance table per query, approximate distance =
+    m_sub table lookups + a sum, never a full d-dim op per candidate.
+
+    Engine-portable by construction: vectors are first scalar-quantized to
+    integers (the quantize_embeddings projection, JVM F.round == oracle
+    ROUND), codebooks seed from the quantized subvectors of the n_codes
+    smallest vec_ids (the _first_n_centroids discipline) and are refined by
+    train_iters deterministic Lloyd rounds with pure-integer means
+    ((2*sum + n) // (2*n), _pq_lloyd_round), and every distance is an
+    exact int64 sum of squared integer differences — zero float summation
+    anywhere, so the DuckDB oracle's top-k is bit-identical, ties broken
+    (adist asc, vec_id asc) with argmin-first == smallest-code on encode.
+
+    Plan shape (cosine_topk discipline): corpus is quantized in-row and
+    encoded + scored in ONE mapInPandas pass (vectorized int numpy, local
+    top-k prune per Arrow batch), query ADC tables are a broadcast of
+    nq x m_sub x n_codes int64 — the global top-k reduces q*k*n_batches
+    rows.  No corpus shuffle; composes with ivf_assign for IVF-PQ at scale.
+
+    Returns (query_id, vec_id, adist, rank): ascending approximate squared
+    L2 distance in quantized-integer units.
+    """
+    spark = corpus.sparkSession
+    mn, sc = _quantization_stats(corpus, vec_col, n_levels)
+    dim = len(mn)
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+
+    corpus_q = _quantize_with_stats(corpus, mn, sc, id_col, vec_col)
+    queries_q = _quantize_with_stats(queries, mn, sc, query_id_col, vec_col)
+
+    # codebooks: quantized subvectors of the n_codes smallest ids — tiny,
+    # deterministic, oracle-reproducible (n_codes * dim ints to the driver)
+    cent = np.zeros((n_codes, dim), dtype=np.int64)
+    for r in corpus_q.filter(F.col("vec_id") < n_codes).collect():
+        cent[int(r["vec_id"])] = np.asarray(r["qvec"], dtype=np.int64)
+    cent3 = cent.reshape(n_codes, m_sub, sub)
+    for _ in range(max(0, train_iters)):
+        cent3 = _pq_lloyd_round(corpus_q, cent3)
+
+    # per-query ADC tables (queries are small by the cosine_topk contract)
+    q_rows = queries_q.collect()
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.array(
+        [np.asarray(r["qvec"], dtype=np.int64) for r in q_rows]
+    ).reshape(len(q_ids), m_sub, sub)
+    # (nq, n_codes, m_sub) -> (nq, m_sub, n_codes)
+    qtab = np.transpose(
+        ((qmat[:, None, :, :] - cent3[None, :, :, :]) ** 2).sum(-1), (0, 2, 1)
+    )
+    bc = spark.sparkContext.broadcast((q_ids, qtab, cent3))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tabs, c3 = bc.value
+        marange = np.arange(c3.shape[1])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            x3 = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+            ).reshape(len(vids), c3.shape[1], c3.shape[2])
+            # encode: per (row, subspace) the argmin code; numpy argmin
+            # takes the FIRST minimum == smallest code, the oracle tie-break
+            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(axis=1)  # (batch, m_sub)
+            out_q: list[int] = []
+            out_v: list[int] = []
+            out_d: list[int] = []
+            for qi, qid in enumerate(ids):
+                ad = tabs[qi][marange[None, :], codes].sum(axis=1)
+                keep = vids != qid  # exclude self
+                cv, cd = vids[keep], ad[keep]
+                if len(cv) > k:
+                    # integer distances: keep everything <= the k-th
+                    # smallest so the global (adist, vec_id) tie-break
+                    # never loses a contender
+                    kth = np.partition(cd, k - 1)[k - 1]
+                    sel = cd <= kth
+                    cv, cd = cv[sel], cd[sel]
+                out_q.extend([qid] * len(cv))
+                out_v.extend(cv.tolist())
+                out_d.extend(cd.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "adist": out_d}
+            )
+
+    local = corpus_q.mapInPandas(
+        score_batches, "query_id long, vec_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist", "rank")
+    )

@@ -1,0 +1,129 @@
+"""Product-quantization ANN (operators/similarity.pq_topk) invariants.
+
+The oracle-parity face lives in test_queries_oracle (pq_topk); this file
+pins the algorithmic contract against an independent pure-numpy replica:
+codebook = quantized subvectors of the n_codes smallest ids, encode =
+argmin code per subspace (ties -> smallest code), ADC distance = exact
+integer table-lookup sum, top-k ordered (adist asc, vec_id asc) with self
+excluded — plus the recall-vs-exact measurement that makes the
+approximation honest instead of assumed.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from node_feedparser_spark.operators.similarity import (
+    _quantization_stats,
+    cosine_topk,
+    pq_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def pq_result(spark, emb):
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_codes=16, m_sub=8
+    )
+    return out.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def _replica(emb_pdf: pd.DataFrame, mn, sc, n_codes=16, m_sub=8, k=5):
+    """Independent pure-numpy PQ: quantize (half-up on non-negative),
+    codebooks from the n_codes smallest ids, encode, ADC, top-k."""
+    pdf = emb_pdf.sort_values("vec_id", ignore_index=True)
+    ids = pdf["vec_id"].to_numpy()
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mn = np.asarray(mn)
+    sc = np.asarray(sc)
+    q = np.where(sc > 0, np.floor((x - mn) / np.where(sc > 0, sc, 1.0) + 0.5), 0.0)
+    q = q.astype(np.int64)
+    dim = q.shape[1]
+    sub = dim // m_sub
+    cent = q[np.isin(ids, np.arange(n_codes))]  # ids are 0..n contiguous
+    c3 = cent.reshape(n_codes, m_sub, sub)
+    x3 = q.reshape(len(ids), m_sub, sub)
+    # one Lloyd round with integer half-up means, empty cells keep seeds
+    d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+    codes = d2.argmin(axis=1)
+    c3 = c3.copy()
+    for m in range(m_sub):
+        for j in range(n_codes):
+            members = x3[codes[:, m] == j, m, :]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                c3[j, m, :] = (2 * s + n) // (2 * n)
+    d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+    codes = d2.argmin(axis=1)
+    rows = []
+    mar = np.arange(m_sub)
+    for qi in range(10):
+        qtab = ((x3[qi][None, :, :] - c3) ** 2).sum(-1).T  # (m_sub, n_codes)
+        ad = qtab[mar[None, :], codes].sum(axis=1)
+        order = sorted(
+            [(int(ad[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qi]
+        )
+        for r, (dist, vid) in enumerate(order[:k], start=1):
+            rows.append((qi, vid, dist, r))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "adist", "rank"])
+
+
+def test_pq_matches_pure_numpy_replica(emb, pq_result):
+    mn, sc = _quantization_stats(emb, "embedding", 256)
+    want = _replica(emb.toPandas(), mn, sc)
+    got = pq_result.astype({"query_id": int, "vec_id": int, "adist": int, "rank": int})
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_pq_shape_and_self_exclusion(pq_result):
+    assert len(pq_result) == 10 * 5
+    assert (pq_result["query_id"] != pq_result["vec_id"]).all()
+    for _, g in pq_result.groupby("query_id"):
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
+        # ascending distance within each query, int-typed
+        assert g["adist"].is_monotonic_increasing or (
+            sorted(g["adist"]) == list(g["adist"])
+        )
+
+
+def test_pq_deterministic(spark, emb, pq_result):
+    again = (
+        pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_codes=16, m_sub=8)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(pq_result, again)
+
+
+def test_pq_recall_vs_exact_cosine(spark, emb, pq_result):
+    """PQ with 16 codes x 8 subspaces is an 8-byte/vector sketch (32x
+    compression); recall@5 against the exact float cosine top-5 must still
+    clear a floor — measured, not assumed (the ann_recall_eval
+    discipline).  Measured 0.28 on this near-uniform synthetic table
+    (chance is 5/499 ~ 1%); real clustered embedding corpora and the
+    production n_codes=256 sit far higher — the floor pins "the sketch
+    works", not a marketing number."""
+    exact = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+        .toPandas()
+        .groupby("query_id")["vec_id"]
+        .apply(set)
+    )
+    got = pq_result.groupby("query_id")["vec_id"].apply(set)
+    hits = sum(len(exact[q] & got[q]) for q in exact.index)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.2, f"recall@5 {recall} below floor"
+
+
+def test_pq_rejects_indivisible_subspaces(spark, emb):
+    with pytest.raises(ValueError):
+        pq_topk(emb, emb.limit(1), k=1, n_codes=4, m_sub=7)
