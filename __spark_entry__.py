@@ -324,6 +324,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (late round 3, operators/similarity.py ivfpq_topk — the
+    FAISS IVF16,PQ8 shape, the production 100 TB layout): an integer-L2
+    coarse quantizer (16 cells, seeded from the smallest vec_ids + one
+    pure-integer Lloyd round) prunes each query to its 4 nearest cells,
+    and candidates in probed cells are scored with pq_topk's integer ADC
+    tables — per query ~n_probe/n_cells of the corpus is touched and each
+    candidate costs 8 table lookups.  Zero float arithmetic: the DuckDB
+    oracle replays coarse seed/Lloyd/assign/probe, PQ seed/Lloyd/encode,
+    and the (adist asc, vec_id asc) top-5 bit-identically."""
+    from node_feedparser_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        n_codes=16,
+        m_sub=8,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.4, size-dispatched (r3)
     — exact broadcast matmul below the 50k cutoff (this oracle's regime),
@@ -3833,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "quantized_topk": q_quantized_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
@@ -4534,6 +4559,100 @@ def _extra_oracles() -> dict[str, str]:
                    FROM ccode2 c JOIN qtab t ON t.m = c.m AND t.code = c.code
                    WHERE c.vec_id <> t.query_id
                    GROUP BY t.query_id, c.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY adist ASC, vec_id ASC) AS rnk FROM ad)
+            SELECT query_id, vec_id, adist, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        # IVF-PQ: integer coarse quantizer (seed + one integer-Lloyd round,
+        # full-vector L2, ties -> smallest cell) prunes to n_probe cells;
+        # candidates score via the pq_topk codebooks' ADC sums — all integer
+        "ivfpq_topk": f"""
+            WITH {cosine_cte},
+            x AS (SELECT vec_id, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            st AS (SELECT pos, MIN(x) AS mn,
+                          (MAX(x) - MIN(x)) / 255.0 AS sc
+                   FROM x GROUP BY pos),
+            q AS (SELECT x.vec_id, x.pos,
+                         (x.pos - 1) // 8 AS m,
+                         (x.pos - 1) % 8 AS d,
+                         CASE WHEN st.sc > 0
+                              THEN CAST(ROUND((x.x - st.mn) / st.sc) AS BIGINT)
+                              ELSE 0 END AS qx
+                  FROM x JOIN st USING (pos)),
+            -- coarse layer: 16 full-vector cells, seed + one integer Lloyd
+            gcent AS (SELECT vec_id AS cell, pos, qx FROM q WHERE vec_id < 16),
+            gd AS (SELECT qq.vec_id, c.cell,
+                          SUM((qq.qx - c.qx) * (qq.qx - c.qx)) AS dist
+                   FROM q qq JOIN gcent c ON c.pos = qq.pos
+                   GROUP BY qq.vec_id, c.cell),
+            ga1 AS (SELECT vec_id, cell FROM (
+                        SELECT vec_id, cell,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist ASC, cell ASC) AS rn
+                        FROM gd) WHERE rn = 1),
+            gref AS (SELECT a.cell, qq.pos,
+                            (2 * SUM(qq.qx) + COUNT(*)) // (2 * COUNT(*)) AS qx
+                     FROM ga1 a JOIN q qq ON qq.vec_id = a.vec_id
+                     GROUP BY a.cell, qq.pos),
+            gcent2 AS (SELECT c.cell, c.pos, COALESCE(r.qx, c.qx) AS qx
+                       FROM gcent c LEFT JOIN gref r
+                         ON r.cell = c.cell AND r.pos = c.pos),
+            gd2 AS (SELECT qq.vec_id, c.cell,
+                           SUM((qq.qx - c.qx) * (qq.qx - c.qx)) AS dist
+                    FROM q qq JOIN gcent2 c ON c.pos = qq.pos
+                    GROUP BY qq.vec_id, c.cell),
+            gassign AS (SELECT vec_id, cell FROM (
+                            SELECT vec_id, cell,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist ASC, cell ASC) AS rn
+                            FROM gd2) WHERE rn = 1),
+            gprobe AS (SELECT query_id, cell FROM (
+                           SELECT vec_id AS query_id, cell,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cell ASC) AS pr
+                           FROM gd2 WHERE vec_id < 8) WHERE pr <= 4),
+            -- PQ layer: pq_topk's codebooks (seed + one integer Lloyd)
+            cent AS (SELECT vec_id AS code, m, d, qx FROM q WHERE vec_id < 16),
+            cd AS (SELECT qq.vec_id, qq.m, c.code,
+                          SUM((qq.qx - c.qx) * (qq.qx - c.qx)) AS dist
+                   FROM q qq JOIN cent c ON c.m = qq.m AND c.d = qq.d
+                   GROUP BY qq.vec_id, qq.m, c.code),
+            ccode AS (SELECT vec_id, m, code FROM (
+                          SELECT vec_id, m, code,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist ASC, code ASC) AS rn
+                          FROM cd) WHERE rn = 1),
+            refm AS (SELECT a.m, a.code, qq.d,
+                            (2 * SUM(qq.qx) + COUNT(*)) // (2 * COUNT(*)) AS qx
+                     FROM ccode a JOIN q qq ON qq.vec_id = a.vec_id AND qq.m = a.m
+                     GROUP BY a.m, a.code, qq.d),
+            cent2 AS (SELECT c.code, c.m, c.d, COALESCE(r.qx, c.qx) AS qx
+                      FROM cent c LEFT JOIN refm r
+                        ON r.m = c.m AND r.code = c.code AND r.d = c.d),
+            cd2 AS (SELECT qq.vec_id, qq.m, c.code,
+                           SUM((qq.qx - c.qx) * (qq.qx - c.qx)) AS dist
+                    FROM q qq JOIN cent2 c ON c.m = qq.m AND c.d = qq.d
+                    GROUP BY qq.vec_id, qq.m, c.code),
+            ccode2 AS (SELECT vec_id, m, code FROM (
+                           SELECT vec_id, m, code,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, code ASC) AS rn
+                           FROM cd2) WHERE rn = 1),
+            qtab AS (SELECT vec_id AS query_id, m, code, dist
+                     FROM cd2 WHERE vec_id < 8),
+            cand AS (SELECT p.query_id, a.vec_id
+                     FROM gprobe p JOIN gassign a ON a.cell = p.cell
+                     WHERE a.vec_id <> p.query_id),
+            ad AS (SELECT cand.query_id, cand.vec_id,
+                          CAST(SUM(t.dist) AS BIGINT) AS adist
+                   FROM cand
+                   JOIN ccode2 c ON c.vec_id = cand.vec_id
+                   JOIN qtab t ON t.query_id = cand.query_id
+                              AND t.m = c.m AND t.code = c.code
+                   GROUP BY cand.query_id, cand.vec_id),
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                              ORDER BY adist ASC, vec_id ASC) AS rnk FROM ad)
             SELECT query_id, vec_id, adist, CAST(rnk AS BIGINT) AS rank

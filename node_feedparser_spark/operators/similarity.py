@@ -867,3 +867,119 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_levels: int = 256,
+) -> DataFrame:
+    """IVF-PQ: the production 100 TB ANN shape (FAISS IVFx,PQy) — a coarse
+    inverted-file quantizer prunes the corpus to the query's n_probe
+    nearest cells, and candidates inside those cells are scored with the
+    PQ ADC tables, so per query the scan touches ~n_probe/n_cells of the
+    data and each candidate costs m_sub table lookups.
+
+    Both layers use the repo's integer discipline end-to-end: the coarse
+    quantizer is squared-L2 over the scalar-quantized vectors against
+    n_cells centroids (seeded from the n_cells smallest vec_ids, refined
+    by one pure-integer Lloyd round — _pq_lloyd_round with a single
+    "subspace" spanning the full vector), cell ties break to the smallest
+    cell; the PQ layer reuses pq_topk's codebooks (global, non-residual —
+    the residual variant is the production refinement, same plumbing) and
+    exact int64 ADC sums.  Zero float arithmetic anywhere, so the DuckDB
+    oracle replays coarse seed, coarse Lloyd, assignment, probe sets, PQ
+    encode, and the (adist asc, vec_id asc) top-k bit-identically.
+
+    Plan: ONE mapInPandas pass over the quantized corpus computes cell +
+    codes + masked ADC scores per Arrow batch (probe sets and both
+    codebooks ride one broadcast); at real scale the cell becomes the
+    partition key so a probe is partition pruning, not a mask.
+    """
+    spark = corpus.sparkSession
+    mn, sc = _quantization_stats(corpus, vec_col, n_levels)
+    dim = len(mn)
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+
+    corpus_q = _quantize_with_stats(corpus, mn, sc, id_col, vec_col)
+    queries_q = _quantize_with_stats(queries, mn, sc, query_id_col, vec_col)
+
+    seeds = np.zeros((max(n_cells, n_codes), dim), dtype=np.int64)
+    for r in corpus_q.filter(F.col("vec_id") < max(n_cells, n_codes)).collect():
+        seeds[int(r["vec_id"])] = np.asarray(r["qvec"], dtype=np.int64)
+
+    # coarse quantizer: one full-vector "subspace", one integer Lloyd round
+    coarse = _pq_lloyd_round(
+        corpus_q, seeds[:n_cells].reshape(n_cells, 1, dim)
+    ).reshape(n_cells, dim)
+    # PQ codebooks: the pq_topk discipline (seed + one Lloyd round)
+    cent3 = _pq_lloyd_round(
+        corpus_q, seeds[:n_codes].reshape(n_codes, m_sub, sub)
+    )
+
+    q_rows = queries_q.collect()
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.array([np.asarray(r["qvec"], dtype=np.int64) for r in q_rows])
+    # probe sets: n_probe cells with the smallest integer L2 (ties -> cell asc)
+    qcd = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)  # (nq, cells)
+    probes = np.argsort(qcd, axis=1, kind="stable")[:, :n_probe]
+    q3 = qmat.reshape(len(q_ids), m_sub, sub)
+    qtab = np.transpose(
+        ((q3[:, None, :, :] - cent3[None, :, :, :]) ** 2).sum(-1), (0, 2, 1)
+    )
+    bc = spark.sparkContext.broadcast((q_ids, probes, qtab, coarse, cent3))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, prb, tabs, co, c3 = bc.value
+        msub, subd = c3.shape[1], c3.shape[2]
+        marange = np.arange(msub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            x3 = X.reshape(len(vids), msub, subd)
+            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(axis=1)
+            out_q: list[int] = []
+            out_v: list[int] = []
+            out_d: list[int] = []
+            for qi, qid in enumerate(ids):
+                keep = np.isin(cells, prb[qi]) & (vids != qid)
+                if not keep.any():
+                    continue
+                ad = tabs[qi][marange[None, :], codes[keep]].sum(axis=1)
+                cv = vids[keep]
+                if len(cv) > k:
+                    kth = np.partition(ad, k - 1)[k - 1]
+                    sel = ad <= kth
+                    cv, ad = cv[sel], ad[sel]
+                out_q.extend([qid] * len(cv))
+                out_v.extend(cv.tolist())
+                out_d.extend(ad.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "adist": out_d}
+            )
+
+    local = corpus_q.mapInPandas(
+        score_batches, "query_id long, vec_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
