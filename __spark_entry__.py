@@ -348,6 +348,31 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (late round 3, operators/similarity.py
+    ivfpq_residual_topk — exact FAISS IndexIVFPQ semantics): PQ encodes
+    x − centroid(cell(x)) so the 8-byte codebooks only span the tight
+    within-cell residual distribution, and each query builds one integer
+    ADC table PER PROBED CELL from its residual against that centroid.
+    All arithmetic is int64 (negative residual sums take the
+    sign-symmetric half-away-from-zero mean, since Python // floors but
+    DuckDB // truncates); the DuckDB oracle replays coarse
+    seed/Lloyd/assign/probe, residual seeding, residual Lloyd, re-encode,
+    per-cell ADC, and the (adist asc, vec_id asc) top-5 bit-identically."""
+    from node_feedparser_spark.operators.similarity import ivfpq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        n_codes=16,
+        m_sub=8,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.4, size-dispatched (r3)
     — exact broadcast matmul below the 50k cutoff (this oracle's regime),
@@ -3858,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
@@ -4651,6 +4677,124 @@ def _extra_oracles() -> dict[str, str]:
                    FROM cand
                    JOIN ccode2 c ON c.vec_id = cand.vec_id
                    JOIN qtab t ON t.query_id = cand.query_id
+                              AND t.m = c.m AND t.code = c.code
+                   GROUP BY cand.query_id, cand.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY adist ASC, vec_id ASC) AS rnk FROM ad)
+            SELECT query_id, vec_id, adist, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        # residual IVF-PQ: same coarse layer; the PQ chain runs on
+        # rx = qx - centroid(cell(x)), seeded from the first-16 ids'
+        # residuals vs their OWN refined cells; each query gets one ADC
+        # table per probed cell from its residual vs THAT centroid.
+        # Integer means of possibly-negative residual sums use the
+        # sign-symmetric half-away-from-zero form (DuckDB // truncates on
+        # negatives while Python floors) — still zero float arithmetic
+        "ivfpq_residual_topk": f"""
+            WITH {cosine_cte},
+            x AS (SELECT vec_id, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            st AS (SELECT pos, MIN(x) AS mn,
+                          (MAX(x) - MIN(x)) / 255.0 AS sc
+                   FROM x GROUP BY pos),
+            q AS (SELECT x.vec_id, x.pos,
+                         (x.pos - 1) // 8 AS m,
+                         (x.pos - 1) % 8 AS d,
+                         CASE WHEN st.sc > 0
+                              THEN CAST(ROUND((x.x - st.mn) / st.sc) AS BIGINT)
+                              ELSE 0 END AS qx
+                  FROM x JOIN st USING (pos)),
+            gcent AS (SELECT vec_id AS cell, pos, qx FROM q WHERE vec_id < 16),
+            gd AS (SELECT qq.vec_id, c.cell,
+                          SUM((qq.qx - c.qx) * (qq.qx - c.qx)) AS dist
+                   FROM q qq JOIN gcent c ON c.pos = qq.pos
+                   GROUP BY qq.vec_id, c.cell),
+            ga1 AS (SELECT vec_id, cell FROM (
+                        SELECT vec_id, cell,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist ASC, cell ASC) AS rn
+                        FROM gd) WHERE rn = 1),
+            gref AS (SELECT a.cell, qq.pos,
+                            (2 * SUM(qq.qx) + COUNT(*)) // (2 * COUNT(*)) AS qx
+                     FROM ga1 a JOIN q qq ON qq.vec_id = a.vec_id
+                     GROUP BY a.cell, qq.pos),
+            gcent2 AS (SELECT c.cell, c.pos, COALESCE(r.qx, c.qx) AS qx
+                       FROM gcent c LEFT JOIN gref r
+                         ON r.cell = c.cell AND r.pos = c.pos),
+            gd2 AS (SELECT qq.vec_id, c.cell,
+                           SUM((qq.qx - c.qx) * (qq.qx - c.qx)) AS dist
+                    FROM q qq JOIN gcent2 c ON c.pos = qq.pos
+                    GROUP BY qq.vec_id, c.cell),
+            gassign AS (SELECT vec_id, cell FROM (
+                            SELECT vec_id, cell,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist ASC, cell ASC) AS rn
+                            FROM gd2) WHERE rn = 1),
+            gprobe AS (SELECT query_id, cell FROM (
+                           SELECT vec_id AS query_id, cell,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cell ASC) AS pr
+                           FROM gd2 WHERE vec_id < 8) WHERE pr <= 4),
+            -- corpus residuals vs the OWN refined cell
+            rq AS (SELECT qq.vec_id, qq.m, qq.d, qq.qx - g.qx AS rx
+                   FROM q qq
+                   JOIN gassign a ON a.vec_id = qq.vec_id
+                   JOIN gcent2 g ON g.cell = a.cell AND g.pos = qq.pos),
+            rcent AS (SELECT vec_id AS code, m, d, rx FROM rq WHERE vec_id < 16),
+            rcd AS (SELECT rr.vec_id, rr.m, c.code,
+                           SUM((rr.rx - c.rx) * (rr.rx - c.rx)) AS dist
+                    FROM rq rr JOIN rcent c ON c.m = rr.m AND c.d = rr.d
+                    GROUP BY rr.vec_id, rr.m, c.code),
+            rccode AS (SELECT vec_id, m, code FROM (
+                           SELECT vec_id, m, code,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, code ASC) AS rn
+                           FROM rcd) WHERE rn = 1),
+            -- sign-symmetric half-away-from-zero mean: Python // floors
+            -- but DuckDB // truncates on negatives, so both engines apply
+            -- sign(s) * (2*|s| + n) // (2*n) (positive operands only)
+            rrefm AS (SELECT a.m, a.code, rr.d,
+                             CASE WHEN SUM(rr.rx) >= 0
+                                  THEN (2 * SUM(rr.rx) + COUNT(*))
+                                       // (2 * COUNT(*))
+                                  ELSE -((-2 * SUM(rr.rx) + COUNT(*))
+                                         // (2 * COUNT(*)))
+                             END AS rx
+                      FROM rccode a
+                      JOIN rq rr ON rr.vec_id = a.vec_id AND rr.m = a.m
+                      GROUP BY a.m, a.code, rr.d),
+            rcent2 AS (SELECT c.code, c.m, c.d, COALESCE(r.rx, c.rx) AS rx
+                       FROM rcent c LEFT JOIN rrefm r
+                         ON r.m = c.m AND r.code = c.code AND r.d = c.d),
+            rcd2 AS (SELECT rr.vec_id, rr.m, c.code,
+                            SUM((rr.rx - c.rx) * (rr.rx - c.rx)) AS dist
+                     FROM rq rr JOIN rcent2 c ON c.m = rr.m AND c.d = rr.d
+                     GROUP BY rr.vec_id, rr.m, c.code),
+            rccode2 AS (SELECT vec_id, m, code FROM (
+                            SELECT vec_id, m, code,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist ASC, code ASC) AS rn
+                            FROM rcd2) WHERE rn = 1),
+            -- query residual PER PROBED CELL -> one ADC table per pair
+            qr AS (SELECT p.query_id, p.cell, qq.m, qq.d, qq.qx - g.qx AS rx
+                   FROM gprobe p
+                   JOIN q qq ON qq.vec_id = p.query_id
+                   JOIN gcent2 g ON g.cell = p.cell AND g.pos = qq.pos),
+            qtab AS (SELECT qr.query_id, qr.cell, qr.m, c.code,
+                            SUM((qr.rx - c.rx) * (qr.rx - c.rx)) AS dist
+                     FROM qr JOIN rcent2 c ON c.m = qr.m AND c.d = qr.d
+                     GROUP BY qr.query_id, qr.cell, qr.m, c.code),
+            cand AS (SELECT p.query_id, a.vec_id, a.cell
+                     FROM gprobe p JOIN gassign a ON a.cell = p.cell
+                     WHERE a.vec_id <> p.query_id),
+            ad AS (SELECT cand.query_id, cand.vec_id,
+                          CAST(SUM(t.dist) AS BIGINT) AS adist
+                   FROM cand
+                   JOIN rccode2 c ON c.vec_id = cand.vec_id
+                   JOIN qtab t ON t.query_id = cand.query_id
+                              AND t.cell = cand.cell
                               AND t.m = c.m AND t.code = c.code
                    GROUP BY cand.query_id, cand.vec_id),
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

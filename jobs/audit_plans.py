@@ -52,6 +52,7 @@ PYTHON_ALLOWED = {
     "quantized_topk",
     "pq_topk",              # int-ADC product quantization (encode+score pass)
     "ivfpq_topk",           # IVF cell-probe + int-ADC PQ scoring pass
+    "ivfpq_residual_topk",  # residual-encoded IVF-PQ scoring pass
     "embedding_topk",
     "ann_recall_eval",      # composes the two Arrow topk lanes above
     "retro_resolve",        # JVM-prescreened Arrow URL resolution

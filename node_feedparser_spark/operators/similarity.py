@@ -983,3 +983,181 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adist", "rank")
     )
+
+
+def _pq_lloyd_round_residual(
+    corpus_q: DataFrame, coarse: np.ndarray, rcent3: np.ndarray
+) -> np.ndarray:
+    """_pq_lloyd_round's residual twin: each batch first assigns its rows
+    to coarse cells (argmin integer L2, ties -> smallest cell), subtracts
+    the cell centroid, then runs the same assign-and-partial-sum over the
+    RESIDUAL subvectors.  Residual sums can be NEGATIVE, and Python //
+    floors while DuckDB // truncates toward zero — so the integer mean is
+    sign-symmetric half-AWAY-from-zero, sign(s) * (2*|s| + n) // (2*n)
+    (the Cohen's-kappa fixed-point discipline), which both engines
+    compute identically."""
+    n_codes, m_sub, sub = rcent3.shape
+    c3 = rcent3
+    co = coarse
+
+    def train_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            r3 = (X - co[cells]).reshape(len(X), m_sub, sub)
+            d2 = ((r3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(axis=1)
+            out: list[tuple[int, int, int, int, int]] = []
+            for m in range(m_sub):
+                cs = codes[:, m]
+                sums = np.zeros((n_codes, sub), dtype=np.int64)
+                np.add.at(sums, cs, r3[:, m, :])
+                cnts = np.bincount(cs, minlength=n_codes)
+                for j in range(n_codes):
+                    if cnts[j] == 0:
+                        continue
+                    for d in range(sub):
+                        out.append((m, j, d, int(sums[j, d]), int(cnts[j])))
+            yield pd.DataFrame(
+                out, columns=["m", "code", "d", "s", "n"]
+            )
+
+    rows = (
+        corpus_q.mapInPandas(
+            train_partials, "m int, code int, d int, s long, n long"
+        )
+        .groupBy("m", "code", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    refined = rcent3.copy()
+    for r in rows:
+        s, n = int(r["s"]), int(r["n"])
+        v = (2 * abs(s) + n) // (2 * n)
+        refined[r["code"], r["m"], r["d"]] = v if s >= 0 else -v
+    return refined
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_levels: int = 256,
+) -> DataFrame:
+    """Residual IVF-PQ — the exact FAISS IndexIVFPQ semantics: PQ encodes
+    x − centroid(cell(x)) instead of x, so the codebooks only have to
+    cover the (much tighter) within-cell residual distribution, and each
+    query builds a SEPARATE ADC table per probed cell from its residual
+    against THAT cell's centroid.  This is what makes 8-byte codes usable
+    at production recall; ivfpq_topk's global-codebook variant is the
+    same plumbing minus the residual subtraction.
+
+    Integer discipline throughout (scalar-quantized vectors, integer
+    coarse Lloyd, residual codebooks seeded from the n_codes smallest
+    ids' residuals + one integer Lloyd round with sign-symmetric
+    half-away-from-zero means — Python // floors but DuckDB // truncates
+    on negatives, so the mean is sign(s)*(2|s|+n)//(2n) on both engines —
+    and exact int64 ADC sums): the oracle replays every stage
+    bit-identically with zero float arithmetic.
+
+    Plan: same single scoring pass as ivfpq_topk; the broadcast carries
+    per-(query, probed-cell) ADC tables (nq x n_probe x m_sub x n_codes
+    int64 — still tiny) and candidates are matched to the table of their
+    OWN cell.
+    """
+    spark = corpus.sparkSession
+    mn, sc = _quantization_stats(corpus, vec_col, n_levels)
+    dim = len(mn)
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+
+    corpus_q = _quantize_with_stats(corpus, mn, sc, id_col, vec_col)
+    queries_q = _quantize_with_stats(queries, mn, sc, query_id_col, vec_col)
+
+    seeds = np.zeros((max(n_cells, n_codes), dim), dtype=np.int64)
+    for r in corpus_q.filter(F.col("vec_id") < max(n_cells, n_codes)).collect():
+        seeds[int(r["vec_id"])] = np.asarray(r["qvec"], dtype=np.int64)
+
+    coarse = _pq_lloyd_round(
+        corpus_q, seeds[:n_cells].reshape(n_cells, 1, dim)
+    ).reshape(n_cells, dim)
+
+    # residual codebook seeds: the first n_codes vectors' residuals vs
+    # their OWN (refined-coarse) cells — same rule the oracle replays
+    seed_cells = (
+        ((seeds[:n_codes, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+    )
+    rseeds = (seeds[:n_codes] - coarse[seed_cells]).reshape(n_codes, m_sub, sub)
+    rcent3 = _pq_lloyd_round_residual(corpus_q, coarse, rseeds)
+
+    q_rows = queries_q.collect()
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.array([np.asarray(r["qvec"], dtype=np.int64) for r in q_rows])
+    qcd = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(qcd, axis=1, kind="stable")[:, :n_probe]  # (nq, np)
+    # per-(query, probed cell) ADC tables over the query's residual vs
+    # that cell: (nq, n_probe, m_sub, n_codes)
+    qres = (qmat[:, None, :] - coarse[probes]).reshape(
+        len(q_ids), n_probe, m_sub, sub
+    )
+    qtab = np.transpose(
+        ((qres[:, :, None, :, :] - rcent3[None, None, :, :, :]) ** 2).sum(-1),
+        (0, 1, 3, 2),
+    )
+    bc = spark.sparkContext.broadcast((q_ids, probes, qtab, coarse, rcent3))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, prb, tabs, co, c3 = bc.value
+        msub, subd = c3.shape[1], c3.shape[2]
+        marange = np.arange(msub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            r3 = (X - co[cells]).reshape(len(X), msub, subd)
+            d2 = ((r3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(axis=1)
+            out_q: list[int] = []
+            out_v: list[int] = []
+            out_d: list[int] = []
+            for qi, qid in enumerate(ids):
+                for p, cell in enumerate(prb[qi]):
+                    keep = (cells == cell) & (vids != qid)
+                    if not keep.any():
+                        continue
+                    ad = tabs[qi, p][marange[None, :], codes[keep]].sum(axis=1)
+                    cv = vids[keep]
+                    if len(cv) > k:
+                        kth = np.partition(ad, k - 1)[k - 1]
+                        sel = ad <= kth
+                        cv, ad = cv[sel], ad[sel]
+                    out_q.extend([qid] * len(cv))
+                    out_v.extend(cv.tolist())
+                    out_d.extend(ad.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "adist": out_d}
+            )
+
+    local = corpus_q.mapInPandas(
+        score_batches, "query_id long, vec_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
