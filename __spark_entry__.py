@@ -3033,6 +3033,30 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(li, ["l_returnflag"], "l_partkey", p=8)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch set-overlap estimation (late round 3,
+    operators/sketch.py kmv_set_overlap — Beyer et al. SIGMOD 2007):
+    3-gram shingle-vocabulary overlap between the two doc_id-parity
+    halves of the documents table.  Each side's sketch is its k=256
+    smallest distinct portable-60-bit hash values; distinct / union /
+    intersection / Jaccard estimates come from the combined sketch below
+    theta = min of the two k-th values.  Two corpus slices compare
+    vocabularies by shipping k integers each — the sketch-join shape at
+    100 TB, mergeable like the HLL registers.  Deterministic md5 hashing
+    means the DuckDB oracle rebuilds the identical sketches; estimator
+    divisions are exact-integer-to-double with one rounding each, so the
+    4-dp estimates are bit-identical."""
+    from node_feedparser_spark.functions.hashing import token_shingles
+    from node_feedparser_spark.operators.sketch import kmv_set_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    elems = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(token_shingles("text", 3)).alias("elem"),
+    )
+    return kmv_set_overlap(elems, k=256)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (round 3): document tokens whose
     CMS-estimated frequency reaches 0.5% of total token mass, from a d=4 ×
@@ -4009,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         # cardinality sketch + GNN feature aggregation (round 3)
         "hll_distinct": q_hll_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "neighbor_agg": q_neighbor_agg,
         # frequency + quantile sketches (round 3)
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -7266,6 +7291,64 @@ def _extra_oracles() -> dict[str, str]:
                           THEN {_m}.0 * LN({_m}.0 / n_zero_buckets)
                           ELSE raw END, 4) AS hll_estimate
         FROM est
+    """
+    # --- KMV / theta-sketch overlap: identical k-smallest-hash sketches
+    # per side, thresholds, and combined-sketch estimator (k=256).  The
+    # estimator multiplications stay exactly representable as doubles
+    # (count * 2^60 with count <= 2k) and each division happens once, so
+    # the 4-dp estimates match bit-for-bit.
+    _kmv_k = 256
+    _kmv_H = 1 << 60
+    d["kmv_overlap"] = f"""
+        WITH docs AS (SELECT doc_id % 2 AS side, text FROM documents),
+        sh AS (SELECT side, unnest({shingles_sql('text', 3)}) AS elem
+               FROM docs),
+        dh AS (SELECT DISTINCT side,
+                      {portable_hash60_sql_("CAST(elem AS VARCHAR)")} AS h
+               FROM sh),
+        sk AS (SELECT side, h, rn FROM (
+                   SELECT side, h,
+                          ROW_NUMBER() OVER (PARTITION BY side
+                                             ORDER BY h) AS rn
+                   FROM dh) WHERE rn <= {_kmv_k}),
+        stats AS (SELECT side, COUNT(*) AS cnt,
+                         MAX(CASE WHEN rn = {_kmv_k} THEN h END) AS kth
+                  FROM sk GROUP BY side),
+        st2 AS (SELECT side, cnt,
+                       CASE WHEN cnt >= {_kmv_k} THEN kth
+                            ELSE {_kmv_H} END AS thresh,
+                       CASE WHEN cnt < {_kmv_k} THEN CAST(cnt AS DOUBLE)
+                            ELSE ROUND((CAST({_kmv_k - 1} AS DOUBLE)
+                                        * CAST({_kmv_H} AS DOUBLE))
+                                       / CAST(kth AS DOUBLE), 4)
+                       END AS est
+                FROM stats),
+        sides AS (SELECT MIN(side) AS side_a, MAX(side) AS side_b,
+                         min_by(est, side) AS est_distinct_a,
+                         max_by(est, side) AS est_distinct_b,
+                         MIN(thresh) AS min_thresh
+                  FROM st2),
+        pruned AS (SELECT sk.side, sk.h FROM sk, sides
+                   WHERE sk.h < sides.min_thresh),
+        pc AS (SELECT h, COUNT(DISTINCT side) AS nsides
+               FROM pruned GROUP BY h),
+        cnts AS (SELECT CAST(COUNT(*) AS BIGINT) AS union_cnt,
+                        CAST(COUNT(CASE WHEN nsides = 2 THEN 1 END)
+                             AS BIGINT) AS inter_cnt
+                 FROM pc)
+        SELECT s.side_a, s.side_b, {_kmv_k} AS k,
+               s.est_distinct_a, s.est_distinct_b,
+               ROUND(CAST(c.union_cnt AS DOUBLE)
+                     * CAST({_kmv_H} AS DOUBLE)
+                     / CAST(s.min_thresh AS DOUBLE), 4) AS est_union,
+               ROUND(CAST(c.inter_cnt AS DOUBLE)
+                     * CAST({_kmv_H} AS DOUBLE)
+                     / CAST(s.min_thresh AS DOUBLE), 4) AS est_intersection,
+               CASE WHEN c.union_cnt > 0
+                    THEN ROUND(CAST(c.inter_cnt AS DOUBLE)
+                               / CAST(c.union_cnt AS DOUBLE), 4)
+               END AS est_jaccard
+        FROM sides s, cnts c
     """
     # --- GraphSAGE sampled neighbor agg: hash-ranked fanout-8 sample +
     # two unrolled floor-division mixing hops in micro-unit BIGINTs (the

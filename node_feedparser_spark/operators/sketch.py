@@ -413,3 +413,121 @@ def poisson_bootstrap(
         "boot_se",
         "n_reps",
     )
+
+
+#: 2^60 — the exclusive upper bound of portable_hash60's value space.
+#: Exactly representable as an IEEE double (power of two), so the
+#: (count * SPACE / threshold) estimator divisions are bit-identical
+#: across engines.
+_KMV_SPACE = 1 << 60
+
+
+def kmv_set_overlap(
+    elements: DataFrame,
+    side_col: str = "side",
+    elem_col: str = "elem",
+    k: int = 256,
+) -> DataFrame:
+    """KMV / theta-sketch set-overlap estimation (Beyer et al., "On
+    Synopses for Distinct-Value Estimation Under Multiset Operations",
+    SIGMOD 2007): per side, the sketch is the k smallest distinct 60-bit
+    hash values; |S| ~ (k-1) * SPACE / h_(k), and union / intersection
+    between sides are estimated from the combined sketch below
+    theta = min(h_(k)^A, h_(k)^B).  This is how two 100 TB corpus slices
+    compare vocabularies without a distinct-join: each side ships k
+    integers, and sketches are trivially mergeable (k smallest of the
+    concatenation).
+
+    Deterministic by construction (md5-derived portable_hash60, the
+    minhash discipline) so the DuckDB oracle rebuilds the identical
+    sketches and estimates.  Sides with fewer than k distinct values get
+    their EXACT count (threshold = SPACE, i.e. theta = 1) — the sketch
+    degrades to exact, never to garbage.
+
+    Plan (all JVM, zero Python): one distinct on (side, hash) — output
+    vocabulary-sized, not corpus-sized — then a TWO-STAGE k-smallest
+    (64-way bucketed window before the per-side window, so no single
+    task ever sorts a whole side's vocabulary), then only sketch-sized
+    (<= 2k row) joins and aggregates.  Exactly two side values expected;
+    output is ONE row: (side_a, side_b, k, est_distinct_a,
+    est_distinct_b, est_union, est_intersection, est_jaccard).
+    """
+    H = F.lit(_KMV_SPACE).cast("long")
+    h = portable_hash60(F.col(elem_col).cast("string"))
+    dist = elements.select(
+        F.col(side_col).alias("side"), h.alias("h")
+    ).distinct()
+    pre = Window.partitionBy("side", F.pmod(F.col("h"), F.lit(64))).orderBy(
+        "h"
+    )
+    w = Window.partitionBy("side").orderBy("h")
+    sk = (
+        dist.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= k)
+        .drop("prn")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    stats = sk.groupBy("side").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    st2 = stats.select(
+        "side",
+        "cnt",
+        F.when(F.col("cnt") >= k, F.col("kth")).otherwise(H).alias("thresh"),
+        F.when(F.col("cnt") < k, F.col("cnt").cast("double"))
+        .otherwise(
+            F.round(
+                (F.lit(float(k - 1)) * H.cast("double"))
+                / F.col("kth").cast("double"),
+                4,
+            )
+        )
+        .alias("est"),
+    )
+    sides = st2.agg(
+        F.min("side").alias("side_a"),
+        F.max("side").alias("side_b"),
+        F.min_by("est", "side").alias("est_distinct_a"),
+        F.max_by("est", "side").alias("est_distinct_b"),
+        F.min("thresh").alias("min_thresh"),
+    )
+    pruned = sk.crossJoin(F.broadcast(sides.select("min_thresh"))).filter(
+        F.col("h") < F.col("min_thresh")
+    )
+    pc = pruned.groupBy("h").agg(
+        F.countDistinct("side").alias("nsides")
+    )
+    cnts = pc.agg(
+        F.count(F.lit(1)).alias("union_cnt"),
+        F.count(F.when(F.col("nsides") == 2, F.lit(1))).alias("inter_cnt"),
+    )
+    out = sides.crossJoin(cnts)
+    return out.select(
+        "side_a",
+        "side_b",
+        F.lit(k).alias("k"),
+        "est_distinct_a",
+        "est_distinct_b",
+        F.round(
+            F.col("union_cnt").cast("double")
+            * H.cast("double")
+            / F.col("min_thresh").cast("double"),
+            4,
+        ).alias("est_union"),
+        F.round(
+            F.col("inter_cnt").cast("double")
+            * H.cast("double")
+            / F.col("min_thresh").cast("double"),
+            4,
+        ).alias("est_intersection"),
+        F.when(
+            F.col("union_cnt") > 0,
+            F.round(
+                F.col("inter_cnt").cast("double")
+                / F.col("union_cnt").cast("double"),
+                4,
+            ),
+        ).alias("est_jaccard"),
+    )
