@@ -373,6 +373,77 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lane_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN lane scoreboard (late round 3): recall@5 + MRR of every
+    PQ-family lane (global-codebook PQ, IVF-PQ, residual IVF-PQ, int8
+    scalar quantization) against the exact float cosine top-5 on the
+    shared vec_id<8 query set — the honest in-plan quality ledger that
+    makes "approximate" a measured number per lane, not a vibe
+    (extends ann_recall_eval's IVF-only eval).  MRR is float-summation
+    free: per (lane, query) ROUND(1e6/minrank) as BIGINT, exact integer
+    sum, one final division rounded to 4 dp.  The oracle composes each
+    lane's own verified oracle SQL verbatim (rrf_fusion discipline), so
+    the scoreboard can never drift from the lanes it scores."""
+    from node_feedparser_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        pq_topk,
+        quantized_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q8 = emb.filter(F.col("vec_id") < 8)
+    truth = cosine_topk(emb, q8, k=5).select("query_id", "vec_id")
+    lanes = [
+        ("ivfpq", ivfpq_topk(emb, q8, k=5)),
+        ("ivfpq_residual", ivfpq_residual_topk(emb, q8, k=5)),
+        ("pq", pq_topk(emb, q8, k=5)),
+        ("quantized", quantized_topk(emb, q8, k=5)),
+    ]
+    union = None
+    for name, df in lanes:
+        part = df.select(
+            F.lit(name).alias("lane"),
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        union = part if union is None else union.union(part)
+    hits = union.join(truth, ["query_id", "vec_id"])
+    base = union.select("lane").distinct()
+    rec = hits.groupBy("lane").agg(F.count(F.lit(1)).alias("n_hits"))
+    ms = (
+        hits.groupBy("lane", "query_id")
+        .agg(F.min("rank").alias("minr"))
+        .select(
+            "lane",
+            F.round(F.lit(1000000.0) / F.col("minr"))
+            .cast("long")
+            .alias("rr"),
+        )
+        .groupBy("lane")
+        .agg(F.sum("rr").alias("s"))
+    )
+    return (
+        base.join(rec, "lane", "left")
+        .join(ms, "lane", "left")
+        .select(
+            "lane",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(40.0),
+                4,
+            ).alias("recall_at_5"),
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                / F.lit(8000000.0),
+                4,
+            ).alias("mrr"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.4, size-dispatched (r3)
     — exact broadcast matmul below the 50k cutoff (this oracle's regime),
@@ -3908,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
+        "ann_lane_eval": q_ann_lane_eval,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
@@ -8514,5 +8586,49 @@ def _extra_oracles() -> dict[str, str]:
         SELECT conversion_id, touch_id, n_touches,
                ROUND(val / n_touches, 6) AS credit
         FROM n
+    """
+    # --- ANN lane scoreboard: recall@5 + fixed-point MRR of every
+    # PQ-family lane vs the exact float cosine top-5.  Composed VERBATIM
+    # from each lane's own oracle SQL (the rrf_fusion discipline) so the
+    # lanes here can never drift from the lanes the driver verifies; the
+    # <10-query lanes are filtered to the shared <8 set, which equals an
+    # <8 run because per-query results are independent of other queries.
+    # MRR avoids a float summation: per query ROUND(1e6/minrank) BIGINT,
+    # exact integer sum, ONE final division rounded to 4 dp.
+    _lanes = {
+        "ivfpq": d["ivfpq_topk"],
+        "ivfpq_residual": d["ivfpq_residual_topk"],
+        "pq": d["pq_topk"],
+        "quantized": d["quantized_topk"],
+    }
+    _lane_ctes = ",\n".join(
+        f"lane_{name} AS (SELECT '{name}' AS lane, query_id, vec_id, rank "
+        f"FROM ({sql}) t WHERE query_id < 8)"
+        for name, sql in _lanes.items()
+    )
+    _lane_union = " UNION ALL ".join(
+        f"SELECT * FROM lane_{name}" for name in _lanes
+    )
+    d["ann_lane_eval"] = f"""
+        WITH truth AS (SELECT query_id, vec_id
+                       FROM ({d["embedding_topk"]}) t WHERE query_id < 8),
+        {_lane_ctes},
+        lanes AS ({_lane_union}),
+        hits AS (SELECT l.lane, l.query_id, l.vec_id, l.rank
+                 FROM lanes l JOIN truth USING (query_id, vec_id)),
+        base AS (SELECT DISTINCT lane FROM lanes),
+        rec AS (SELECT lane, CAST(COUNT(*) AS BIGINT) AS n_hits
+                FROM hits GROUP BY lane),
+        mr AS (SELECT lane, query_id,
+                      CAST(ROUND(1000000.0 / MIN(rank)) AS BIGINT) AS rr
+               FROM hits GROUP BY lane, query_id),
+        ms AS (SELECT lane, CAST(SUM(rr) AS BIGINT) AS s FROM mr GROUP BY lane)
+        SELECT b.lane,
+               ROUND(CAST(COALESCE(r.n_hits, 0) AS DOUBLE) / 40.0, 4)
+                   AS recall_at_5,
+               ROUND(CAST(COALESCE(ms.s, 0) AS DOUBLE) / 8000000.0, 4) AS mrr
+        FROM base b
+        LEFT JOIN rec r ON r.lane = b.lane
+        LEFT JOIN ms ON ms.lane = b.lane
     """
     return d

@@ -53,6 +53,7 @@ PYTHON_ALLOWED = {
     "pq_topk",              # int-ADC product quantization (encode+score pass)
     "ivfpq_topk",           # IVF cell-probe + int-ADC PQ scoring pass
     "ivfpq_residual_topk",  # residual-encoded IVF-PQ scoring pass
+    "ann_lane_eval",        # composes the four Arrow ANN lanes + exact truth
     "embedding_topk",
     "ann_recall_eval",      # composes the two Arrow topk lanes above
     "retro_resolve",        # JVM-prescreened Arrow URL resolution
