@@ -292,3 +292,43 @@ def test_katz_and_butterflies_no_cartesian(spark):
         p = plan_of(q(spark, SF_DIR), "simple")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_lanes_corpus_never_shuffles(spark):
+    """PQ-family ANN lanes: the scoring pass must keep the cosine_topk
+    shape — quantize in-row, encode + score in one MapInPandas over scan
+    partitions, and shuffle ONLY the pruned local top-k rows (a single
+    hashpartitioning(query_id) exchange for the global window).  The
+    Lloyd-training passes run at BUILD time (before the returned plan),
+    so the returned plan itself must stay one-exchange."""
+    from node_feedparser_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    for op in (pq_topk, ivfpq_topk, ivfpq_residual_topk):
+        p = plan_of(op(emb, q, k=3), "simple")
+        assert p.count("Exchange hashpartitioning") == 1, op.__name__
+        assert "query_id" in p, op.__name__
+        assert "MapInPandas" in p, op.__name__
+
+
+def test_kmv_is_all_jvm_and_sketch_sized(spark):
+    """KMV overlap: zero Python nodes (pure JVM hashing + windows), and
+    the only corpus-sized exchanges feed the distinct + bucketed
+    k-smallest — everything after the sketch is <= 2k rows with the
+    threshold row BROADCAST, never a corpus-side shuffle join."""
+    from node_feedparser_spark.functions.hashing import token_shingles
+    from node_feedparser_spark.operators.sketch import kmv_set_overlap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    elems = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(token_shingles("text", 3)).alias("elem"),
+    )
+    p = plan_of(kmv_set_overlap(elems, k=64), "simple")
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "BroadcastExchange" in p  # the min_thresh scalar rides broadcast
