@@ -422,6 +422,40 @@ def poisson_bootstrap(
 _KMV_SPACE = 1 << 60
 
 
+def kmv_sketch(
+    elements: DataFrame,
+    side_col: str = "side",
+    elem_col: str = "elem",
+    k: int = 256,
+) -> DataFrame:
+    """The per-side KMV sketch state: (side, h, rn) — the k smallest
+    distinct portable-60-bit hash values of each side's element set, rn
+    = 1-based ascending rank.  MERGEABLE: the sketch of a union of
+    element sets equals re-ranking the k smallest of the concatenated
+    per-set sketches (pinned by tests/test_kmv.py) — per-shard / per-day
+    sketches combine without touching raw data, the same property the
+    HLL registers have.
+
+    Plan: one distinct on (side, hash) — vocabulary-sized — then a
+    two-stage k-smallest (64-way bucketed window before the per-side
+    window) so no single task ever sorts a whole side's vocabulary."""
+    h = portable_hash60(F.col(elem_col).cast("string"))
+    dist = elements.select(
+        F.col(side_col).alias("side"), h.alias("h")
+    ).distinct()
+    pre = Window.partitionBy("side", F.pmod(F.col("h"), F.lit(64))).orderBy(
+        "h"
+    )
+    w = Window.partitionBy("side").orderBy("h")
+    return (
+        dist.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= k)
+        .drop("prn")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def kmv_set_overlap(
     elements: DataFrame,
     side_col: str = "side",
@@ -453,21 +487,7 @@ def kmv_set_overlap(
     est_distinct_b, est_union, est_intersection, est_jaccard).
     """
     H = F.lit(_KMV_SPACE).cast("long")
-    h = portable_hash60(F.col(elem_col).cast("string"))
-    dist = elements.select(
-        F.col(side_col).alias("side"), h.alias("h")
-    ).distinct()
-    pre = Window.partitionBy("side", F.pmod(F.col("h"), F.lit(64))).orderBy(
-        "h"
-    )
-    w = Window.partitionBy("side").orderBy("h")
-    sk = (
-        dist.withColumn("prn", F.row_number().over(pre))
-        .filter(F.col("prn") <= k)
-        .drop("prn")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    sk = kmv_sketch(elements, side_col=side_col, elem_col=elem_col, k=k)
     stats = sk.groupBy("side").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),

@@ -83,3 +83,33 @@ def test_kmv_sketch_grows_with_k(elems):
     r512 = kmv_set_overlap(elems, k=512).toPandas().iloc[0]
     assert r512["k"] == 512
     assert r512["est_distinct_a"] != r256["est_distinct_a"]
+
+
+def test_kmv_sketch_is_mergeable(spark, elems):
+    """The mergeability property that makes the sketch worth having at
+    warehouse scale: sketch(A ∪ B) == k-smallest of (sketch(A) ∪
+    sketch(B)) — per-shard sketches combine without raw data.  Shards
+    here are doc_id thirds RELABELED to one side, so the union really is
+    a union of distinct element sets with overlap."""
+    from node_feedparser_spark.operators.sketch import kmv_sketch
+
+    k = 64
+    whole = (
+        kmv_sketch(elems.select(F.lit("all").alias("side"), "elem"), k=k)
+        .orderBy("rn")
+        .toPandas()
+    )
+    shard_sketches = []
+    for i in range(3):
+        shard = elems.filter(F.crc32(F.col("elem")) % 3 == i).select(
+            F.lit("all").alias("side"), "elem"
+        )
+        shard_sketches.append(kmv_sketch(shard, k=k).toPandas())
+    merged = (
+        pd.concat(shard_sketches)["h"]
+        .drop_duplicates()
+        .sort_values()
+        .head(k)
+        .reset_index(drop=True)
+    )
+    assert list(whole["h"]) == list(merged)
