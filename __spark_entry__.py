@@ -3128,6 +3128,26 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_overlap(elems, k=256)
 
 
+def q_kmv_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs KMV overlap matrix (late round 3, operators/sketch.py
+    kmv_pairwise_overlap): theta-sketch intersection / union / Jaccard
+    estimates between every pair of the documents table's 20 sources
+    (190 pairs) from one k=128 sketch per source — the "which corpus
+    slices share content" lineage matrix that exact distinct-joins make
+    quadratic; after the single sketch pass everything is sketch-sized.
+    Deterministic md5 sketches; the DuckDB oracle replays sketches,
+    per-pair thresholds, and the three estimators bit-for-bit."""
+    from node_feedparser_spark.functions.hashing import token_shingles
+    from node_feedparser_spark.operators.sketch import kmv_pairwise_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    elems = docs.select(
+        F.col("source").alias("side"),
+        F.explode(token_shingles("text", 3)).alias("elem"),
+    )
+    return kmv_pairwise_overlap(elems, k=128)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (round 3): document tokens whose
     CMS-estimated frequency reaches 0.5% of total token mass, from a d=4 ×
@@ -4106,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cardinality sketch + GNN feature aggregation (round 3)
         "hll_distinct": q_hll_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "kmv_pairwise": q_kmv_pairwise,
         "neighbor_agg": q_neighbor_agg,
         # frequency + quantile sketches (round 3)
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -7421,6 +7442,60 @@ def _extra_oracles() -> dict[str, str]:
                                / CAST(c.union_cnt AS DOUBLE), 4)
                END AS est_jaccard
         FROM sides s, cnts c
+    """
+    # --- all-pairs KMV overlap matrix: one k=128 sketch per source,
+    # per-pair theta = LEAST of the two thresholds, then the three
+    # estimators — identical integer sketches, single-division doubles
+    _kpw_k = 128
+    d["kmv_pairwise"] = f"""
+        WITH sh AS (SELECT source AS side,
+                           unnest({shingles_sql('text', 3)}) AS elem
+                    FROM documents),
+        dh AS (SELECT DISTINCT side,
+                      {portable_hash60_sql_("CAST(elem AS VARCHAR)")} AS h
+               FROM sh),
+        sk AS (SELECT side, h, rn FROM (
+                   SELECT side, h,
+                          ROW_NUMBER() OVER (PARTITION BY side
+                                             ORDER BY h) AS rn
+                   FROM dh) WHERE rn <= {_kpw_k}),
+        st AS (SELECT side,
+                      CASE WHEN COUNT(*) >= {_kpw_k}
+                           THEN MAX(CASE WHEN rn = {_kpw_k} THEN h END)
+                           ELSE {_kmv_H} END AS thresh
+               FROM sk GROUP BY side),
+        pairs AS (SELECT a.side AS side_a, b.side AS side_b,
+                         LEAST(a.thresh, b.thresh) AS th
+                  FROM st a JOIN st b ON a.side < b.side),
+        na AS (SELECT p.side_a, p.side_b, COUNT(*) AS na
+               FROM pairs p JOIN sk s ON s.side = p.side_a
+               WHERE s.h < p.th GROUP BY p.side_a, p.side_b),
+        nb AS (SELECT p.side_a, p.side_b, COUNT(*) AS nb
+               FROM pairs p JOIN sk s ON s.side = p.side_b
+               WHERE s.h < p.th GROUP BY p.side_a, p.side_b),
+        ni AS (SELECT p.side_a, p.side_b, COUNT(*) AS ni
+               FROM pairs p
+               JOIN sk s1 ON s1.side = p.side_a
+               JOIN sk s2 ON s2.side = p.side_b AND s2.h = s1.h
+               WHERE s1.h < p.th GROUP BY p.side_a, p.side_b),
+        c AS (SELECT p.side_a, p.side_b, p.th,
+                     COALESCE(na.na, 0) AS na, COALESCE(nb.nb, 0) AS nb,
+                     COALESCE(ni.ni, 0) AS ni,
+                     COALESCE(na.na, 0) + COALESCE(nb.nb, 0)
+                         - COALESCE(ni.ni, 0) AS nu
+              FROM pairs p
+              LEFT JOIN na ON na.side_a = p.side_a AND na.side_b = p.side_b
+              LEFT JOIN nb ON nb.side_a = p.side_a AND nb.side_b = p.side_b
+              LEFT JOIN ni ON ni.side_a = p.side_a AND ni.side_b = p.side_b)
+        SELECT side_a, side_b,
+               ROUND(CAST(ni AS DOUBLE) * CAST({_kmv_H} AS DOUBLE)
+                     / CAST(th AS DOUBLE), 4) AS est_intersection,
+               ROUND(CAST(nu AS DOUBLE) * CAST({_kmv_H} AS DOUBLE)
+                     / CAST(th AS DOUBLE), 4) AS est_union,
+               CASE WHEN nu > 0
+                    THEN ROUND(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE), 4)
+               END AS est_jaccard
+        FROM c
     """
     # --- GraphSAGE sampled neighbor agg: hash-ranked fanout-8 sample +
     # two unrolled floor-division mixing hops in micro-unit BIGINTs (the

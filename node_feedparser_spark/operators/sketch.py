@@ -551,3 +551,112 @@ def kmv_set_overlap(
             ),
         ).alias("est_jaccard"),
     )
+
+
+def kmv_pairwise_overlap(
+    elements: DataFrame,
+    side_col: str = "side",
+    elem_col: str = "elem",
+    k: int = 128,
+) -> DataFrame:
+    """All-pairs KMV overlap matrix: one sketch per side, then every
+    unordered side pair gets theta-sketch intersection / union / Jaccard
+    estimates — the "which corpus slices share content" lineage matrix
+    that would otherwise be a quadratic family of distinct-joins.  After
+    the one sketch pass, EVERYTHING is sketch-sized: n_sides * k rows
+    join against an n_pairs-row broadcast threshold table, so 100 slices
+    of a 100 TB corpus compare in ~100*k integers.
+
+    Per pair: theta = min of the two k-th values (a side under k distinct
+    keeps theta = SPACE, i.e. its sketch IS the set); A' = that side's
+    sketch values strictly below theta; est_inter = |A' n B'| * SPACE /
+    theta, est_union = |A' u B'| * SPACE / theta, est_jaccard =
+    |A' n B'| / |A' u B'| (the ratio estimator, NULL on empty union).
+    Deterministic md5 hashing — the DuckDB oracle replays bit-for-bit.
+
+    Returns (side_a, side_b, est_intersection, est_union, est_jaccard)
+    with side_a < side_b.
+    """
+    H = F.lit(_KMV_SPACE).cast("long")
+    sk = kmv_sketch(elements, side_col=side_col, elem_col=elem_col, k=k)
+    stats = sk.groupBy("side").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    st = stats.select(
+        "side",
+        F.when(F.col("cnt") >= k, F.col("kth")).otherwise(H).alias("thresh"),
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(b, F.col("a.side") < F.col("b.side"))
+        .select(
+            F.col("a.side").alias("side_a"),
+            F.col("b.side").alias("side_b"),
+            F.least(F.col("a.thresh"), F.col("b.thresh")).alias("th"),
+        )
+    )
+    # per-pair below-threshold counts for each side of the pair
+    a_cnt = (
+        pairs.join(F.broadcast(sk).alias("s"), F.col("s.side") == F.col("side_a"))
+        .filter(F.col("s.h") < F.col("th"))
+        .groupBy("side_a", "side_b")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b_cnt = (
+        pairs.join(F.broadcast(sk).alias("s"), F.col("s.side") == F.col("side_b"))
+        .filter(F.col("s.h") < F.col("th"))
+        .groupBy("side_a", "side_b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    s1, s2 = sk.alias("s1"), sk.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.h") == F.col("s2.h"))
+            & (F.col("s1.side") < F.col("s2.side")),
+        )
+        .select(
+            F.col("s1.side").alias("side_a"),
+            F.col("s2.side").alias("side_b"),
+            F.col("s1.h").alias("h"),
+        )
+        .join(pairs, ["side_a", "side_b"])
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("side_a", "side_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    out = (
+        pairs.join(a_cnt, ["side_a", "side_b"], "left")
+        .join(b_cnt, ["side_a", "side_b"], "left")
+        .join(inter, ["side_a", "side_b"], "left")
+        .select(
+            "side_a",
+            "side_b",
+            "th",
+            F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+            F.coalesce(F.col("ni"), F.lit(0)).alias("ni"),
+        )
+        .withColumn("nu", F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    return out.select(
+        "side_a",
+        "side_b",
+        F.round(
+            F.col("ni").cast("double")
+            * H.cast("double")
+            / F.col("th").cast("double"),
+            4,
+        ).alias("est_intersection"),
+        F.round(
+            F.col("nu").cast("double")
+            * H.cast("double")
+            / F.col("th").cast("double"),
+            4,
+        ).alias("est_union"),
+        F.when(
+            F.col("nu") > 0,
+            F.round(F.col("ni").cast("double") / F.col("nu").cast("double"), 4),
+        ).alias("est_jaccard"),
+    )

@@ -113,3 +113,34 @@ def test_kmv_sketch_is_mergeable(spark, elems):
         .reset_index(drop=True)
     )
     assert list(whole["h"]) == list(merged)
+
+
+def test_kmv_pairwise_matrix_shape_and_accuracy(spark):
+    """190 pairs over the 20 sources, side_a < side_b everywhere, and the
+    sketch estimates track the exact per-pair overlap: Jaccard within
+    0.12 absolute and union within 25% relative for every pair at k=128
+    (std err ~ 1/sqrt(126) ~ 8.9%), checked exhaustively, not on a
+    cherry-picked pair."""
+    from node_feedparser_spark.operators.sketch import kmv_pairwise_overlap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    elems = docs.select(
+        F.col("source").alias("side"),
+        F.explode(token_shingles("text", 3)).alias("elem"),
+    )
+    got = kmv_pairwise_overlap(elems, k=128).toPandas()
+    assert len(got) == 190
+    assert (got["side_a"] < got["side_b"]).all()
+
+    sets = {
+        r["side"]: set(r["elems"])
+        for r in elems.distinct()
+        .groupBy("side")
+        .agg(F.collect_set("elem").alias("elems"))
+        .collect()
+    }
+    for _, row in got.iterrows():
+        a, b = sets[row["side_a"]], sets[row["side_b"]]
+        ex_union, ex_inter = len(a | b), len(a & b)
+        assert abs(row["est_union"] - ex_union) / ex_union < 0.25, row
+        assert abs(row["est_jaccard"] - ex_inter / ex_union) < 0.12, row
