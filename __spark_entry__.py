@@ -373,6 +373,33 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index probe (late round 3, operators/ann_index.py):
+    the corpus is PQ-encoded once into cell-PARTITIONED parquet (8 B of
+    codes per vector + a JSON codebook sidecar) and the query probes scan
+    only their n_probe cell directories — `cell IN (...)` lands in the
+    scan's PartitionFilters (plan-pinned) and scoring is pure-JVM integer
+    table lookups, no Python at probe time.  The index is a layout
+    change, not a semantics change: results are bit-identical to the
+    in-memory ivfpq_topk lane, so this query's ORACLE IS ivfpq_topk's
+    oracle, shared verbatim."""
+    import tempfile
+
+    from node_feedparser_spark.operators.ann_index import (
+        build_ann_index,
+        probe_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ann_index_{abs(hash(sf_dir)) % 10**8}"
+    )
+    build_ann_index(emb, path, n_cells=16, n_codes=16, m_sub=8)
+    return probe_ann_index(
+        spark, path, emb.filter(F.col("vec_id") < 8), k=5, n_probe=4
+    )
+
+
 def q_ann_lane_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN lane scoreboard (late round 3): recall@5 + MRR of every
     PQ-family lane (global-codebook PQ, IVF-PQ, residual IVF-PQ, int8
@@ -4000,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ann_lane_eval": q_ann_lane_eval,
+        "ann_index_probe": q_ann_index_probe,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_blocked": q_embedding_near_dup_blocked,
         "semantic_dedupe": q_semantic_dedupe,
@@ -8670,6 +8698,9 @@ def _extra_oracles() -> dict[str, str]:
     # <8 run because per-query results are independent of other queries.
     # MRR avoids a float summation: per query ROUND(1e6/minrank) BIGINT,
     # exact integer sum, ONE final division rounded to 4 dp.
+    # the persisted-index probe is bit-identical to the in-memory lane by
+    # design (tests/test_ann_index.py), so it SHARES ivfpq_topk's oracle
+    d["ann_index_probe"] = d["ivfpq_topk"]
     _lanes = {
         "ivfpq": d["ivfpq_topk"],
         "ivfpq_residual": d["ivfpq_residual_topk"],

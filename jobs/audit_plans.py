@@ -54,6 +54,7 @@ PYTHON_ALLOWED = {
     "ivfpq_topk",           # IVF cell-probe + int-ADC PQ scoring pass
     "ivfpq_residual_topk",  # residual-encoded IVF-PQ scoring pass
     "ann_lane_eval",        # composes the four Arrow ANN lanes + exact truth
+    "ann_index_probe",      # index BUILD encode pass (probe itself is JVM)
     "embedding_topk",
     "ann_recall_eval",      # composes the two Arrow topk lanes above
     "retro_resolve",        # JVM-prescreened Arrow URL resolution

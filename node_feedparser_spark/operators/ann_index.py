@@ -1,0 +1,185 @@
+"""Persisted IVF-PQ ANN index: build once (heavy, Python encode pass),
+probe forever (cheap, pure JVM, partition-pruned).
+
+This materializes the claim the in-memory lanes only document — "at scale
+the cell becomes the partition key, so a probe is partition pruning, not
+a mask":
+
+- build_ann_index: quantize + coarse-assign + PQ-encode the corpus (the
+  ivfpq_topk machinery) and write (vec_id, codes) parquet PARTITIONED BY
+  cell, with the codebooks / quantization stats in a JSON sidecar inside
+  the index dir.  8 B of codes per vector + a KB-scale sidecar.
+- probe_ann_index: per query, pick n_probe cells and build the integer
+  ADC tables DRIVER-side (m_sub x n_codes ints per query), then scan
+  ONLY the probed cell partitions — `cell IN (...)` reaches the scan as
+  a PartitionFilter (plan-pinned) — and score each candidate with m_sub
+  JVM element_at lookups + an integer sum.  No Python anywhere in the
+  probe plan; query latency is proportional to the probed fraction of
+  the index, not the corpus.
+
+Equality invariant (pinned by tests/test_ann_index.py): probing the
+persisted index returns BIT-identical results to the in-memory
+ivfpq_topk with the same parameters — the index is a layout change, not
+a semantics change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _pq_lloyd_round,
+    _quantization_stats,
+    _quantize_with_stats,
+)
+
+_META_NAME = "_ann_meta.json"
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 256,
+) -> dict:
+    """Encode the corpus into a cell-partitioned PQ-code index at `path`.
+
+    Returns the meta dict (also persisted as the sidecar).  The encode
+    pass is the one place Python runs; everything at probe time is JVM.
+    """
+    spark = corpus.sparkSession
+    mn, sc = _quantization_stats(corpus, vec_col, n_levels)
+    dim = len(mn)
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+
+    corpus_q = _quantize_with_stats(corpus, mn, sc, id_col, vec_col)
+    seeds = np.zeros((max(n_cells, n_codes), dim), dtype=np.int64)
+    for r in corpus_q.filter(F.col("vec_id") < max(n_cells, n_codes)).collect():
+        seeds[int(r["vec_id"])] = np.asarray(r["qvec"], dtype=np.int64)
+    coarse = _pq_lloyd_round(
+        corpus_q, seeds[:n_cells].reshape(n_cells, 1, dim)
+    ).reshape(n_cells, dim)
+    cent3 = _pq_lloyd_round(
+        corpus_q, seeds[:n_codes].reshape(n_codes, m_sub, sub)
+    )
+
+    bc = spark.sparkContext.broadcast((coarse, cent3))
+
+    def encode(batches):
+        import pandas as pd
+
+        co, c3 = bc.value
+        msub, subd = c3.shape[1], c3.shape[2]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            x3 = X.reshape(len(X), msub, subd)
+            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    (
+        corpus_q.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    meta = {
+        "mn": mn,
+        "sc": sc,
+        "coarse": coarse.tolist(),
+        "cent3": cent3.tolist(),
+        "n_cells": n_cells,
+        "n_codes": n_codes,
+        "m_sub": m_sub,
+        "n_levels": n_levels,
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over the persisted index: scans ONLY the probed cell
+    partitions, scores with JVM table lookups, returns the ivfpq_topk
+    shape (query_id, vec_id, adist, rank) — bit-identical to the
+    in-memory lane with the same build parameters."""
+    with open(os.path.join(path, _META_NAME)) as f:
+        meta = json.load(f)
+    coarse = np.asarray(meta["coarse"], dtype=np.int64)
+    cent3 = np.asarray(meta["cent3"], dtype=np.int64)
+    m_sub = meta["m_sub"]
+    sub = cent3.shape[2]
+
+    q_rows = _quantize_with_stats(
+        queries, meta["mn"], meta["sc"], query_id_col, vec_col
+    ).collect()
+    index = spark.read.parquet(path)
+
+    per_query = []
+    probed_cells: set[int] = set()
+    for r in q_rows:
+        qid = int(r["vec_id"])
+        qv = np.asarray(r["qvec"], dtype=np.int64)
+        qcd = ((qv[None, :] - coarse) ** 2).sum(-1)
+        probes = np.argsort(qcd, kind="stable")[:n_probe]
+        probed_cells.update(int(c) for c in probes)
+        q3 = qv.reshape(m_sub, sub)
+        qtab = np.transpose(
+            ((q3[None, :, :] - cent3) ** 2).sum(-1)
+        )  # (m_sub, n_codes)
+        # JVM scoring: adist = sum_m qtab[m][codes[m]] via element_at on
+        # literal arrays — integer-exact, no Python at probe time
+        adist = None
+        for m in range(m_sub):
+            tab = F.array(*[F.lit(int(v)) for v in qtab[m]])
+            term = F.element_at(tab, F.element_at(F.col("codes"), m + 1) + 1)
+            adist = term if adist is None else adist + term
+        per_query.append(
+            index.filter(
+                F.col("cell").isin([int(c) for c in probes])
+                & (F.col("vec_id") != qid)
+            ).select(
+                F.lit(qid).alias("query_id"),
+                "vec_id",
+                adist.cast("long").alias("adist"),
+            )
+        )
+    out = per_query[0]
+    for p in per_query[1:]:
+        out = out.union(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
