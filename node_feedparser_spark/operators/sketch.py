@@ -512,7 +512,25 @@ def kmv_set_overlap(
         F.min_by("est", "side").alias("est_distinct_a"),
         F.max_by("est", "side").alias("est_distinct_b"),
         F.min("thresh").alias("min_thresh"),
+        F.count_distinct("side").alias("n_sides"),
     )
+    # live two-side guard: with a third side present, min/max would pick
+    # two labels while the pruned counts mix ALL sides — fail loudly at
+    # execution instead of mis-answering.  Folded into a returned column
+    # (not a dropped one) so pruning can't eliminate it; use
+    # kmv_pairwise_overlap for the n-side matrix.
+    guard = F.when(
+        F.col("n_sides") == 2, F.col("est_distinct_a")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_set_overlap expects exactly 2 sides, got "),
+                F.col("n_sides").cast("string"),
+                F.lit(" — use kmv_pairwise_overlap for the n-side matrix"),
+            )
+        )
+    )
+    sides = sides.withColumn("est_distinct_a", guard).drop("n_sides")
     pruned = sk.crossJoin(F.broadcast(sides.select("min_thresh"))).filter(
         F.col("h") < F.col("min_thresh")
     )

@@ -144,3 +144,13 @@ def test_kmv_pairwise_matrix_shape_and_accuracy(spark):
         ex_union, ex_inter = len(a | b), len(a & b)
         assert abs(row["est_union"] - ex_union) / ex_union < 0.25, row
         assert abs(row["est_jaccard"] - ex_inter / ex_union) < 0.12, row
+
+
+def test_kmv_overlap_refuses_more_than_two_sides(spark):
+    """Three sides would silently corrupt the pair estimates (min/max
+    picks two labels while pruned counts mix all sides) — the in-plan
+    guard must fail loudly instead and point at the pairwise operator."""
+    rows = [("a", "x"), ("b", "y"), ("c", "z")]
+    df = spark.createDataFrame(rows, "side string, elem string")
+    with pytest.raises(Exception, match="exactly 2 sides"):
+        kmv_set_overlap(df, k=16).collect()
