@@ -141,6 +141,8 @@ def probe_ann_index(
     q_rows = _quantize_with_stats(
         queries, meta["mn"], meta["sc"], query_id_col, vec_col
     ).collect()
+    if not q_rows:
+        raise ValueError("probe_ann_index: empty query frame")
     index = spark.read.parquet(path)
 
     per_query = []

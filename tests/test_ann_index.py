@@ -68,3 +68,8 @@ def test_index_stores_codes_not_vectors(spark, index_path):
     assert set(idx.columns) == {"vec_id", "codes", "cell"}
     row = idx.limit(1).collect()[0]
     assert len(row["codes"]) == 8
+
+
+def test_probe_refuses_empty_query_frame(spark, emb, index_path):
+    with pytest.raises(ValueError, match="empty query frame"):
+        probe_ann_index(spark, index_path, emb.filter(F.col("vec_id") < 0))
