@@ -130,7 +130,19 @@ def probe_ann_index(
     """Top-k over the persisted index: scans ONLY the probed cell
     partitions, scores with JVM table lookups, returns the ivfpq_topk
     shape (query_id, vec_id, adist, rank) — bit-identical to the
-    in-memory lane with the same build parameters."""
+    in-memory lane with the same build parameters.
+
+    Query contract: the query frame is collected to the driver to pick
+    probe cells and build the per-query ADC tables, then shipped back as
+    ONE broadcast dimension of (query_id, probes, qtab) — Q x
+    (m_sub*n_codes) small integers.  That keeps the probe a query-batch
+    operation (thousands of queries, broadcast-sized), NOT a
+    corpus-vs-corpus join — use the ivfpq_topk lane for bulk all-pairs
+    work.  The plan is constant-size regardless of Q: one static
+    `cell IN (union of probed cells)` partition filter on the scan, one
+    broadcast join on array_contains(probes, cell), and an unrolled
+    m_sub-term integer sum of qtab lookups — no per-query union branches,
+    no literal tables in the plan, no Python at probe time."""
     with open(os.path.join(path, _META_NAME)) as f:
         meta = json.load(f)
     coarse = np.asarray(meta["coarse"], dtype=np.int64)
@@ -143,40 +155,47 @@ def probe_ann_index(
     ).collect()
     if not q_rows:
         raise ValueError("probe_ann_index: empty query frame")
-    index = spark.read.parquet(path)
 
-    per_query = []
-    probed_cells: set[int] = set()
+    probe_rows = []
+    all_cells: set[int] = set()
     for r in q_rows:
         qid = int(r["vec_id"])
         qv = np.asarray(r["qvec"], dtype=np.int64)
         qcd = ((qv[None, :] - coarse) ** 2).sum(-1)
-        probes = np.argsort(qcd, kind="stable")[:n_probe]
-        probed_cells.update(int(c) for c in probes)
+        probes = [int(c) for c in np.argsort(qcd, kind="stable")[:n_probe]]
+        all_cells.update(probes)
         q3 = qv.reshape(m_sub, sub)
         qtab = np.transpose(
             ((q3[None, :, :] - cent3) ** 2).sum(-1)
         )  # (m_sub, n_codes)
-        # JVM scoring: adist = sum_m qtab[m][codes[m]] via element_at on
-        # literal arrays — integer-exact, no Python at probe time
-        adist = None
-        for m in range(m_sub):
-            tab = F.array(*[F.lit(int(v)) for v in qtab[m]])
-            term = F.element_at(tab, F.element_at(F.col("codes"), m + 1) + 1)
-            adist = term if adist is None else adist + term
-        per_query.append(
-            index.filter(
-                F.col("cell").isin([int(c) for c in probes])
-                & (F.col("vec_id") != qid)
-            ).select(
-                F.lit(qid).alias("query_id"),
-                "vec_id",
-                adist.cast("long").alias("adist"),
-            )
+        probe_rows.append(
+            (qid, probes, [[int(v) for v in row] for row in qtab])
         )
-    out = per_query[0]
-    for p in per_query[1:]:
-        out = out.union(p)
+    qdim = spark.createDataFrame(
+        probe_rows,
+        "query_id long, probes array<int>, qtab array<array<long>>",
+    )
+    # static partition filter: the union of probed cells is known at the
+    # driver, so `cell IN (...)` reaches the scan as a PartitionFilter
+    index = spark.read.parquet(path).filter(
+        F.col("cell").isin(sorted(all_cells))
+    )
+    joined = index.join(
+        F.broadcast(qdim),
+        F.expr("array_contains(probes, cell)")
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    # JVM scoring: adist = sum_m qtab[m][codes[m]] — integer-exact
+    adist = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.element_at(F.col("qtab"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    out = joined.select(
+        "query_id", "vec_id", adist.cast("long").alias("adist")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )

@@ -516,21 +516,30 @@ def kmv_set_overlap(
     )
     # live two-side guard: with a third side present, min/max would pick
     # two labels while the pruned counts mix ALL sides — fail loudly at
-    # execution instead of mis-answering.  Folded into a returned column
-    # (not a dropped one) so pruning can't eliminate it; use
-    # kmv_pairwise_overlap for the n-side matrix.
-    guard = F.when(
-        F.col("n_sides") == 2, F.col("est_distinct_a")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("kmv_set_overlap expects exactly 2 sides, got "),
-                F.col("n_sides").cast("string"),
-                F.lit(" — use kmv_pairwise_overlap for the n-side matrix"),
+    # execution instead of mis-answering.  Folded into EVERY estimate's
+    # dependency cone (est_distinct_a, est_distinct_b, and min_thresh,
+    # which est_union / est_intersection / est_jaccard all consume via the
+    # pruned-sketch filter) so no projection of the output can prune the
+    # check away; use kmv_pairwise_overlap for the n-side matrix.
+    def _guarded(col: str):
+        return F.when(F.col("n_sides") == 2, F.col(col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("kmv_set_overlap expects exactly 2 sides, got "),
+                    F.col("n_sides").cast("string"),
+                    F.lit(
+                        " — use kmv_pairwise_overlap for the n-side matrix"
+                    ),
+                )
             )
         )
+
+    sides = (
+        sides.withColumn("est_distinct_a", _guarded("est_distinct_a"))
+        .withColumn("est_distinct_b", _guarded("est_distinct_b"))
+        .withColumn("min_thresh", _guarded("min_thresh"))
+        .drop("n_sides")
     )
-    sides = sides.withColumn("est_distinct_a", guard).drop("n_sides")
     pruned = sk.crossJoin(F.broadcast(sides.select("min_thresh"))).filter(
         F.col("h") < F.col("min_thresh")
     )

@@ -60,9 +60,22 @@ def _last_batch(edges_path: str) -> int:
         return -1
 
 
-def _write_state(dir_path: str, batch_id: int) -> None:
+def _write_state(
+    dir_path: str, batch_id: int, extra: dict | None = None
+) -> None:
+    state = {"last_batch_id": batch_id}
+    if extra:
+        state.update(extra)
     with open(os.path.join(dir_path, _STATE_NAME), "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
+        json.dump(state, f)
+
+
+def _read_state(table_path: str) -> dict:
+    try:
+        with open(os.path.join(table_path, _STATE_NAME)) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        return {}
 
 
 def _recover(edges_path: str) -> None:

@@ -36,7 +36,32 @@ from ..operators.sketch import (
     hll_merge,
     hll_registers,
 )
-from .graph_merge import _last_batch, _recover, _write_state
+from .graph_merge import _last_batch, _read_state, _recover, _write_state
+
+
+def _check_sketch_config(
+    sketch_path: str, group_cols: list[str], value_col: str, p: int
+) -> dict:
+    """The register table's bucket space is defined by (p, group_cols,
+    value_col); registers merged across different configs are a valid
+    sketch for NEITHER config and produce silently-wrong estimates.  The
+    config is therefore pinned in the table's state file at first write
+    and every later merge must match it exactly."""
+    config = {"p": p, "group_cols": list(group_cols), "value_col": value_col}
+    state = _read_state(sketch_path)
+    if "p" in state:
+        prior = {
+            "p": state["p"],
+            "group_cols": state.get("group_cols"),
+            "value_col": state.get("value_col"),
+        }
+        if prior != config:
+            raise ValueError(
+                f"HLL sketch at {sketch_path} was built with {prior}; "
+                f"refusing to merge a batch sketched with {config} — "
+                "registers from different bucket spaces are not mergeable"
+            )
+    return config
 
 
 def merge_batch_into_registers(
@@ -49,8 +74,11 @@ def merge_batch_into_registers(
     p: int = 8,
 ) -> bool:
     """Idempotent MERGE of one micro-batch's registers into the sketch
-    table.  Returns False (no-op) when batch_id was already applied."""
+    table.  Returns False (no-op) when batch_id was already applied.
+    Raises when the table was built with a different (p, group_cols,
+    value_col) than this merge's — see _check_sketch_config."""
     _recover(sketch_path)
+    config = _check_sketch_config(sketch_path, group_cols, value_col, p)
     if batch_id <= _last_batch(sketch_path):
         return False
     delta = hll_registers(batch, group_cols, value_col, p)
@@ -62,7 +90,7 @@ def merge_batch_into_registers(
         merged.write.mode("overwrite").parquet(stage)
     else:
         delta.write.mode("overwrite").parquet(stage)
-    _write_state(stage, batch_id)
+    _write_state(stage, batch_id, extra=config)
     retired = sketch_path + ".retired"
     if os.path.isdir(sketch_path):
         os.replace(sketch_path, retired)  # COMMIT: single atomic rename

@@ -154,3 +154,15 @@ def test_kmv_overlap_refuses_more_than_two_sides(spark):
     df = spark.createDataFrame(rows, "side string, elem string")
     with pytest.raises(Exception, match="exactly 2 sides"):
         kmv_set_overlap(df, k=16).collect()
+
+
+def test_kmv_overlap_guard_survives_projection(spark):
+    """The two-side guard is folded into min_thresh and both distinct
+    estimates, so no projection of the output can let the optimizer
+    prune the check away — selecting ONLY est_union (or est_jaccard, or
+    est_distinct_b) on a 3-side input must still fail loudly."""
+    rows = [("a", "x"), ("b", "y"), ("c", "z")]
+    df = spark.createDataFrame(rows, "side string, elem string")
+    for col in ("est_union", "est_jaccard", "est_distinct_b"):
+        with pytest.raises(Exception, match="exactly 2 sides"):
+            kmv_set_overlap(df, k=16).select(col).collect()

@@ -109,3 +109,29 @@ def test_batch_replay_is_noop(spark, tmp_path):
         spark, _df(spark, DROP2), 1, sketch, ["grp"], "val"
     )
     assert len(_registers_map(spark, sketch)) >= len(before)
+
+
+def test_sketch_config_pinned_in_state(spark, tmp_path):
+    """The register table's bucket space is defined by (p, group_cols,
+    value_col); a later merge with a different config would silently
+    union incompatible register spaces, so the config is pinned at first
+    write and mismatching merges raise."""
+    sketch = str(tmp_path / "sketch")
+    assert merge_batch_into_registers(
+        spark, _df(spark, DROP1), 0, sketch, ["grp"], "val", p=8
+    )
+    with pytest.raises(ValueError, match="not mergeable"):
+        merge_batch_into_registers(
+            spark, _df(spark, DROP2), 1, sketch, ["grp"], "val", p=9
+        )
+    with pytest.raises(ValueError, match="not mergeable"):
+        merge_batch_into_registers(
+            spark, _df(spark, DROP2), 1, sketch, ["val"], "grp", p=8
+        )
+    # matching config still merges, and replay idempotence still holds
+    assert merge_batch_into_registers(
+        spark, _df(spark, DROP2), 1, sketch, ["grp"], "val", p=8
+    )
+    assert not merge_batch_into_registers(
+        spark, _df(spark, DROP2), 1, sketch, ["grp"], "val", p=8
+    )
