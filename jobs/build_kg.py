@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--strict", action="store_true",
                     help="fail on first unextractable turn "
                          "(reference resume_saxerror:false)")
+    ap.add_argument("--max-text-bytes", type=int, default=None,
+                    help="clamp turn text at this many UTF-8 bytes, emitting "
+                         "an overflow error row to metrics (reference "
+                         "MAX_BUFFER_LENGTH, default 16 MiB; 0 = unlimited)")
     ap.add_argument("--no-normalize", action="store_true",
                     help="raw mode: no canonical text repair on dirty rows "
                          "(reference normalize:false)")
@@ -62,6 +66,9 @@ def main() -> None:
         )
         shutil.rmtree(wdir, ignore_errors=True)
     t0 = time.monotonic()
+    cap_kw = {}
+    if args.max_text_bytes is not None:
+        cap_kw["max_text_bytes"] = args.max_text_bytes or None
     summary = build_kg(
         spark,
         args.input,
@@ -70,6 +77,7 @@ def main() -> None:
         resume=not args.no_resume,
         fail_fast=args.strict,
         normalize=not args.no_normalize,
+        **cap_kw,
     )
     summary["wall_s"] = round(time.monotonic() - t0, 3)
     summary["master"] = spark.sparkContext.master

@@ -66,6 +66,17 @@ from ..schemas import TRIPLES_RAW
 
 ERROR_PRED = "__error__"
 
+# The reference guards sax against pathological nodes with a 16 MB token
+# buffer cap (configurable; /root/reference/lib/feedparser.js:82-90).  The
+# Arrow analog: a single multi-hundred-MB turn text would inflate every
+# Arrow batch and Python worker it flows through, so text is clamped at
+# this byte cap BEFORE extraction; the clamped row still extracts from the
+# truncated prefix (sax resumes after the buffer error) and one
+# pred='__error__' row with obj='overflow:<bytes>' flows to the metrics
+# side channel (A6 discipline).  None = unlimited (the reference's
+# MAX_BUFFER_LENGTH: Infinity).
+MAX_TEXT_BYTES = 16 * 1024 * 1024
+
 # Rows whose text contains any of these need the exact per-row path:
 # control chars (normalize_text strips them), '<' (whitelist HTML strip),
 # mojibake markers (encoding repair), exotic unicode whitespace (Python
@@ -346,15 +357,74 @@ def _extract_clean(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _clamp_overflow(
+    pdf: pd.DataFrame, max_text_bytes: int, fail_fast: bool
+) -> tuple[pd.DataFrame, pd.DataFrame | None]:
+    """MAX_BUFFER_LENGTH analog (reference lib/feedparser.js:82-90): clamp
+    turn text at `max_text_bytes` UTF-8 bytes.  Returns (pdf-with-clamped-
+    text, overflow-error-rows-or-None).  Cheap two-stage screen: a string
+    over the byte cap must exceed cap/4 characters (UTF-8 is <= 4 B/char),
+    so only those rows pay an encode; the common batch returns untouched."""
+    text = pdf["text"]
+    maybe = text.notna() & (text.str.len() > max_text_bytes // 4)
+    if not maybe.any():
+        return pdf, None
+    over_rows: list[int] = []
+    over_bytes: list[int] = []
+    for i in np.nonzero(maybe.to_numpy())[0]:
+        nb = len(text.iat[int(i)].encode("utf-8"))
+        if nb > max_text_bytes:
+            over_rows.append(int(i))
+            over_bytes.append(nb)
+    if not over_rows:
+        return pdf, None
+    if fail_fast:
+        r = pdf.iloc[over_rows[0]]
+        raise ExtractionError(
+            f"turn text overflow at ({r['conv_id']!r}, {r['turn_idx']!r}): "
+            f"{over_bytes[0]} bytes > cap {max_text_bytes}"
+        )
+    pdf = pdf.copy()
+    tcol = pdf.columns.get_loc("text")
+    for i in over_rows:
+        # truncate on the byte cap, dropping any split trailing codepoint
+        clamped = (
+            pdf.iat[i, tcol].encode("utf-8")[:max_text_bytes].decode(
+                "utf-8", "ignore"
+            )
+        )
+        pdf.iat[i, tcol] = clamped
+    ti = pdf["turn_idx"].iloc[over_rows]
+    overflow = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].iloc[over_rows].to_numpy(),
+            "turn_idx": [
+                -1 if pd.isna(t) else int(t) for t in ti
+            ],
+            "subj": [None] * len(over_rows),
+            "pred": [ERROR_PRED] * len(over_rows),
+            "obj": [f"overflow:{nb}" for nb in over_bytes],
+            "score": [0.0] * len(over_rows),
+        }
+    )
+    return pdf, overflow
+
+
 def _extract_batches(
     batches: Iterator[pd.DataFrame],
     fail_fast: bool = False,
     normalize: bool = True,
+    max_text_bytes: int | None = MAX_TEXT_BYTES,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if pdf.empty:
             continue
         pdf = pdf.reset_index(drop=True)
+        overflow = None
+        if max_text_bytes is not None:
+            pdf, overflow = _clamp_overflow(pdf, max_text_bytes, fail_fast)
+        if overflow is not None:
+            yield overflow
         text = pdf["text"]
         dirty = (
             text.notna()
@@ -378,7 +448,10 @@ def _extract_batches(
 
 
 def extract_triples(
-    turns: DataFrame, fail_fast: bool = False, normalize: bool = True
+    turns: DataFrame,
+    fail_fast: bool = False,
+    normalize: bool = True,
+    max_text_bytes: int | None = MAX_TEXT_BYTES,
 ) -> DataFrame:
     """transcript turns -> raw triples via Arrow-batched mapInPandas.
 
@@ -394,11 +467,18 @@ def extract_triples(
     (lib/feedparser.js:77; test/api.js:51): dirty rows are extracted from
     raw trimmed text with no repair; clean rows are unaffected (for them
     normalization already reduces to str.strip()).
+
+    max_text_bytes is the reference's MAX_BUFFER_LENGTH option
+    (lib/feedparser.js:82-90, default 16 MB): turn text over the cap is
+    clamped before extraction (triples still come from the prefix), an
+    'overflow:<bytes>' error row flows to metrics, and None disables the
+    cap (the reference's Infinity).  In fail_fast mode an oversized turn
+    raises, like sax's unrecovered buffer error in strict mode.
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batches(batches, fail_fast, normalize)
+        return _extract_batches(batches, fail_fast, normalize, max_text_bytes)
 
     return turns.select(*cols).mapInPandas(run, schema=TRIPLES_RAW)
 

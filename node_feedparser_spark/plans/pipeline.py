@@ -57,7 +57,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.canonicalize import canonicalize
-from ..operators.extract import ERROR_PRED, dedupe_first_wins, extract_triples
+from ..operators.extract import (
+    ERROR_PRED,
+    MAX_TEXT_BYTES,
+    dedupe_first_wins,
+    extract_triples,
+)
 from ..sources.transcripts import read_transcripts, snapshot_id
 from ..schemas import METRICS
 
@@ -412,11 +417,14 @@ def build_kg(
     resume: bool = True,
     fail_fast: bool = False,
     normalize: bool = True,
+    max_text_bytes: int | None = MAX_TEXT_BYTES,
 ) -> dict:
     """Run the full pipeline.  Returns a summary dict (counts, snapshot).
 
     fail_fast / normalize are the reference's resume_saxerror:false and
-    normalize:false option toggles, threaded to extract_triples."""
+    normalize:false option toggles, threaded to extract_triples;
+    max_text_bytes is its MAX_BUFFER_LENGTH analog (16 MB default,
+    None = unlimited)."""
     snap = snapshot_id(input_path)
     run_id = f"run-{uuid.uuid4().hex[:12]}"
     triples_path = os.path.join(output_dir, "triples")
@@ -484,7 +492,10 @@ def build_kg(
     )
 
     phases: dict[str, float] = {}
-    extracted = _bucketed(extract_triples(turns, fail_fast, normalize), n_buckets)
+    extracted = _bucketed(
+        extract_triples(turns, fail_fast, normalize, max_text_bytes),
+        n_buckets,
+    )
     extracted.cache()
 
     triples_ok = extracted.filter(F.col("pred") != ERROR_PRED)
