@@ -8,7 +8,7 @@ a mask":
 - build_ann_index: quantize + coarse-assign + PQ-encode the corpus (the
   ivfpq_topk machinery) and write (vec_id, codes) parquet PARTITIONED BY
   cell, with the codebooks / quantization stats in a JSON sidecar inside
-  the index dir.  8 B of codes per vector + a KB-scale sidecar.
+  the index dir.  16 B of codes per vector + a small JSON sidecar.
 - probe_ann_index: per query, pick n_probe cells and build the integer
   ADC tables DRIVER-side (m_sub x n_codes ints per query), then scan
   ONLY the probed cell partitions — `cell IN (...)` reaches the scan as
@@ -45,11 +45,12 @@ def build_ann_index(
     corpus: DataFrame,
     path: str,
     n_cells: int = 16,
-    n_codes: int = 16,
-    m_sub: int = 8,
+    n_codes: int = 256,
+    m_sub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_levels: int = 256,
+    train_iters: int = 2,
 ) -> dict:
     """Encode the corpus into a cell-partitioned PQ-code index at `path`.
 
@@ -70,9 +71,9 @@ def build_ann_index(
     coarse = _pq_lloyd_round(
         corpus_q, seeds[:n_cells].reshape(n_cells, 1, dim)
     ).reshape(n_cells, dim)
-    cent3 = _pq_lloyd_round(
-        corpus_q, seeds[:n_codes].reshape(n_codes, m_sub, sub)
-    )
+    cent3 = seeds[:n_codes].reshape(n_codes, m_sub, sub)
+    for _ in range(max(0, train_iters)):
+        cent3 = _pq_lloyd_round(corpus_q, cent3)
 
     bc = spark.sparkContext.broadcast((coarse, cent3))
 
@@ -123,7 +124,7 @@ def probe_ann_index(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int = 8,
     query_id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
