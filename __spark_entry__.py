@@ -938,14 +938,21 @@ def q_author_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_precedence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/F11 tolerant multi-format date parse: serialize o_orderdate into
-    one of FIVE formats — three plain-date styles plus RFC-822 with a
-    numeric timezone token and ISO-8601 with offset (the formats the
-    reference's lenient `new Date()` eats, lib/feedparser.js:523,884) —
-    and recover all of them with one try_to_timestamp coalesce chain.
-    Offset-carrying formats are normalized to UTC wall time (session-tz
-    independent via to_utc_timestamp)."""
+    one of SEVEN formats — three plain-date styles, RFC-822 with a numeric
+    timezone token, ISO-8601 with offset, and (round 4, the `new Date()`
+    long tail, lib/feedparser.js:523,884) RFC-822 with a TWO-DIGIT year
+    plus a NAMED zone, and a bare named-zone variant — and recover all of
+    them with one try_to_timestamp coalesce chain.  The named-zone and
+    two-digit-year handling replicates the ECMA-262 Date.parse rules the
+    reference relies on: only the spec's fixed-offset zone names
+    (GMT/UT/UTC/EST/EDT/CST/CDT/MST/MDT/PST/PDT) are recognized, each as
+    a constant offset, and a 2-digit year yy maps to 19yy when yy >= 50
+    else 20yy.  Both are applied as deterministic textual normalization
+    BEFORE the format parse — exactly what a tolerant parser does with
+    redundant/legacy tokens.  Offset-carrying formats are normalized to
+    UTC wall time (session-tz independent via to_utc_timestamp)."""
     orders = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey") % 5
+    k = F.col("o_orderkey") % 7
     date_str = (
         F.when(k == 0, F.date_format("o_orderdate", "yyyy/MM/dd"))
         .when(k == 1, F.date_format("o_orderdate", "MM-dd-yyyy"))
@@ -957,21 +964,51 @@ def q_precedence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" 15:04:05 +0530"),
             ),
         )
+        .when(
+            k == 4,
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit("T08:30:00-04:00"),
+            ),
+        )
+        .when(
+            k == 5,
+            F.concat(
+                F.date_format("o_orderdate", "EEE, dd MMM yy"),
+                F.lit(" 15:04:05 PST"),
+            ),
+        )
         .otherwise(
-            F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T08:30:00-04:00"))
+            F.concat(
+                F.date_format("o_orderdate", "dd MMM yyyy"),
+                F.lit(" 16:45:00 EST"),
+            )
         )
     )
     tz = spark.conf.get("spark.sql.session.timeZone")
     # Spark >= 3 refuses day-of-week fields in PARSE patterns (weekday is
-    # non-determinant), so the RFC-822 branch strips the 'Tue, ' prefix
+    # non-determinant), so the RFC-822 branches strip the 'Tue, ' prefix
     # first — exactly what a tolerant parser does with redundant tokens.
     no_dow = F.regexp_replace(date_str, r"^[A-Za-z]{3}, ", "")
+    # ECMA-262 fixed-offset zone names -> numeric offsets (the ONLY named
+    # zones JS Date.parse recognizes; anything else is NaN there too)
+    named = no_dow
+    for zone, off in _JS_DATE_ZONES:
+        named = F.regexp_replace(named, f" {zone}$", f" {off}")
+    # JS 2-digit-year rule: yy >= 50 -> 19yy, else 20yy (applied between
+    # month name and time-of-day so 4-digit years cannot match)
+    named = F.regexp_replace(
+        named, r"^(\d{1,2} [A-Za-z]{3} )([5-9][0-9])( )", r"$119$2$3"
+    )
+    named = F.regexp_replace(
+        named, r"^(\d{1,2} [A-Za-z]{3} )([0-4][0-9])( )", r"$120$2$3"
+    )
     parsed = F.coalesce(
         F.try_to_timestamp(date_str, F.lit("yyyy/MM/dd")),
         F.try_to_timestamp(date_str, F.lit("MM-dd-yyyy")),
         F.try_to_timestamp(date_str, F.lit("dd.MM.yyyy")),
         F.to_utc_timestamp(
-            F.try_to_timestamp(no_dow, F.lit("dd MMM yyyy HH:mm:ss Z")), tz
+            F.try_to_timestamp(named, F.lit("dd MMM yyyy HH:mm:ss Z")), tz
         ),
         F.to_utc_timestamp(
             F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")), tz
@@ -980,6 +1017,15 @@ def q_precedence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", date_str.alias("date_str"), parsed.alias("pubdate")
     )
+
+
+# ECMA-262 Date.parse legacy zone names and their fixed offsets — the
+# complete list the spec (and therefore the reference's new Date()) accepts
+_JS_DATE_ZONES = [
+    ("GMT", "+0000"), ("UTC", "+0000"), ("UT", "+0000"),
+    ("EST", "-0500"), ("EDT", "-0400"), ("CST", "-0600"), ("CDT", "-0500"),
+    ("MST", "-0700"), ("MDT", "-0600"), ("PST", "-0800"), ("PDT", "-0700"),
+]
 
 
 def q_scalar_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4215,6 +4261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _js_zone_replace_sql(inner: str) -> str:
+    """Nested DuckDB regexp_replace chain swapping each ECMA-262 legacy
+    zone name at end-of-string for its fixed offset — the same textual
+    normalization the Spark query applies (_JS_DATE_ZONES)."""
+    expr = inner
+    for zone, off in _JS_DATE_ZONES:
+        expr = f"regexp_replace({expr}, ' {zone}$', ' {off}')"
+    return expr
+
+
 def _oracle_builders():
     from node_feedparser_spark.functions.hashing import (
         portable_hash60_sql,
@@ -5312,25 +5368,41 @@ def _extra_oracles() -> dict[str, str]:
             FROM flagged GROUP BY item_id
         """,
         "author_parse": _author_parse_oracle(),
-        "precedence_dates": """
+        "precedence_dates": f"""
             WITH s AS (SELECT o_orderkey,
-                CASE WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
-                     WHEN o_orderkey % 5 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
-                     WHEN o_orderkey % 5 = 2 THEN strftime(o_orderdate, '%d.%m.%Y')
-                     WHEN o_orderkey % 5 = 3 THEN strftime(o_orderdate, '%a, %d %b %Y')
+                CASE WHEN o_orderkey % 7 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                     WHEN o_orderkey % 7 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
+                     WHEN o_orderkey % 7 = 2 THEN strftime(o_orderdate, '%d.%m.%Y')
+                     WHEN o_orderkey % 7 = 3 THEN strftime(o_orderdate, '%a, %d %b %Y')
                                                   || ' 15:04:05 +0530'
-                     ELSE strftime(o_orderdate, '%Y-%m-%d') || 'T08:30:00-04:00'
+                     WHEN o_orderkey % 7 = 4 THEN strftime(o_orderdate, '%Y-%m-%d')
+                                                  || 'T08:30:00-04:00'
+                     WHEN o_orderkey % 7 = 5 THEN strftime(o_orderdate, '%a, %d %b %y')
+                                                  || ' 15:04:05 PST'
+                     ELSE strftime(o_orderdate, '%d %b %Y') || ' 16:45:00 EST'
                      END AS date_str
-                FROM orders)
+                FROM orders),
+            -- textual normalization replicated from the Spark side: strip
+            -- the weekday, swap ECMA-262 named zones for their fixed
+            -- offsets, expand 2-digit years by the JS >=50 -> 19yy rule
+            n AS (SELECT o_orderkey, date_str,
+                         regexp_replace(
+                           regexp_replace(
+                             {_js_zone_replace_sql("regexp_replace(date_str, '^[A-Za-z]{3}, ', '')")},
+                             '^([0-9]{{1,2}} [A-Za-z]{{3}} )([5-9][0-9])( )',
+                             '\\119\\2\\3'),
+                           '^([0-9]{{1,2}} [A-Za-z]{{3}} )([0-4][0-9])( )',
+                           '\\120\\2\\3') AS named
+                  FROM s)
             SELECT o_orderkey, date_str,
                    COALESCE(try_strptime(date_str, '%Y/%m/%d'),
                             try_strptime(date_str, '%m-%d-%Y'),
                             try_strptime(date_str, '%d.%m.%Y'),
-                            try_strptime(date_str, '%a, %d %b %Y %H:%M:%S %z')
+                            try_strptime(named, '%d %b %Y %H:%M:%S %z')
                                 AT TIME ZONE 'UTC',
                             try_strptime(date_str, '%Y-%m-%dT%H:%M:%S%z')
                                 AT TIME ZONE 'UTC') AS pubdate
-            FROM s
+            FROM n
         """,
         "scalar_chains": """
             WITH g AS (SELECT p_partkey, p_brand, p_size, p_type,

@@ -31,6 +31,35 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Headline tier (round 4): kg_pipeline + one representative query per
+# operator family, so BENCH_r{N} stays comparable round-over-round even as
+# the full registry grows (the 134 queries round 3 added put 75% of
+# bench_total_wall into intentionally-iterative graph shapes).  Tier
+# changes should be rare and disclosed; the full-registry total is still
+# reported as bench_total_wall.
+HEADLINE = [
+    # §2 parse/normalize core
+    "agg_pricing_summary", "link_reassembly", "author_parse",
+    "precedence_dates", "embedded_html_dispatch", "xhtml_reserialize",
+    "retro_resolve",
+    # dedupe family
+    "exact_dedupe", "minhash_near_dup", "simhash_near_dup",
+    "duplicate_spans",
+    # similarity / ANN
+    "embedding_topk", "ivfpq_residual_topk", "ann_index_probe",
+    # text analysis + curation
+    "language_id", "tfidf_topk", "bm25_topk", "decontaminate",
+    "stratified_split", "sequence_pack",
+    # KG graph core
+    "kg_components", "pagerank", "scc", "triangle_count",
+    "label_propagation",
+    # temporal + fusion
+    "sessionize", "truth_fusion",
+    # sketches + skew discipline
+    "hll_distinct", "cms_heavy_hitters", "salted_group_stats",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -143,6 +172,11 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(time.monotonic() - t_all, 3)
+    missing = [q for q in HEADLINE if q not in timings]
+    assert not missing, f"headline tier names unknown queries: {missing}"
+    headline_wall = round(
+        timings["kg_pipeline"] + sum(timings[q] for q in HEADLINE), 3
+    )
     print(
         json.dumps(
             {
@@ -154,6 +188,8 @@ def main() -> None:
                 "cpus": cpus,
                 "kg_triples": summary["n_triples"],
                 "kg_triples_per_sec": kg_triples_per_sec,
+                "headline_wall": headline_wall,
+                "headline_queries": ["kg_pipeline"] + HEADLINE,
             }
         )
     )
