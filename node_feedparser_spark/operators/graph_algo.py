@@ -1442,11 +1442,12 @@ def hyperanf(
 
 
 def harmonic_centrality_anf(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     rounds: int = 2,
     p: int = 7,
     src: str = "src_id",
     dst: str = "dst_id",
+    anf: DataFrame | None = None,
 ) -> DataFrame:
     """Truncated harmonic centrality H(v) = Σ_{u≠v} 1/d(v,u) estimated
     from the HyperANF neighborhood function — Boldi & Vigna's own
@@ -1479,9 +1480,19 @@ def harmonic_centrality_anf(
     harmonic sum and radius CASE are a codegen projection over `rounds`
     pivoted columns.
 
+    Shared-frame path (round 4): pass `anf` — a frame with hyperanf's
+    output shape computed with the SAME rounds/p (caller contract; the
+    frame carries no parameter metadata) — to skip the register chain.
+    The registry runs hyperanf_reach and harmonic_centrality on the same
+    graph, so the driver pays the |E| x 2^p join fan once, not twice;
+    the standalone edges path stays for the oracle.
+
     Returns (node, anf_max, harmonic, effective_radius).
     """
-    anf = hyperanf(edges, rounds=rounds, p=p, src=src, dst=dst)
+    if anf is None:
+        if edges is None:
+            raise ValueError("harmonic_centrality_anf needs edges or anf")
+        anf = hyperanf(edges, rounds=rounds, p=p, src=src, dst=dst)
     piv = anf.groupBy("node").agg(
         *[
             F.max(
@@ -1526,13 +1537,14 @@ def harmonic_centrality_anf(
 
 
 def effective_diameter(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     rounds: int = 2,
     p: int = 7,
     threshold_num: int = 9,
     threshold_den: int = 10,
     src: str = "src_id",
     dst: str = "dst_id",
+    anf: DataFrame | None = None,
 ) -> DataFrame:
     """GLOBAL effective diameter from HyperANF — the statistic ANF was
     invented for (Palmer-Gibbons-Faloutsos ANF 2002; Boldi & Vigna's
@@ -1565,6 +1577,10 @@ def effective_diameter(
     picks the diameter runs over a (rounds+1)-row frame, never the
     corpus.
 
+    `anf` (round 4): precomputed hyperanf frame with the same rounds/p —
+    the harmonic_centrality_anf shared-frame contract; the edges path
+    stays for the oracle.
+
     Returns one row per t in 0..rounds:
     (radius, nf, frac_of_max, effective_diameter) — `effective_diameter`
     repeated on every row (NULL only if no radius meets the threshold,
@@ -1572,7 +1588,10 @@ def effective_diameter(
     """
     if threshold_num <= 0 or threshold_den <= 0:
         raise ValueError("threshold must be a positive rational")
-    anf = hyperanf(edges, rounds=rounds, p=p, src=src, dst=dst)
+    if anf is None:
+        if edges is None:
+            raise ValueError("effective_diameter needs edges or anf")
+        anf = hyperanf(edges, rounds=rounds, p=p, src=src, dst=dst)
     m = float(1 << p)
     b0_fp = int(round(round(m * math.log(m / (m - 1.0)), 4) * 10000))
     per_t = anf.groupBy(F.col("radius").cast("long").alias("radius")).agg(

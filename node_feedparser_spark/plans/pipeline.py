@@ -96,8 +96,39 @@ def merge_vertices(prior: DataFrame, new: DataFrame) -> DataFrame:
     union exactly (disjoint bucket sets); canonical_name follows the side
     with more merged mentions (ties lexicographic) — deterministic, and
     equal to the full recompute whenever the per-run majority surface is
-    the global majority surface (the overwhelmingly common case)."""
-    return (
+    the global majority surface (the overwhelmingly common case).
+
+    Alias-ownership reconciliation (round 4): a split ingest can
+    canonicalize a cross-half surface into DIFFERENT entity components per
+    run (incremental-ER divergence — the full corpus bridges a pair one
+    half alone cannot), leaving one surface in two merged entities' alias
+    sets.  The triples keep their historic per-snapshot entity IDs (both
+    vertex rows stay referenceable), but the vertex table's alias sets are
+    re-emitted so surface -> entity is a FUNCTION again: each contested
+    alias goes to exactly one owner, ranked (1) the entity whose ONLY
+    surface it is — two distinct ids cannot both be the singleton {s},
+    since entity_id is a pure function of the member-key set — then
+    (2) the entity whose canonical name it is, then (3) merged-mention
+    majority, then (4) smallest entity_id.  An entity that loses its
+    canonical surface re-points canonical_name to its lexicographically
+    first surviving alias, preserving name-in-own-aliases.
+
+    An entity can lose EVERY surface — the common divergence shape is one
+    run's component being a strict SUBSET of the other run's (e.g. run 1
+    groups {S, S.}, run 2 groups {S, S., S.G}; the full recompute has one
+    entity, the split has two whose surfaces nest).  Its historic
+    entity_id is still referenced by that run's immutable triples, so the
+    row cannot be dropped; it becomes an explicit REDIRECT vertex:
+    aliases = [] and canonical_name names the surface the winning entity
+    now owns — the audit verifies every redirect resolves to a live
+    owner.  This makes the audit's alias_single_owner a hard invariant
+    (plans/validate.py now fails on it).  Cost: one |V|*avg_aliases
+    explode + per-alias window + re-group — vertex-scale, far below the
+    corpus scan.
+    """
+    from pyspark.sql import Window
+
+    merged = (
         prior.unionByName(new)
         .groupBy("entity_id")
         .agg(
@@ -107,15 +138,57 @@ def merge_vertices(prior: DataFrame, new: DataFrame) -> DataFrame:
                     F.col("canonical_name").alias("s"),
                 )
             ).alias("best"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("aliases")))
-            ).alias("aliases"),
+            F.array_distinct(F.flatten(F.collect_list("aliases"))).alias(
+                "aliases"
+            ),
             F.sum("n_mentions").alias("n_mentions"),
         )
         .select(
             "entity_id",
             F.col("best.s").alias("canonical_name"),
             "aliases",
+            "n_mentions",
+        )
+    )
+    ex = merged.select(
+        "entity_id",
+        "canonical_name",
+        "n_mentions",
+        F.size("aliases").alias("n_aliases"),
+        F.explode("aliases").alias("alias"),
+    )
+    w = Window.partitionBy("alias").orderBy(
+        (F.col("n_aliases") == 1).desc(),
+        (F.col("alias") == F.col("canonical_name")).desc(),
+        F.col("n_mentions").desc(),
+        F.col("entity_id").asc(),
+    )
+    owned = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("entity_id")
+        .agg(F.array_sort(F.collect_list("alias")).alias("aliases"))
+    )
+    aliases = F.coalesce(
+        F.col("owned_aliases"), F.array().cast("array<string>")
+    )
+    return (
+        merged.drop("aliases")
+        .join(
+            owned.withColumnRenamed("aliases", "owned_aliases"),
+            "entity_id",
+            "left",
+        )
+        .select(
+            "entity_id",
+            F.when(
+                F.array_contains(aliases, F.col("canonical_name"))
+                | (F.size(aliases) == 0),  # redirect keeps its pointer
+                F.col("canonical_name"),
+            )
+            .otherwise(F.element_at(aliases, 1))
+            .alias("canonical_name"),
+            aliases.alias("aliases"),
             "n_mentions",
         )
     )

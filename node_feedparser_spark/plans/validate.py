@@ -29,11 +29,13 @@ Checks and their plan shapes (triples is the only corpus-scale table):
   sum(triples.score) within the per-group round(6) the pipeline applies
   (tolerance 0.5e-6 * |E| + 1e-4).
 
-Severities: every structural invariant is ``fail``; alias-ownership
-(one surface owned by >1 entity) is ``warn`` because a split ingest may
-legitimately canonicalize a cross-half surface differently per run — the
-documented incremental-ER divergence (tests/test_graph_merge.py) that a
-periodic full re-run re-bases away.  ``graph_state.json`` (the commit
+Severities: every structural invariant is ``fail`` — including
+alias-ownership (one surface owned by >1 entity), hardened in round 4:
+a split ingest may canonicalize a cross-half surface into different
+components per run (incremental-ER divergence), but merge_vertices now
+re-emits alias sets with deterministic single-owner resolution
+(plans/pipeline.py), so a shared alias in the vertex table is always a
+real corruption, never an accepted artifact.  ``graph_state.json`` (the commit
 marker) must agree with the metrics table's partition hashes exactly:
 state-without-metrics means a lost lineage row, metrics-without-state
 means a commit that never landed — both are ``fail``.
@@ -155,7 +157,9 @@ def validate_kg(spark: SparkSession, output_dir: str) -> dict:
         F.min("n_mentions").alias("min_mentions"),
         F.sum(
             F.when(
-                ~F.array_contains("aliases", F.col("canonical_name")), 1
+                (F.size("aliases") > 0)
+                & ~F.array_contains("aliases", F.col("canonical_name")),
+                1,
             ).otherwise(0)
         ).alias("name_not_alias"),
         F.count(F.lit(1)).alias("n_vertices"),
@@ -194,17 +198,28 @@ def validate_kg(spark: SparkSession, output_dir: str) -> dict:
         erow["min_weight"], "> 0",
     ))
 
-    # --- alias ownership (warn: incremental-ER divergence is documented)
+    # --- alias ownership (fail since round 4: merge_vertices re-emits
+    # single-owner alias sets, so sharing is always a real corruption)
+    owned = vertices.select("entity_id", F.explode("aliases").alias("alias"))
     shared = (
-        vertices.select("entity_id", F.explode("aliases").alias("alias"))
-        .groupBy("alias")
+        owned.groupBy("alias")
         .agg(F.countDistinct("entity_id").alias("owners"))
         .filter(F.col("owners") > 1)
         .count()
     )
-    checks.append(_check(
-        "alias_single_owner", shared == 0, shared, 0, severity="warn"
-    ))
+    checks.append(_check("alias_single_owner", shared == 0, shared, 0))
+
+    # --- redirect vertices (round 4): an entity subsumed by the ownership
+    # resolution keeps its row (historic triples reference its id) with an
+    # EMPTY alias set and canonical_name pointing at the surface its winner
+    # owns — every redirect must resolve to a surface some live vertex owns
+    dangling = (
+        vertices.filter(F.size("aliases") == 0)
+        .select(F.col("canonical_name").alias("alias"))
+        .join(owned.select("alias").distinct(), "alias", "left_anti")
+        .count()
+    )
+    checks.append(_check("redirect_targets_resolve", dangling == 0, dangling, 0))
 
     # --- commit marker vs lineage table (both tiny, driver-side compare)
     state_path = os.path.join(output_dir, "graph_state.json")

@@ -92,9 +92,15 @@ def test_split_ingest_vertices_compose(spark, split_ingest):
     m_surfaces = {a for _, al, _ in merged.values() for a in al}
     f_surfaces = {a for _, al, _ in full.values() for a in al}
     assert m_surfaces == f_surfaces
-    # every canonical name is one of its own aliases
+    # every canonical name is one of its own aliases — except round-4
+    # redirect vertices (empty alias set), whose canonical must resolve
+    # to a surface owned by some live vertex
+    owned_surfaces = {a for _, al, _ in merged.values() for a in al}
     for eid, (name, aliases, _) in merged.items():
-        assert name in aliases, eid
+        if aliases:
+            assert name in aliases, eid
+        else:
+            assert name in owned_surfaces, (eid, name)
 
 
 def test_merge_math_exact(spark):
@@ -167,3 +173,84 @@ def test_triples_not_duplicated_across_split(spark, split_ingest, corpus_pdf):
         .count()
     )
     assert dup == 0
+
+
+def test_split_ingest_alias_ownership_audits_green(spark, split_ingest):
+    """Round 4: merge_vertices re-emits alias sets with deterministic
+    single-owner resolution, so the audit's alias_single_owner check —
+    now at FAIL severity — passes on a two-run split ingest, and every
+    canonical name still sits in its own alias set."""
+    from node_feedparser_spark.plans.validate import validate_kg
+
+    report = validate_kg(spark, split_ingest["out_split"])
+    by_name = {c["name"]: c for c in report["checks"]}
+    assert by_name["alias_single_owner"]["status"] == "pass", by_name
+    assert by_name["canonical_name_is_own_alias"]["status"] == "pass"
+    assert by_name["redirect_targets_resolve"]["status"] == "pass"
+    assert report["ok"] and report["n_fail"] == 0
+    # the check would now fail (not warn) on a violation
+    merged = _vertex_map(spark, split_ingest["out_split"])
+    owners: dict = {}
+    for eid, (_, aliases, _) in merged.items():
+        for a in aliases:
+            assert a not in owners, f"alias {a!r} owned by {owners[a]} and {eid}"
+            owners[a] = eid
+
+
+def test_merge_vertices_contested_alias_resolution(spark):
+    """Direct exercise of the round-4 single-owner rules on a contested
+    surface: (1) a singleton entity always keeps its only surface, even
+    against a higher-mention canonical claim; the loser re-points its
+    canonical name to its first surviving alias; (2) without a singleton,
+    mention majority wins; (3) mention ties break to the smaller id."""
+    from node_feedparser_spark.plans.pipeline import merge_vertices
+
+    schema = (
+        "entity_id long, canonical_name string, aliases array<string>, "
+        "n_mentions long"
+    )
+    # run 1 grouped {S, X} under id 10 with S canonical (9 mentions);
+    # run 2 saw S alone as singleton id 20 (2 mentions)
+    v1 = spark.createDataFrame(
+        [(10, "S", ["S", "X"], 9), (30, "A", ["A", "B"], 5)], schema
+    )
+    v2 = spark.createDataFrame(
+        [(20, "S", ["S"], 2), (40, "C", ["B", "C"], 7)], schema
+    )
+    got = {
+        r["entity_id"]: (r["canonical_name"], tuple(r["aliases"]))
+        for r in merge_vertices(v1, v2).collect()
+    }
+    # singleton 20 keeps S; 10 loses S and re-points canonical to X
+    assert got[20] == ("S", ("S",))
+    assert got[10] == ("X", ("X",))
+    # contested B (no singleton, neither's canonical): mentions 7 > 5
+    assert got[40] == ("C", ("B", "C"))
+    assert got[30] == ("A", ("A",))
+    # surface universe conserved: every input alias still owned somewhere
+    owned = {a for _, al in got.values() for a in al}
+    assert owned == {"S", "X", "A", "B", "C"}
+
+
+
+def test_merge_vertices_subset_component_becomes_redirect(spark):
+    """The nested-component divergence shape (the one the fixture corpus
+    actually produces): run 1 groups {S, S.} while run 2 groups
+    {S, S., S.G}.  The smaller entity loses every surface to the
+    higher-mention winner and becomes a redirect vertex — empty alias
+    set, canonical_name still naming the surface its winner now owns —
+    instead of re-sharing the alias."""
+    from node_feedparser_spark.plans.pipeline import merge_vertices
+
+    schema = (
+        "entity_id long, canonical_name string, aliases array<string>, "
+        "n_mentions long"
+    )
+    v1 = spark.createDataFrame([(100, "S", ["S", "S."], 21)], schema)
+    v2 = spark.createDataFrame([(200, "S", ["S", "S.", "S.G"], 112)], schema)
+    got = {
+        r["entity_id"]: (r["canonical_name"], tuple(r["aliases"]), r["n_mentions"])
+        for r in merge_vertices(v1, v2).collect()
+    }
+    assert got[200] == ("S", ("S", "S.", "S.G"), 112)
+    assert got[100] == ("S", (), 21)  # redirect: empty aliases, pointer kept

@@ -120,3 +120,42 @@ def test_harmonic_centrality_matches_hand_computation(spark):
     # sinks: ball never grows, harmonic 0, effective radius 1
     assert got["c"][1] == 0.0 and got["c"][2] == 1
     assert got["d"][1] == 0.0 and got["d"][2] == 1
+
+
+def test_shared_anf_frame_matches_standalone(spark):
+    """Round 4 shared-frame contract: harmonic_centrality_anf and
+    effective_diameter consuming a precomputed hyperanf frame return
+    exactly the standalone-path results (the cache is a cost change,
+    not a semantics change), and the edges/anf argument guard raises
+    when neither is given."""
+    import pandas as pd
+    import pytest
+    from node_feedparser_spark.operators.graph_algo import (
+        effective_diameter,
+        harmonic_centrality_anf,
+        hyperanf,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "a"), ("c", "b"),
+         ("d", "c"), ("a", "e"), ("e", "a")],
+        "src_id string, dst_id string",
+    )
+    anf = hyperanf(edges, rounds=2, p=7)
+
+    def pdf(df):
+        out = df.toPandas()
+        return out.sort_values(list(out.columns), ignore_index=True)
+
+    pd.testing.assert_frame_equal(
+        pdf(harmonic_centrality_anf(edges, rounds=2, p=7)),
+        pdf(harmonic_centrality_anf(rounds=2, p=7, anf=anf)),
+    )
+    pd.testing.assert_frame_equal(
+        pdf(effective_diameter(edges, rounds=2, p=7)),
+        pdf(effective_diameter(rounds=2, p=7, anf=anf)),
+    )
+    with pytest.raises(ValueError, match="edges or anf"):
+        harmonic_centrality_anf(rounds=2, p=7)
+    with pytest.raises(ValueError, match="edges or anf"):
+        effective_diameter(rounds=2, p=7)

@@ -125,7 +125,7 @@ def test_foreign_state_hash_is_caught(spark, kg_copy):
     ]
 
 
-def test_shared_alias_warns_but_does_not_fail(spark, kg_copy):
+def test_shared_alias_fails(spark, kg_copy):
     def share(pdf):
         pdf = pdf.copy()
         aliases = list(pdf.loc[pdf.index[0], "aliases"])
@@ -138,5 +138,7 @@ def test_shared_alias_warns_but_does_not_fail(spark, kg_copy):
     _rewrite(kg_copy, "vertices", share)
     report = validate_kg(spark, kg_copy)
     by = _by_name(report)
-    assert by["alias_single_owner"]["status"] == "warn"
-    assert report["ok"] and report["n_fail"] == 0 and report["n_warn"] == 1
+    # hardened in round 4: merge_vertices re-emits single-owner alias
+    # sets, so a shared alias is always a real corruption -> fail
+    assert by["alias_single_owner"]["status"] == "fail"
+    assert not report["ok"] and report["n_fail"] == 1
