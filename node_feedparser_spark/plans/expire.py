@@ -19,12 +19,18 @@ count and an edge's weight is round(sum(score), 6) over its
 (subj_id, pred, obj_id) — so expiry RECOMPUTES them from the surviving
 triples (partition-pruned scan that never touches the expired bytes)
 instead of attempting inexact subtraction from rounded aggregates.
-``canonical_name`` and ``aliases`` are NOT derivable from triples (they
-come from each run's canonicalization mapping), so they carry over from
-the prior vertex row by entity_id join; aliases therefore keep
-retained-superset semantics (an alias observed only in the expired
-snapshot lingers on its surviving entity) — same documented divergence
-class as incremental ER, and warn-severity in the audit.
+``canonical_name`` carries over from the prior vertex row by entity_id
+join.  ``aliases`` (round 4) are the carried-over sets AUGMENTED with the
+surfaces this entity actually anchors in the surviving triples — a
+redirect vertex emptied by an earlier merge reconciliation regains its
+surfaces when its winner is the snapshot being expired — and then
+re-projected through the same deterministic single-owner resolution the
+merge applies (pipeline.resolve_alias_ownership), so the audit's
+fail-severity alias_single_owner and redirect_targets_resolve invariants
+hold across any expire/rollback sequence.  An alias observed ONLY in the
+expired snapshot can still linger on its surviving owner (the carried
+set) — retained-superset semantics for surfaces, single-owner semantics
+for ownership.
 
 Crash safety mirrors the graph commit two-phase protocol
 (pipeline._commit_graph), extended to three tables plus a data delete:
@@ -181,11 +187,44 @@ def _stage_expiry(
         .groupBy("entity_id")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
-    vertices_new = (
+    # surfaces each surviving entity actually anchors in the surviving
+    # triples: the recovery source for alias sets emptied by an earlier
+    # merge reconciliation whose winning entity is now being expired
+    tri_surfaces = (
+        remaining.select(
+            F.col("subj").alias("alias"), F.col("subj_id").alias("entity_id")
+        )
+        .unionByName(
+            remaining.select(
+                F.col("obj").alias("alias"), F.col("obj_id").alias("entity_id")
+            )
+        )
+        .groupBy("entity_id")
+        .agg(F.collect_set("alias").alias("tri_aliases"))
+    )
+    from .pipeline import resolve_alias_ownership
+
+    vertices_new = resolve_alias_ownership(
         spark.read.parquet(tables["vertices"])
         .drop("n_mentions")
         .join(mentions, "entity_id")  # inner: zero-mention vertices drop out
-        .select("entity_id", "canonical_name", "aliases", "n_mentions")
+        .join(tri_surfaces, "entity_id", "left")
+        .select(
+            "entity_id",
+            "canonical_name",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.col("aliases"),
+                        F.coalesce(
+                            F.col("tri_aliases"),
+                            F.array().cast("array<string>"),
+                        ),
+                    )
+                )
+            ).alias("aliases"),
+            "n_mentions",
+        )
     )
     metrics_new = spark.read.parquet(tables["metrics"]).filter(
         ~F.col("snapshot_id").isin(snapshots)

@@ -126,8 +126,6 @@ def merge_vertices(prior: DataFrame, new: DataFrame) -> DataFrame:
     explode + per-alias window + re-group — vertex-scale, far below the
     corpus scan.
     """
-    from pyspark.sql import Window
-
     merged = (
         prior.unionByName(new)
         .groupBy("entity_id")
@@ -150,7 +148,22 @@ def merge_vertices(prior: DataFrame, new: DataFrame) -> DataFrame:
             "n_mentions",
         )
     )
-    ex = merged.select(
+    return resolve_alias_ownership(merged)
+
+
+def resolve_alias_ownership(vertices: DataFrame) -> DataFrame:
+    """Deterministic single-owner projection of a vertex table whose alias
+    sets may overlap (merge_vertices' reconciliation step, also applied by
+    plans/expire.py after it re-derives surviving surfaces): each alias
+    resolves to one owner under the (singleton, canonical-claim, mention
+    majority, smallest id) ranking; losers shrink, a loser whose canonical
+    surface went elsewhere re-points to its first surviving alias, and an
+    entity stripped of every surface becomes a redirect vertex (empty
+    aliases, canonical_name = the surface its winner owns).  Input and
+    output schema: (entity_id, canonical_name, aliases, n_mentions)."""
+    from pyspark.sql import Window
+
+    ex = vertices.select(
         "entity_id",
         "canonical_name",
         "n_mentions",
@@ -167,18 +180,14 @@ def merge_vertices(prior: DataFrame, new: DataFrame) -> DataFrame:
         ex.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .groupBy("entity_id")
-        .agg(F.array_sort(F.collect_list("alias")).alias("aliases"))
+        .agg(F.array_sort(F.collect_list("alias")).alias("owned_aliases"))
     )
     aliases = F.coalesce(
         F.col("owned_aliases"), F.array().cast("array<string>")
     )
     return (
-        merged.drop("aliases")
-        .join(
-            owned.withColumnRenamed("aliases", "owned_aliases"),
-            "entity_id",
-            "left",
-        )
+        vertices.drop("aliases")
+        .join(owned, "entity_id", "left")
         .select(
             "entity_id",
             F.when(
