@@ -36,6 +36,8 @@ from .similarity import (
     _pq_lloyd_round,
     _quantization_stats,
     _quantize_with_stats,
+    _sq_dists_full,
+    _sq_dists_sub,
 )
 
 _META_NAME = "_ann_meta.json"
@@ -86,10 +88,9 @@ def build_ann_index(
             if pdf.empty:
                 continue
             X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
-            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            cells = _sq_dists_full(X, co).argmin(1)
             x3 = X.reshape(len(X), msub, subd)
-            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
-            codes = d2.argmin(axis=1)
+            codes = _sq_dists_sub(x3, c3).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),

@@ -685,6 +685,28 @@ def _quantize_with_stats(
     return df.select(F.col(id_col).alias("vec_id"), q.alias("qvec"))
 
 
+def _sq_dists_sub(x3: np.ndarray, c3: np.ndarray) -> np.ndarray:
+    """Exact int64 per-subspace squared L2 between x3 (B, m, d) and a
+    codebook c3 (J, m, d) -> (B, J, m), via the ||x||^2 - 2 x.c + ||c||^2
+    expansion: identical integers to ((x3[:,None]-c3[None])**2).sum(-1)
+    (products and sums stay in int64; inputs are <= n_levels so no term
+    can approach overflow) WITHOUT materializing the (B, J, m, d)
+    difference tensor — at the round-4 production shape (J=256, m=16)
+    that tensor was ~131 KB/row/batch and dominated the encode wall."""
+    x2 = (x3 * x3).sum(-1)                   # (B, m)
+    c2 = (c3 * c3).sum(-1)                   # (J, m)
+    xc = np.einsum("bmd,jmd->bjm", x3, c3)   # (B, J, m)
+    return x2[:, None, :] + c2[None, :, :] - 2 * xc
+
+
+def _sq_dists_full(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 full-vector squared L2 between X (B, dim) and
+    centroids C (J, dim) -> (B, J), same expansion as _sq_dists_sub."""
+    x2 = (X * X).sum(-1)
+    c2 = (C * C).sum(-1)
+    return x2[:, None] + c2[None, :] - 2 * (X @ C.T)
+
+
 def _pq_lloyd_round(
     corpus_q: DataFrame, cent3: np.ndarray
 ) -> np.ndarray:
@@ -709,8 +731,7 @@ def _pq_lloyd_round(
             x3 = np.array(
                 [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
             ).reshape(len(pdf), m_sub, sub)
-            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
-            codes = d2.argmin(axis=1)  # (batch, m_sub)
+            codes = _sq_dists_sub(x3, c3).argmin(axis=1)  # (batch, m_sub)
             out_m: list[int] = []
             out_c: list[int] = []
             out_d: list[int] = []
@@ -817,9 +838,7 @@ def pq_topk(
         [np.asarray(r["qvec"], dtype=np.int64) for r in q_rows]
     ).reshape(len(q_ids), m_sub, sub)
     # (nq, n_codes, m_sub) -> (nq, m_sub, n_codes)
-    qtab = np.transpose(
-        ((qmat[:, None, :, :] - cent3[None, :, :, :]) ** 2).sum(-1), (0, 2, 1)
-    )
+    qtab = np.transpose(_sq_dists_sub(qmat, cent3), (0, 2, 1))
     bc = spark.sparkContext.broadcast((q_ids, qtab, cent3))
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -834,8 +853,7 @@ def pq_topk(
             ).reshape(len(vids), c3.shape[1], c3.shape[2])
             # encode: per (row, subspace) the argmin code; numpy argmin
             # takes the FIRST minimum == smallest code, the oracle tie-break
-            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
-            codes = d2.argmin(axis=1)  # (batch, m_sub)
+            codes = _sq_dists_sub(x3, c3).argmin(axis=1)  # (batch, m_sub)
             out_q: list[int] = []
             out_v: list[int] = []
             out_d: list[int] = []
@@ -933,12 +951,10 @@ def ivfpq_topk(
     q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
     qmat = np.array([np.asarray(r["qvec"], dtype=np.int64) for r in q_rows])
     # probe sets: n_probe cells with the smallest integer L2 (ties -> cell asc)
-    qcd = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)  # (nq, cells)
+    qcd = _sq_dists_full(qmat, coarse)  # (nq, cells)
     probes = np.argsort(qcd, axis=1, kind="stable")[:, :n_probe]
     q3 = qmat.reshape(len(q_ids), m_sub, sub)
-    qtab = np.transpose(
-        ((q3[:, None, :, :] - cent3[None, :, :, :]) ** 2).sum(-1), (0, 2, 1)
-    )
+    qtab = np.transpose(_sq_dists_sub(q3, cent3), (0, 2, 1))
     bc = spark.sparkContext.broadcast((q_ids, probes, qtab, coarse, cent3))
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -950,10 +966,9 @@ def ivfpq_topk(
                 continue
             vids = pdf["vec_id"].to_numpy()
             X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
-            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            cells = _sq_dists_full(X, co).argmin(1)
             x3 = X.reshape(len(vids), msub, subd)
-            d2 = ((x3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
-            codes = d2.argmin(axis=1)
+            codes = _sq_dists_sub(x3, c3).argmin(axis=1)
             out_q: list[int] = []
             out_v: list[int] = []
             out_d: list[int] = []
@@ -1007,10 +1022,9 @@ def _pq_lloyd_round_residual(
             if pdf.empty:
                 continue
             X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
-            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            cells = _sq_dists_full(X, co).argmin(1)
             r3 = (X - co[cells]).reshape(len(X), m_sub, sub)
-            d2 = ((r3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
-            codes = d2.argmin(axis=1)
+            codes = _sq_dists_sub(r3, c3).argmin(axis=1)
             out: list[tuple[int, int, int, int, int]] = []
             for m in range(m_sub):
                 cs = codes[:, m]
@@ -1097,9 +1111,7 @@ def ivfpq_residual_topk(
 
     # residual codebook seeds: the first n_codes vectors' residuals vs
     # their OWN (refined-coarse) cells — same rule the oracle replays
-    seed_cells = (
-        ((seeds[:n_codes, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
-    )
+    seed_cells = _sq_dists_full(seeds[:n_codes], coarse).argmin(1)
     rseeds = (seeds[:n_codes] - coarse[seed_cells]).reshape(n_codes, m_sub, sub)
     rcent3 = rseeds
     for _ in range(max(0, train_iters)):
@@ -1108,7 +1120,7 @@ def ivfpq_residual_topk(
     q_rows = queries_q.collect()
     q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
     qmat = np.array([np.asarray(r["qvec"], dtype=np.int64) for r in q_rows])
-    qcd = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    qcd = _sq_dists_full(qmat, coarse)
     probes = np.argsort(qcd, axis=1, kind="stable")[:, :n_probe]  # (nq, np)
     # per-(query, probed cell) ADC tables over the query's residual vs
     # that cell: (nq, n_probe, m_sub, n_codes)
@@ -1116,7 +1128,9 @@ def ivfpq_residual_topk(
         len(q_ids), n_probe, m_sub, sub
     )
     qtab = np.transpose(
-        ((qres[:, :, None, :, :] - rcent3[None, None, :, :, :]) ** 2).sum(-1),
+        _sq_dists_sub(
+            qres.reshape(len(q_ids) * n_probe, m_sub, sub), rcent3
+        ).reshape(len(q_ids), n_probe, rcent3.shape[0], m_sub),
         (0, 1, 3, 2),
     )
     bc = spark.sparkContext.broadcast((q_ids, probes, qtab, coarse, rcent3))
@@ -1130,10 +1144,9 @@ def ivfpq_residual_topk(
                 continue
             vids = pdf["vec_id"].to_numpy()
             X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
-            cells = ((X[:, None, :] - co[None, :, :]) ** 2).sum(-1).argmin(1)
+            cells = _sq_dists_full(X, co).argmin(1)
             r3 = (X - co[cells]).reshape(len(X), msub, subd)
-            d2 = ((r3[:, None, :, :] - c3[None, :, :, :]) ** 2).sum(-1)
-            codes = d2.argmin(axis=1)
+            codes = _sq_dists_sub(r3, c3).argmin(axis=1)
             out_q: list[int] = []
             out_v: list[int] = []
             out_d: list[int] = []
