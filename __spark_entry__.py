@@ -1770,17 +1770,26 @@ def q_link_pred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 4: q_hyperanf_reach and q_harmonic_centrality consume the SAME
 # hyperanf register chain over the SAME %4 shipment graph; within one
 # driver session the |E| x 2^p join fan is paid once via this memoized,
-# lazily-checkpointed frame (keyed by application + sf_dir so a fresh
-# session or different data never reuses stale sketches).  Results are
-# identical either way — the cache is a cost change, not a semantics
-# change (pinned by tests/test_hyperanf.py's shared-frame tests).
+# lazily-checkpointed frame.  Keyed by (application, sf_dir, lineitem
+# file mtime+size) so a fresh session OR regenerated data at the same
+# path never reuses stale sketches; a driver session visits 1-2 sf_dirs,
+# so the unbounded dict and the pinned checkpoint blocks stay two
+# entries deep in practice.  Results are identical either way — the
+# cache is a cost change, not a semantics change (pinned by
+# tests/test_hyperanf.py's shared-frame tests).
 _ANF_SHARED: dict = {}
 
 
 def _shared_hyperanf(spark: SparkSession, sf_dir: str):
     from node_feedparser_spark.operators.graph_algo import hyperanf
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(li_path)
+        stamp = (int(st.st_mtime), st.st_size)
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
     if key not in _ANF_SHARED:
         li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
         e = li.select(

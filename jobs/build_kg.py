@@ -68,6 +68,11 @@ def main() -> None:
     t0 = time.monotonic()
     cap_kw = {}
     if args.max_text_bytes is not None:
+        if args.max_text_bytes < 0:
+            raise SystemExit(
+                "--max-text-bytes must be >= 0 (0 = unlimited), got "
+                f"{args.max_text_bytes}"
+            )
         cap_kw["max_text_bytes"] = args.max_text_bytes or None
     summary = build_kg(
         spark,

@@ -535,7 +535,9 @@ def kmv_set_overlap(
         )
 
     sides = (
-        sides.withColumn("est_distinct_a", _guarded("est_distinct_a"))
+        sides.withColumn("side_a", _guarded("side_a"))
+        .withColumn("side_b", _guarded("side_b"))
+        .withColumn("est_distinct_a", _guarded("est_distinct_a"))
         .withColumn("est_distinct_b", _guarded("est_distinct_b"))
         .withColumn("min_thresh", _guarded("min_thresh"))
         .drop("n_sides")

@@ -163,7 +163,10 @@ def resolve_alias_ownership(vertices: DataFrame) -> DataFrame:
     output schema: (entity_id, canonical_name, aliases, n_mentions)."""
     from pyspark.sql import Window
 
-    ex = vertices.select(
+    pre = vertices.withColumn(
+        "pre_aliases", F.array_sort(F.col("aliases"))
+    )
+    ex = pre.select(
         "entity_id",
         "canonical_name",
         "n_mentions",
@@ -185,16 +188,28 @@ def resolve_alias_ownership(vertices: DataFrame) -> DataFrame:
     aliases = F.coalesce(
         F.col("owned_aliases"), F.array().cast("array<string>")
     )
+    # redirect pointer: an emptied entity's canonical must name a surface
+    # SOME live vertex owns.  Its own canonical qualifies only if it was in
+    # this round's pre-resolution set (then its winner owns it); otherwise
+    # fall back to its first pre-resolution surface (each went to a
+    # winner).  An entity that arrived surface-less keeps its pointer —
+    # only the merge path produces that, and there the pointer's owner
+    # rides the same union.
+    redirect_ptr = F.when(
+        F.array_contains(F.col("pre_aliases"), F.col("canonical_name"))
+        | (F.size("pre_aliases") == 0),
+        F.col("canonical_name"),
+    ).otherwise(F.element_at(F.col("pre_aliases"), 1))
     return (
-        vertices.drop("aliases")
+        pre.drop("aliases")
         .join(owned, "entity_id", "left")
         .select(
             "entity_id",
             F.when(
-                F.array_contains(aliases, F.col("canonical_name"))
-                | (F.size(aliases) == 0),  # redirect keeps its pointer
+                F.array_contains(aliases, F.col("canonical_name")),
                 F.col("canonical_name"),
             )
+            .when(F.size(aliases) == 0, redirect_ptr)
             .otherwise(F.element_at(aliases, 1))
             .alias("canonical_name"),
             aliases.alias("aliases"),

@@ -46,7 +46,12 @@ def _check_sketch_config(
     value_col); registers merged across different configs are a valid
     sketch for NEITHER config and produce silently-wrong estimates.  The
     config is therefore pinned in the table's state file at first write
-    and every later merge must match it exactly."""
+    and every later merge must match it exactly.  A state file written
+    before the pin existed carries no config; the first post-upgrade
+    merge ADOPTS its own config (nothing to verify against) and pins it
+    — callers resuming a legacy table are responsible for passing the
+    parameters it was built with, exactly as they already were before
+    the guard existed."""
     config = {"p": p, "group_cols": list(group_cols), "value_col": value_col}
     state = _read_state(sketch_path)
     if "p" in state:

@@ -254,3 +254,30 @@ def test_merge_vertices_subset_component_becomes_redirect(spark):
     }
     assert got[200] == ("S", ("S", "S.", "S.G"), 112)
     assert got[100] == ("S", (), 21)  # redirect: empty aliases, pointer kept
+
+
+def test_redirect_pointer_repoints_to_owned_surface(spark):
+    """Chained-reconciliation corner (round-4 review finding): an entity
+    whose canonical pointer no longer appears in its own pre-resolution
+    surface set (possible after expire re-derived surfaces from surviving
+    triples) must re-point its redirect at one of the surfaces it DID
+    bring to this resolution — each of those has a winner — instead of
+    keeping a pointer nobody owns."""
+    from node_feedparser_spark.plans.pipeline import resolve_alias_ownership
+
+    schema = (
+        "entity_id long, canonical_name string, aliases array<string>, "
+        "n_mentions long"
+    )
+    # R's canonical pointer 'S' is NOT in its re-derived surface set; its
+    # only surface 'S.' is contested and lost to singleton Y
+    v = spark.createDataFrame(
+        [(1, "S", ["S."], 3), (2, "S.", ["S."], 9)], schema
+    )
+    got = {
+        r["entity_id"]: (r["canonical_name"], tuple(r["aliases"]))
+        for r in resolve_alias_ownership(v).collect()
+    }
+    assert got[2] == ("S.", ("S.",))
+    # R redirects to 'S.' (owned by 2), NOT the dangling 'S'
+    assert got[1] == ("S.", ())
