@@ -4088,6 +4088,97 @@ def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_agg(edges, feats, n_hops=2, fanout=8, seed=23)
 
 
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prompt chosen/rejected preference-pair mining (round 4,
+    operators/preference.dpo_pairs) — the DPO training-pair construction
+    step of an LLM data pipeline: orders are prompts, their line items are
+    scored candidates (extended price in HALF_UP cents), chosen =
+    best / rejected = worst with deterministic tie-breaks, margin >= $1
+    screen, single-candidate prompts dropped.  One shuffle on the prompt
+    key; both rankings and the count ride the same partitioning."""
+    from node_feedparser_spark.operators.preference import dpo_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    cands = li.select(
+        F.col("l_orderkey").alias("prompt_id"),
+        F.col("l_linenumber").alias("cand_id"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("score"),
+    )
+    return dpo_pairs(cands, min_margin=100)
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry ability estimation (round 4, operators/preference
+    .bradley_terry): pairwise comparisons are consecutive line items in
+    the same order — the pricier (HALF_UP cents) part's brand beats the
+    other's, exact-tie and same-brand pairs dropped — aggregated to a
+    25-player (p_brand) ability table via 2 unrolled MM rounds (Hunter
+    2004) and one sum-1 normalization.  The reward-model vote-aggregation
+    face: the corpus is touched once (pair counts); every MM round runs
+    on the players^2-bounded pair table with the ability vector broadcast
+    like truth_fusion's trust table."""
+    from node_feedparser_spark.operators.preference import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    l = li.join(part, F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    prv = l.select(
+        "l_orderkey",
+        (F.col("l_linenumber") + 1).alias("l_linenumber"),
+        F.col("brand").alias("brand_prev"),
+        F.col("cents").alias("cents_prev"),
+    )
+    comps = (
+        l.join(prv, ["l_orderkey", "l_linenumber"])
+        .filter(F.col("cents") != F.col("cents_prev"))
+        .filter(F.col("brand") != F.col("brand_prev"))
+        .select(
+            F.when(
+                F.col("cents") > F.col("cents_prev"), F.col("brand")
+            ).otherwise(F.col("brand_prev")).alias("winner"),
+            F.when(
+                F.col("cents") > F.col("cents_prev"), F.col("brand_prev")
+            ).otherwise(F.col("brand")).alias("loser"),
+        )
+    )
+    return bradley_terry(comps, n_iter=2)
+
+
+def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural profile (round 4, operators/profile
+    .conversation_profile) over the north-rule transcript shape:
+    documents are mapped deterministically into (conv_id, turn_idx, role,
+    text, tool, ts) — 50 conversations, roles cycling user/assistant/tool
+    by doc_id mod 3, every 7th turn a tool call, one minute per turn —
+    then profiled: role counts, tool-call density, text volume,
+    role-alternation count, wall-clock span.  One shuffle on conv_id;
+    all-integer outputs, no rounding discipline needed."""
+    from node_feedparser_spark.operators.profile import conversation_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.concat(F.lit("doc-"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("source")).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1736154000) + F.floor(F.col("doc_id") / 50) * 60
+        ).alias("ts"),
+    )
+    return conversation_profile(tr)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver CORRECTNESS window (first 50 entries, rotated per round) ---
@@ -4281,6 +4372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "retro_resolve": q_retro_resolve,
         "html_uri_resolve": q_html_uri_resolve,
+        # --- round 4 additions (behind the window; local replica checks) ---
+        "dpo_pairs": q_dpo_pairs,
+        "bradley_terry": q_bradley_terry,
+        "conv_profile": q_conv_profile,
     }
 
 
@@ -8789,5 +8884,121 @@ def _extra_oracles() -> dict[str, str]:
         FROM base b
         LEFT JOIN rec r ON r.lane = b.lane
         LEFT JOIN ms ON ms.lane = b.lane
+    """
+    # --- round 4: preference-data prep + transcript profile ---
+    d["dpo_pairs"] = """
+        WITH c AS (SELECT DISTINCT l_orderkey AS prompt_id,
+                          l_linenumber AS cand_id,
+                          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                              AS score
+                   FROM lineitem),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY prompt_id
+                         ORDER BY score DESC, cand_id ASC) AS rt,
+                     ROW_NUMBER() OVER (PARTITION BY prompt_id
+                         ORDER BY score ASC, cand_id DESC) AS rb,
+                     COUNT(*) OVER (PARTITION BY prompt_id) AS nc
+              FROM c),
+        ch AS (SELECT prompt_id, cand_id AS chosen, score AS chosen_score,
+                      CAST(nc AS BIGINT) AS n_cands
+               FROM r WHERE rt = 1),
+        rj AS (SELECT prompt_id, cand_id AS rejected,
+                      score AS rejected_score
+               FROM r WHERE rb = 1)
+        SELECT ch.prompt_id, chosen, rejected, chosen_score, rejected_score,
+               chosen_score - rejected_score AS margin, n_cands
+        FROM ch JOIN rj USING (prompt_id)
+        WHERE chosen <> rejected
+          AND chosen_score - rejected_score >= 100
+    """
+    # Replays pairwise_counts + 2 unrolled MM rounds + sum-1 normalization
+    # with the operator's exact ROUND placement (9 dp intermediates, 6 dp
+    # final — operators/preference.py discipline).
+    d["bradley_terry"] = """
+        WITH l AS (SELECT l_orderkey, l_linenumber, p_brand AS brand,
+                          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                              AS cents
+                   FROM lineitem JOIN part ON p_partkey = l_partkey),
+        comp AS (SELECT CASE WHEN cur.cents > prv.cents
+                             THEN cur.brand ELSE prv.brand END AS winner,
+                        CASE WHEN cur.cents > prv.cents
+                             THEN prv.brand ELSE cur.brand END AS loser
+                 FROM l cur
+                 JOIN l prv ON prv.l_orderkey = cur.l_orderkey
+                           AND prv.l_linenumber = cur.l_linenumber - 1
+                 WHERE cur.cents <> prv.cents AND cur.brand <> prv.brand),
+        w AS (SELECT winner AS player, loser AS opponent,
+                     CAST(COUNT(*) AS BIGINT) AS wins
+              FROM comp WHERE winner <> loser GROUP BY 1, 2),
+        ordx AS (SELECT player, opponent, CAST(SUM(wins) AS BIGINT) AS wins
+                 FROM (SELECT player, opponent, wins FROM w
+                       UNION ALL
+                       SELECT opponent, player, 0 FROM w) u
+                 GROUP BY 1, 2),
+        pairs AS (SELECT o.player, o.opponent, o.wins,
+                         CAST(o.wins + r.wins AS BIGINT) AS n
+                  FROM ordx o
+                  JOIN ordx r ON r.player = o.opponent
+                             AND r.opponent = o.player),
+        totals AS (SELECT player, CAST(SUM(wins) AS BIGINT) AS wins,
+                          CAST(SUM(n) AS BIGINT) AS n_comparisons
+                   FROM pairs GROUP BY 1),
+        a0 AS (SELECT player, CAST(1.0 AS DOUBLE) AS ability FROM totals),
+        t1 AS (SELECT p.player,
+                      ROUND(p.n / (ai.ability + aj.ability), 9) AS term
+               FROM pairs p
+               JOIN a0 ai ON ai.player = p.player
+               JOIN a0 aj ON aj.player = p.opponent),
+        d1 AS (SELECT player, ROUND(SUM(term), 9) AS denom
+               FROM t1 GROUP BY 1),
+        a1 AS (SELECT t.player, ROUND(t.wins / d.denom, 9) AS ability
+               FROM totals t JOIN d1 d USING (player)),
+        t2 AS (SELECT p.player,
+                      ROUND(p.n / (ai.ability + aj.ability), 9) AS term
+               FROM pairs p
+               JOIN a1 ai ON ai.player = p.player
+               JOIN a1 aj ON aj.player = p.opponent),
+        d2 AS (SELECT player, ROUND(SUM(term), 9) AS denom
+               FROM t2 GROUP BY 1),
+        a2 AS (SELECT t.player, ROUND(t.wins / d.denom, 9) AS ability
+               FROM totals t JOIN d2 d USING (player)),
+        z AS (SELECT ROUND(SUM(ability), 9) AS z FROM a2)
+        SELECT t.player, t.wins, t.n_comparisons,
+               ROUND(a.ability / z.z, 6) AS ability
+        FROM totals t JOIN a2 a USING (player) CROSS JOIN z
+    """
+    d["conv_profile"] = """
+        WITH tr AS (SELECT 'doc-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                           CAST(doc_id // 50 AS INT) AS turn_idx,
+                           CASE WHEN doc_id % 3 = 0 THEN 'user'
+                                WHEN doc_id % 3 = 1 THEN 'assistant'
+                                ELSE 'tool' END AS role,
+                           text,
+                           CASE WHEN doc_id % 7 = 0 THEN source END AS tool,
+                           (1736154000 + (doc_id // 50) * 60) * 1000000
+                               AS ts_us
+                    FROM documents),
+        lagged AS (SELECT *,
+                          LAG(role) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS prev_role,
+                          CAST(COALESCE(LENGTH(text), 0) AS BIGINT) AS chars
+                   FROM tr)
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant,
+               CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_role,
+               CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_calls,
+               CAST(SUM(chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN prev_role IS NOT NULL AND role <> prev_role
+                             THEN 1 ELSE 0 END) AS BIGINT) AS role_switches,
+               CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT)
+                   AS span_seconds
+        FROM lagged
+        GROUP BY conv_id
     """
     return d

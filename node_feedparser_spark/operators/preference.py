@@ -1,0 +1,266 @@
+"""Preference-data preparation — pairwise votes into training signal.
+
+A transcript corpus that feeds pretraining also feeds *preference*
+optimization (RLHF reward modeling, DPO): the pipeline must turn scored
+candidate responses and noisy pairwise votes into clean training pairs and
+per-player ability scores.  The reference's analog is its positional
+conflict resolution — first value wins per field
+(/root/reference/lib/feedparser.js:440-458) and fixed precedence chains
+(lib/feedparser.js:389-401) pick ONE value per slot; preference
+aggregation generalizes that to picking a *ranking* from many conflicting
+pairwise judgements, the same move truth_fusion makes for claim conflicts.
+
+Two operators:
+
+- ``dpo_pairs`` — per-prompt chosen/rejected pair mining from scored
+  candidates (the input shape of Rafailov et al. 2023, "Direct Preference
+  Optimization"): best-vs-worst per prompt with a minimum-margin screen,
+  deterministic tie-breaks, prompts with fewer than two distinct
+  candidates dropped.
+
+- ``bradley_terry`` — Bradley-Terry (1952) ability estimation from
+  pairwise win counts via Hunter's (2004) MM fixed point,
+
+      a_i  <-  W_i / sum_j ( n_ij / (a_i + a_j) )
+
+  unrolled a fixed ``n_iter`` times as a static join chain (the
+  graph_algo.pagerank discipline), then normalized once to sum 1.  The
+  reward-model data-aggregation face: many annotators' pairwise votes
+  become one consistent per-response (or per-model) strength table.
+
+Scale shape: ``dpo_pairs`` is one shuffle on the prompt key — both window
+passes and the final agg share the partitioning, and every per-prompt
+group is candidate-list-sized.  ``bradley_terry`` first collapses the
+comparison stream to per-ordered-pair counts (map-side combinable; the
+big table is touched exactly once), after which the pair table is
+players²-bounded and the ability vector is one row per player —
+broadcast back onto pairs each round exactly like truth_fusion's trust
+table, so nothing corpus-sized ever re-shuffles.  Players are a
+dimension by contract (models / annotator cohorts / response buckets),
+not corpus rows.
+
+Portability: intermediate abilities and denominator terms are rounded to
+9 dp (module discipline, see operators/fusion.py) so the DuckDB oracle —
+which replays the identical unrolled arithmetic — agrees bit-for-bit
+after the final 6 dp rounding; margins and scores stay in integer cents
+end-to-end so no float comparison ever decides a pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: decimal places for intermediate MM values — enough that the final 6 dp
+#: rounding is stable across engines' float-sum orders.
+_ROUND = 9
+
+
+def dpo_pairs(
+    cands: DataFrame,
+    prompt: str = "prompt_id",
+    cand: str = "cand_id",
+    score: str = "score",
+    min_margin: int = 1,
+) -> DataFrame:
+    """Mine per-prompt (chosen, rejected) preference pairs from scored
+    candidates.
+
+    For each prompt: chosen = highest score (ties -> smallest cand id),
+    rejected = lowest score (ties -> largest cand id).  Prompts whose
+    best and worst candidate coincide (a single distinct candidate) are
+    dropped, as are pairs with ``chosen_score - rejected_score``
+    (the margin) below ``min_margin`` — margin-0 pairs teach a DPO loss
+    nothing and margin thresholds are the standard noise screen.
+
+    ``score`` must be integer-valued (cents discipline) so margins and
+    tie decisions are exact in every engine.  Input rows are deduplicated
+    to distinct (prompt, cand, score); a candidate appearing twice is one
+    candidate.
+
+    Returns (prompt, chosen, rejected, chosen_score, rejected_score,
+    margin, n_cands) with the caller's column names for prompt.
+    """
+    c = cands.select(
+        F.col(prompt).alias("prompt_id"),
+        F.col(cand).alias("cand_id"),
+        F.col(score).cast("long").alias("score"),
+    ).distinct()
+
+    # Both rankings and the candidate count ride ONE hash partitioning on
+    # the prompt key (two in-partition sorts, zero extra exchanges).
+    part = Window.partitionBy("prompt_id")
+    w_top = part.orderBy(F.desc("score"), F.asc("cand_id"))
+    w_bot = part.orderBy(F.asc("score"), F.desc("cand_id"))
+    ranked = c.select(
+        "prompt_id",
+        "cand_id",
+        "score",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+        F.count(F.lit(1)).over(part).alias("n_cands"),
+    )
+    # The chosen and rejected rows collapse per prompt in one hash agg
+    # that reuses the window's partitioning.  A prompt with one candidate
+    # has the SAME row as top and bottom -> filtered by cand inequality.
+    agg = (
+        ranked.groupBy("prompt_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn_top") == 1, F.struct("cand_id", "score")
+                )
+            ).alias("ch"),
+            F.max(
+                F.when(
+                    F.col("rn_bot") == 1, F.struct("cand_id", "score")
+                )
+            ).alias("rj"),
+            F.max("n_cands").alias("n_cands"),
+        )
+    )
+    return (
+        agg.select(
+            F.col("prompt_id").alias(prompt),
+            F.col("ch.cand_id").alias("chosen"),
+            F.col("rj.cand_id").alias("rejected"),
+            F.col("ch.score").alias("chosen_score"),
+            F.col("rj.score").alias("rejected_score"),
+            (F.col("ch.score") - F.col("rj.score")).alias("margin"),
+            F.col("n_cands").cast("long").alias("n_cands"),
+        )
+        .filter(F.col("chosen") != F.col("rejected"))
+        .filter(F.col("margin") >= int(min_margin))
+    )
+
+
+def pairwise_counts(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Collapse a comparison stream to ordered-pair statistics: one row
+    per ordered (player, opponent) with ``wins`` (player over opponent)
+    and ``n`` (total comparisons either way).  Self-comparisons are
+    dropped.  This is the ONLY pass over the corpus-sized input — one
+    map-side-combinable count; everything downstream is players²-bounded.
+    """
+    w = (
+        comparisons.select(
+            F.col(winner).alias("player"), F.col(loser).alias("opponent")
+        )
+        .filter(F.col("player") != F.col("opponent"))
+        .groupBy("player", "opponent")
+        .agg(F.count(F.lit(1)).cast("long").alias("wins"))
+    )
+    # Symmetrize: every observed pair appears in both orders (wins=0 for
+    # the direction never seen), then each ordered row picks up the
+    # reverse direction's wins to form n.  `w` is pair-bounded — these
+    # self-joins never touch the comparison stream again.
+    rev = w.select(
+        F.col("opponent").alias("player"),
+        F.col("player").alias("opponent"),
+        F.lit(0).cast("long").alias("wins"),
+    )
+    ordered = (
+        w.unionByName(rev)
+        .groupBy("player", "opponent")
+        .agg(F.sum("wins").cast("long").alias("wins"))
+    )
+    against = ordered.select(
+        F.col("opponent").alias("player"),
+        F.col("player").alias("opponent"),
+        F.col("wins").alias("wins_against"),
+    )
+    return (
+        ordered.join(against, ["player", "opponent"])
+        .withColumn("n", (F.col("wins") + F.col("wins_against")).cast("long"))
+        .drop("wins_against")
+    )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Estimate Bradley-Terry abilities from pairwise comparisons.
+
+    ``comparisons``: one row per decided comparison (winner, loser) —
+    ties excluded upstream by contract (the standard BT treatment; the
+    caller may also pre-weight by repeating rows).  Runs ``n_iter``
+    rounds of Hunter's MM update with abilities initialized to 1.0, then
+    normalizes once to sum 1.  Returns one row per player:
+    (player, wins, n_comparisons, ability) with ability at 6 dp.
+
+    Players whose win count is zero keep ability 0 after normalization's
+    numerator (W_i = 0 -> a_i = 0): the MM update maps them there in
+    round one and they stay — the correct ML boundary estimate.
+
+    The ability vector is one row per player (dimension-sized by
+    contract) and is broadcast onto the pair table each round; per-pair
+    terms are rounded to 9 dp before the per-player sum (which is
+    rounded again at 9 dp — the module's aggregate-rounding discipline)
+    so the DuckDB oracle replays the arithmetic bit-for-bit.
+
+    The pair table and each round's ability vector are eagerly
+    ``localCheckpoint``-ed (graph_algo's iterative-lineage discipline):
+    the MM unroll references each of them several times, and without the
+    truncation the corpus-scan subtree re-appears exponentially in the
+    static plan (~340 exchanges at n_iter=2; ReusedExchange would dedupe
+    the runtime but analysis cost alone is corpus-shaped).  Both frames
+    are players²- / players-bounded, so the checkpoints are trivial.
+    """
+    pairs = pairwise_counts(comparisons, winner, loser).localCheckpoint()
+
+    totals = pairs.groupBy("player").agg(
+        F.sum("wins").cast("long").alias("wins"),
+        F.sum("n").cast("long").alias("n_comparisons"),
+    )
+    ability = totals.select("player").withColumn(
+        "ability", F.lit(1.0)
+    )
+
+    for _ in range(int(n_iter)):
+        a_self = ability.select(
+            F.col("player"), F.col("ability").alias("a_i")
+        )
+        a_opp = ability.select(
+            F.col("player").alias("opponent"), F.col("ability").alias("a_j")
+        )
+        terms = (
+            pairs.join(F.broadcast(a_self), "player")
+            .join(F.broadcast(a_opp), "opponent")
+            .withColumn(
+                "term",
+                F.round(
+                    F.col("n") / (F.col("a_i") + F.col("a_j")), _ROUND
+                ),
+            )
+        )
+        denom = terms.groupBy("player").agg(
+            F.round(F.sum("term"), _ROUND).alias("denom")
+        )
+        ability = (
+            totals.join(denom, "player")
+            .select(
+                "player",
+                F.round(F.col("wins") / F.col("denom"), _ROUND).alias(
+                    "ability"
+                ),
+            )
+            .localCheckpoint()
+        )
+
+    norm = ability.agg(F.round(F.sum("ability"), _ROUND).alias("z"))
+    return (
+        totals.join(ability, "player")
+        .join(F.broadcast(norm))
+        .select(
+            "player",
+            "wins",
+            "n_comparisons",
+            F.round(F.col("ability") / F.col("z"), 6).alias("ability"),
+        )
+    )

@@ -592,3 +592,76 @@ def exact_percentiles(
         _pick(1, 2, "p50"),
         _pick(3, 4, "p75"),
     )
+
+
+def conversation_profile(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural profile of the north-rule transcript
+    shape (conv_id, turn_idx, role, text, tool, ts) — the corpus-health
+    view a trillion-turn ingest needs before extraction: turn counts per
+    role, tool-call density, text volume, role-alternation rate (a
+    mangled thread interleaves wrongly — the transcript analog of the
+    reference's out-of-order-child tolerance, lib/feedparser.js:440-458),
+    and the conversation's wall-clock span.
+
+    Per conv_id:
+      n_turns        — rows
+      n_user / n_assistant / n_tool_role — role counts (other roles land
+                       in none of the three; n_turns still counts them)
+      n_tool_calls   — turns with a non-null tool
+      total_chars    — sum of text lengths (NULL text counts 0)
+      role_switches  — turns whose role differs from the previous turn in
+                       (turn_idx) order
+      span_seconds   — max(ts) - min(ts) in whole seconds
+
+    Scale shape: one shuffle on conv_id; the lag window and the final agg
+    share that partitioning, and every group is conversation-sized (the
+    mega-thread salting upstream bounds that).  All counters are exact
+    integers — nothing here is float, so the DuckDB oracle matches
+    bit-for-bit with no rounding discipline needed.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("chars"),
+        F.lag("role").over(w).alias("prev_role"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_role"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum(
+            F.when(
+                F.col("prev_role").isNotNull()
+                & (F.col("role") != F.col("prev_role")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("role_switches"),
+        # integer micros end-to-end (ANSI forbids NTZ->long; DIV keeps the
+        # span exact in both engines)
+        (
+            (
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("span_seconds"),
+    )
