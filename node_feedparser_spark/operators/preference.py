@@ -264,3 +264,125 @@ def bradley_terry(
             F.round(F.col("ability") / F.col("z"), 6).alias("ability"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Elo: order-dependent sequential rating (batch face; streaming twin in
+# streaming/elo_stream.py)
+# ---------------------------------------------------------------------------
+
+#: classic Elo parameters (Elo 1978; chess federation defaults)
+ELO_K = 32.0
+ELO_SCALE = 400.0
+ELO_BASE = 1500.0
+
+
+def _r6(x: float) -> float:
+    """HALF_UP at 6 dp — mirrors Spark F.round (Python round is banker's)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def elo_fold(
+    rows: list[tuple[int, str, str]],
+    k: float = ELO_K,
+    scale: float = ELO_SCALE,
+    base: float = ELO_BASE,
+    state: dict | None = None,
+) -> dict:
+    """Sequential Elo fold shared by the batch and streaming faces — THE
+    semantics, so stream==batch parity is structural, not coincidental.
+
+    ``rows``: (seq, winner, loser) tuples; processed in ascending seq with
+    (winner, loser) as the tie-break so duplicate seqs stay deterministic.
+    ``state``: optional {"ratings": {player: rating}, "games": {player: n},
+    "wins": {player: n}, "last_seq": int} carried across calls (the
+    streaming face's state-store payload).  Rows at or below last_seq are
+    ignored — a replayed micro-batch cannot double-apply.
+
+    After each comparison the standard update runs with ratings rounded
+    HALF_UP at 6 dp (expected score E = 1/(1+10^((r_l-r_w)/scale)),
+    winner += k*(1-E), loser -= k*(1-E)) — rounding per step pins the
+    float path to one canonical value sequence on every engine.
+    """
+    st = state if state is not None else {}
+    ratings: dict = st.setdefault("ratings", {})
+    games: dict = st.setdefault("games", {})
+    wins: dict = st.setdefault("wins", {})
+    st.setdefault("last_seq", -1)
+    for seq, w, l in sorted(rows):
+        if seq <= st["last_seq"] or w == l:
+            continue
+        rw = ratings.get(w, base)
+        rl = ratings.get(l, base)
+        e_w = 1.0 / (1.0 + 10.0 ** ((rl - rw) / scale))
+        ratings[w] = _r6(rw + k * (1.0 - e_w))
+        ratings[l] = _r6(rl - k * (1.0 - e_w))
+        games[w] = games.get(w, 0) + 1
+        games[l] = games.get(l, 0) + 1
+        wins[w] = wins.get(w, 0) + 1
+        wins.setdefault(l, 0)
+    if rows:
+        st["last_seq"] = max(st["last_seq"], max(r[0] for r in rows))
+    return st
+
+
+def elo_ratings(
+    comparisons: DataFrame,
+    pool: str = "pool",
+    seq: str = "seq",
+    winner: str = "winner",
+    loser: str = "loser",
+    k: float = ELO_K,
+    scale: float = ELO_SCALE,
+    base: float = ELO_BASE,
+) -> DataFrame:
+    """Per-pool sequential Elo ratings — the ORDER-DEPENDENT counterpart
+    of bradley_terry: each comparison moves two ratings immediately, so
+    early results matter less than late ones (rating drift, momentum) and
+    no closed-form or SQL replay exists (declared rows-only at the
+    driver; pinned by the shared-fold hand cases and the streaming-parity
+    tests instead).
+
+    Pools (leagues / prompt domains / annotator cohorts) are independent
+    rating universes: the fold runs per pool inside one applyInPandas —
+    inherently sequential WITHIN a pool (that is Elo's semantics), scaled
+    ACROSS pools by the grouping.  A pool's comparison history must fit
+    one task by contract (bounded players and games per pool — the same
+    contract the state-store streaming twin carries).
+
+    Returns (pool, player, rating, n_games, wins).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{pool} string, player string, rating double, "
+        "n_games long, wins long"
+    )
+
+    def _per_pool(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = list(
+            zip(
+                pdf[seq].astype("int64"),
+                pdf[winner].astype(str),
+                pdf[loser].astype(str),
+            )
+        )
+        st = elo_fold(rows, k=k, scale=scale, base=base)
+        players = sorted(st["ratings"])
+        return pd.DataFrame(
+            {
+                pool: [pdf[pool].iloc[0]] * len(players),
+                "player": players,
+                "rating": [st["ratings"][p] for p in players],
+                "n_games": [st["games"][p] for p in players],
+                "wins": [st["wins"][p] for p in players],
+            }
+        )
+
+    return (
+        comparisons.select(pool, seq, winner, loser)
+        .groupBy(pool)
+        .applyInPandas(_per_pool, schema=out_schema)
+    )
