@@ -4179,6 +4179,82 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_profile(tr)
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-pair extraction (round 4, operators/sft.sft_pairs):
+    documents mapped into the north-rule transcript shape (the
+    conv_profile projection), then every assistant turn becomes a
+    (prompt, response) row whose prompt is the previous 3 turns rendered
+    'role: text' — the conversation-corpus last mile.  One conv_id
+    shuffle; the context frame is a bounded 3-row window, so prompt size
+    is constant per row, never conversation-length."""
+    from node_feedparser_spark.operators.sft import sft_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.concat(F.lit("doc-"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+    )
+    return sft_pairs(tr, context_turns=3)
+
+
+def q_predicate_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extensional predicate alignment (round 4, operators/rules
+    .predicate_align): the KG projection's in_nation / in_region /
+    placed / supplied_by vocabulary scored against a deliberately
+    different 'foreign' vocabulary — locatedIn (customers with
+    custkey % 3 != 0, all suppliers), partOf (nations), soldBy (same
+    pairs as supplied_by) — by Jaccard of distinct (subj, obj) pair
+    sets.  soldBy must align 1.0 with supplied_by, locatedIn partially
+    with in_nation, partOf partially with in_region (in_region also
+    holds odd customers) — the namespace-table derivation face."""
+    from node_feedparser_spark.operators.rules import predicate_align
+
+    a = _kg_triples(spark, sf_dir).filter(
+        F.col("pred").isin("in_nation", "in_region", "placed", "supplied_by")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    b = (
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+            F.lit("locatedIn").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+        )
+        .unionAll(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey")).alias("subj"),
+                F.lit("locatedIn").alias("pred"),
+                F.concat(F.lit("n"), F.col("s_nationkey")).alias("obj"),
+            )
+        )
+        .unionAll(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("partOf").alias("pred"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("subj"),
+                F.lit("soldBy").alias("pred"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("obj"),
+            )
+        )
+    )
+    return predicate_align(a, b, min_overlap=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver CORRECTNESS window (first 50 entries, rotated per round) ---
@@ -4376,6 +4452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": q_dpo_pairs,
         "bradley_terry": q_bradley_terry,
         "conv_profile": q_conv_profile,
+        "sft_pairs": q_sft_pairs,
+        "predicate_align": q_predicate_align,
     }
 
 
@@ -9000,5 +9078,76 @@ def _extra_oracles() -> dict[str, str]:
                    AS span_seconds
         FROM lagged
         GROUP BY conv_id
+    """
+    d["sft_pairs"] = """
+        WITH tr AS (SELECT 'doc-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                           CAST(doc_id // 50 AS INT) AS turn_idx,
+                           CASE WHEN doc_id % 3 = 0 THEN 'user'
+                                WHEN doc_id % 3 = 1 THEN 'assistant'
+                                ELSE 'tool' END AS role,
+                           text
+                    FROM documents),
+        ctx AS (SELECT conv_id, turn_idx, role, text,
+                       STRING_AGG(role || ': ' || COALESCE(text, ''),
+                                  chr(10)) OVER w AS prompt,
+                       COUNT(*) OVER w AS n_ctx
+                FROM tr
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        SELECT conv_id, turn_idx, prompt, text AS response,
+               CAST(n_ctx AS BIGINT) AS n_context_turns
+        FROM ctx
+        WHERE role = 'assistant'
+          AND LENGTH(COALESCE(text, '')) >= 1
+          AND n_ctx >= 1
+    """
+    d["predicate_align"] = """
+        WITH a AS (SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
+                   'n' || c_nationkey AS obj FROM customer
+            UNION ALL
+            SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey
+            FROM supplier
+            UNION ALL
+            SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 'c' || c_custkey, 'in_region', 'r' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 2 = 1
+            UNION ALL
+            SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey
+            FROM orders
+            UNION ALL
+            SELECT 'p' || l_partkey, 'supplied_by', 's' || l_suppkey
+            FROM lineitem
+        ) ra),
+        b AS (SELECT DISTINCT subj, pred, obj FROM (
+            SELECT 'c' || c_custkey AS subj, 'locatedIn' AS pred,
+                   'n' || c_nationkey AS obj
+            FROM customer WHERE c_custkey % 3 <> 0
+            UNION ALL
+            SELECT 's' || s_suppkey, 'locatedIn', 'n' || s_nationkey
+            FROM supplier
+            UNION ALL
+            SELECT 'n' || n_nationkey, 'partOf', 'r' || n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 'p' || l_partkey, 'soldBy', 's' || l_suppkey
+            FROM lineitem
+        ) rb),
+        na AS (SELECT pred AS pred_a, CAST(COUNT(*) AS BIGINT) AS n_a
+               FROM a GROUP BY 1),
+        nb AS (SELECT pred AS pred_b, CAST(COUNT(*) AS BIGINT) AS n_b
+               FROM b GROUP BY 1),
+        j AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_joint
+              FROM a JOIN b ON a.subj = b.subj AND a.obj = b.obj
+              GROUP BY 1, 2)
+        SELECT pred_a, pred_b, n_joint, n_a, n_b,
+               ROUND(n_joint / CAST(n_a + n_b - n_joint AS DOUBLE), 6)
+                   AS jaccard
+        FROM j JOIN na USING (pred_a) JOIN nb USING (pred_b)
+        WHERE n_joint >= 1
     """
     return d

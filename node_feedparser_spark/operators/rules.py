@@ -330,3 +330,61 @@ def schema_summary(
             F.col("n_triples") / F.sum("n_triples").over(w), 6
         ).alias("share"),
     )
+
+
+def predicate_align(
+    triples_a: DataFrame,
+    triples_b: DataFrame,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Ontology alignment lite (PARIS, Suchanek et al. 2011, reduced to
+    its extensional core): score every (pred_a, pred_b) vocabulary pair by
+    the Jaccard similarity of their distinct (subj, obj) pair sets —
+    the evidence two predicates from different KG slices mean the same
+    relation.  The cross-vocabulary face of the reference's namespace
+    canonicalization (lib/constants.js maps many ns URIs to one prefix by
+    a static table; alignment DERIVES the table from instance overlap).
+
+    Returns (pred_a, pred_b, n_joint, n_a, n_b, jaccard) for pairs with
+    ``n_joint >= min_overlap`` shared distinct pairs; jaccard =
+    n_joint / (n_a + n_b - n_joint) at 6 dp (one float division per
+    bounded output row — no cross-row float sums).
+
+    Scale shape: each side is distinct-ed once, then ONE (subj, obj)
+    equi-join — a pair key appears at most n_predicates times per side
+    after the distinct, so the join fan per key is vocabulary²-bounded,
+    never corpus-shaped.  Per-predicate totals are predicate-count-sized
+    and broadcast onto the joint counts.
+    """
+    a = triples_a.select("subj", "pred", "obj").distinct()
+    b = triples_b.select("subj", "pred", "obj").distinct()
+    n_a = a.groupBy(F.col("pred").alias("pred_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    n_b = b.groupBy(F.col("pred").alias("pred_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    joint = (
+        a.select("subj", "obj", F.col("pred").alias("pred_a"))
+        .join(b.select("subj", "obj", F.col("pred").alias("pred_b")),
+              ["subj", "obj"])
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joint"))
+        .filter(F.col("n_joint") >= int(min_overlap))
+    )
+    return (
+        joint.join(F.broadcast(n_a), "pred_a")
+        .join(F.broadcast(n_b), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_joint",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_joint")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_joint")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
