@@ -4179,6 +4179,24 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_profile(tr)
 
 
+def q_reward_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prompt reward whitening (round 4, operators/preference
+    .reward_whiten): the dpo_pairs candidate shape (orders as prompts,
+    line items as candidates scored in HALF_UP cents) standardized to
+    per-prompt z-scores via the exact-integer (n·x − s1)/sqrt(n·s2 − s1²)
+    form — one sqrt and one division per row, everything else long
+    arithmetic, zero-variance and singleton groups whiten to 0."""
+    from node_feedparser_spark.operators.preference import reward_whiten
+
+    li = _t(spark, sf_dir, "lineitem")
+    cands = li.select(
+        F.col("l_orderkey").alias("prompt_id"),
+        F.col("l_linenumber").alias("cand_id"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("score"),
+    )
+    return reward_whiten(cands)
+
+
 def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT training-pair extraction (round 4, operators/sft.sft_pairs):
     documents mapped into the north-rule transcript shape (the
@@ -4454,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_profile": q_conv_profile,
         "sft_pairs": q_sft_pairs,
         "predicate_align": q_predicate_align,
+        "reward_whiten": q_reward_whiten,
     }
 
 
@@ -9149,5 +9168,24 @@ def _extra_oracles() -> dict[str, str]:
                    AS jaccard
         FROM j JOIN na USING (pred_a) JOIN nb USING (pred_b)
         WHERE n_joint >= 1
+    """
+    d["reward_whiten"] = """
+        WITH c AS (SELECT DISTINCT l_orderkey AS prompt_id,
+                          l_linenumber AS cand_id,
+                          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                              AS score
+                   FROM lineitem),
+        stats AS (SELECT prompt_id,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(score) AS BIGINT) AS s1,
+                         CAST(SUM(score * score) AS BIGINT) AS s2
+                  FROM c GROUP BY 1)
+        SELECT c.prompt_id, c.cand_id, c.score,
+               CASE WHEN n * s2 - s1 * s1 <= 0 THEN 0.0
+                    ELSE ROUND((n * c.score - s1)
+                               / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)
+               END AS z_score,
+               n AS n_cands
+        FROM c JOIN stats USING (prompt_id)
     """
     return d

@@ -386,3 +386,62 @@ def elo_ratings(
         .groupBy(pool)
         .applyInPandas(_per_pool, schema=out_schema)
     )
+
+
+def reward_whiten(
+    cands: DataFrame,
+    prompt: str = "prompt_id",
+    cand: str = "cand_id",
+    score: str = "score",
+) -> DataFrame:
+    """Per-prompt reward standardization (advantage whitening) — the
+    normalization step between reward scoring and policy optimization:
+    each candidate's score becomes its z-score within the prompt group,
+    removing per-prompt difficulty offsets so the optimizer sees
+    comparable advantages across prompts (the standard PPO/GRPO
+    per-group whitening).
+
+    Arithmetic stays EXACT until the last two ops: with integer scores
+    (cents discipline) the group stats are exact long sums (n, s1=Σx,
+    s2=Σx²) and
+
+        z = (n·x − s1) / sqrt(n·s2 − s1²)
+
+    is algebraically (x − μ)/σ_pop with every operand an exact long —
+    one IEEE sqrt and one division per row, then 6 dp rounding, so the
+    DuckDB oracle matches bit-for-bit (sqrt is correctly rounded in both
+    engines).  Zero-variance groups (all candidates scored equal) whiten
+    to 0.0 by convention; singleton prompts too (their z is undefined —
+    emitting 0 keeps them usable as unweighted examples).  The caller
+    keeps n·s2 within long range by contract (cents-scale scores and
+    bounded candidate lists — the dpo_pairs contract).
+
+    Scale shape: one shuffle on the prompt key — a groupBy for the three
+    exact sums, broadcast-sized per-prompt rows joined back on the same
+    partitioning.  Returns (prompt, cand, score, z_score, n_cands).
+    """
+    c = cands.select(
+        F.col(prompt).alias("prompt_id"),
+        F.col(cand).alias("cand_id"),
+        F.col(score).cast("long").alias("score"),
+    ).distinct()
+    stats = c.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score").cast("long").alias("s1"),
+        F.sum(F.col("score") * F.col("score")).cast("long").alias("s2"),
+    )
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.when(var_n2 <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("n") * F.col("score") - F.col("s1"))
+            / F.sqrt(var_n2.cast("double")),
+            6,
+        )
+    )
+    return c.join(stats, "prompt_id").select(
+        F.col("prompt_id").alias(prompt),
+        F.col("cand_id").alias(cand),
+        "score",
+        z.alias("z_score"),
+        F.col("n").alias("n_cands"),
+    )

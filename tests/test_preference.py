@@ -191,3 +191,53 @@ def test_bt_abilities_sum_to_one(spark):
     comps = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
     out = bradley_terry(_comps(spark, comps)).collect()
     assert sum(r["ability"] for r in out) == pytest.approx(1.0, abs=5e-6)
+
+
+# ---------------------------------------------------------------------------
+# reward_whiten
+# ---------------------------------------------------------------------------
+
+
+def _whiten(spark, rows):
+    from node_feedparser_spark.operators.preference import reward_whiten
+
+    df = spark.createDataFrame(rows, "prompt_id long, cand_id int, score long")
+    return {
+        (r["prompt_id"], r["cand_id"]): (r["z_score"], r["n_cands"])
+        for r in reward_whiten(df).collect()
+    }
+
+
+def test_whiten_hand_computed_symmetric_pair(spark):
+    got = _whiten(spark, [(1, 1, 100), (1, 2, 300)])
+    # mean 200, pop std 100: z = ±1 exactly
+    assert got[(1, 1)] == (-1.0, 2)
+    assert got[(1, 2)] == (1.0, 2)
+
+
+def test_whiten_matches_population_formula(spark):
+    import math
+
+    rows = [(1, i, s) for i, s in enumerate([120, 450, 450, 900])]
+    got = _whiten(spark, rows)
+    xs = [120, 450, 450, 900]
+    mu = sum(xs) / 4
+    sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / 4)
+    for i, x in enumerate(xs):
+        assert got[(1, i)][0] == pytest.approx((x - mu) / sd, abs=1e-6)
+
+
+def test_whiten_zero_variance_and_singleton_are_zero(spark):
+    got = _whiten(spark, [(1, 1, 500), (1, 2, 500), (2, 1, 777)])
+    assert got[(1, 1)] == (0.0, 2)
+    assert got[(1, 2)] == (0.0, 2)
+    assert got[(2, 1)] == (0.0, 1)
+
+
+def test_whiten_groups_are_independent(spark):
+    got = _whiten(
+        spark, [(1, 1, 0), (1, 2, 200), (2, 1, 1000), (2, 2, 3000)]
+    )
+    # both groups are symmetric pairs: z = ±1 regardless of scale/offset
+    assert got[(1, 1)][0] == got[(2, 1)][0] == -1.0
+    assert got[(1, 2)][0] == got[(2, 2)][0] == 1.0
