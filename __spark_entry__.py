@@ -4179,6 +4179,54 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_profile(tr)
 
 
+def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity near-dup detection (round 4): documents
+    fold into 4-turn conversations (ordered concat by turn_idx), every
+    10th conversation gets a deterministic mirrored twin (the
+    cross-posted-thread shape), and the existing MinHash-LSH + exact
+    verify join (operators/dedupe.lsh_near_dup_pairs) runs at CONV
+    granularity — LLM pipelines dedupe whole threads, not just turns;
+    the twins must surface at jaccard 1.0 plus whatever natural near-dup
+    blocks align.  Scale shape: one groupBy fold, then the banded LSH
+    join — candidate volume stays ~linear, nothing all-pairs."""
+    from node_feedparser_spark.operators.dedupe import lsh_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ordered = (
+        docs.select(
+            F.floor(F.col("doc_id") / 4).alias("conv_key"),
+            (F.col("doc_id") % 4).alias("turn_idx"),
+            "text",
+        )
+        .groupBy("conv_key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    convs = ordered.select(
+        F.concat(F.lit("cv-"), F.col("conv_key").cast("string")).alias("conv"),
+        "text",
+    )
+    twins = ordered.filter(F.col("conv_key") % 10 == 0).select(
+        F.concat(F.lit("dup-"), F.col("conv_key").cast("string")).alias("conv"),
+        "text",
+    )
+    pairs = lsh_near_dup_pairs(
+        convs.unionByName(twins), id_col="conv", text_col="text", threshold=0.8
+    )
+    return pairs.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
 def q_reward_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-prompt reward whitening (round 4, operators/preference
     .reward_whiten): the dpo_pairs candidate shape (orders as prompts,
@@ -4473,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         "predicate_align": q_predicate_align,
         "reward_whiten": q_reward_whiten,
+        "conv_near_dup": q_conv_near_dup,
     }
 
 
@@ -9188,4 +9237,23 @@ def _extra_oracles() -> dict[str, str]:
                n AS n_cands
         FROM c JOIN stats USING (prompt_id)
     """
+    d["conv_near_dup"] = f"""
+        WITH folded AS (SELECT doc_id // 4 AS conv_key,
+                               STRING_AGG(text, ' ' ORDER BY doc_id % 4)
+                                   AS text
+                        FROM documents GROUP BY 1),
+        convs AS (SELECT 'cv-' || CAST(conv_key AS VARCHAR) AS conv, text
+                  FROM folded
+                  UNION ALL
+                  SELECT 'dup-' || CAST(conv_key AS VARCHAR), text
+                  FROM folded WHERE conv_key % 10 = 0),
+        sh AS (SELECT conv, {{shingles}} AS shingles FROM convs),
+        j AS (SELECT a.conv AS conv_a, b.conv AS conv_b,
+                     ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                           / len(list_distinct(
+                                 list_concat(a.shingles, b.shingles))),
+                           6) AS jaccard
+              FROM sh a JOIN sh b ON a.conv < b.conv)
+        SELECT conv_a, conv_b, jaccard FROM j WHERE jaccard >= 0.8
+    """.format(shingles=shingles_sql("text", 3))
     return d
