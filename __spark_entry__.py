@@ -4179,6 +4179,25 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_profile(tr)
 
 
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@2 per prompt (round 4, operators/preference
+    .pass_at_k; Chen et al. 2021 eq. 1): orders are prompts, line items
+    are sampled candidates, 'passing' = returnflag N — the coverage
+    estimator every eval harness reports, as one map-side-combinable
+    count agg plus a row-local exact-integer product (no binomials
+    materialized, single-candidate prompts honestly NULL)."""
+    from node_feedparser_spark.operators.preference import pass_at_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pass_at_k(
+        li.select(
+            F.col("l_orderkey").alias("prompt_id"),
+            (F.col("l_returnflag") == "N").alias("passed"),
+        ),
+        k=2,
+    )
+
+
 def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-granularity near-dup detection (round 4): documents
     fold into 4-turn conversations (ordered concat by turn_idx), every
@@ -4522,6 +4541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_align": q_predicate_align,
         "reward_whiten": q_reward_whiten,
         "conv_near_dup": q_conv_near_dup,
+        "pass_at_k": q_pass_at_k,
     }
 
 
@@ -9256,4 +9276,22 @@ def _extra_oracles() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.conv < b.conv)
         SELECT conv_a, conv_b, jaccard FROM j WHERE jaccard >= 0.8
     """.format(shingles=shingles_sql("text", 3))
+    # pass@2: the same per-factor 9 dp rounding chain as the operator
+    pak_prod = "1.0"
+    for _i in range(2):
+        pak_prod = (
+            f"ROUND({pak_prod} * GREATEST(n - c - {_i}, 0) / (n - {_i}), 9)"
+        )
+    d["pass_at_k"] = f"""
+        WITH counts AS (SELECT l_orderkey AS prompt_id,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                                             THEN 1 ELSE 0 END) AS BIGINT)
+                                   AS c
+                        FROM lineitem GROUP BY 1)
+        SELECT prompt_id, n AS n_candidates, c AS n_passed,
+               CASE WHEN n >= 2 THEN ROUND(1.0 - {pak_prod}, 6) END
+                   AS pass_at_k
+        FROM counts
+    """
     return d

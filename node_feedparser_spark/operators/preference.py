@@ -445,3 +445,62 @@ def reward_whiten(
         z.alias("z_score"),
         F.col("n").alias("n_cands"),
     )
+
+
+def pass_at_k(
+    outcomes: DataFrame,
+    k: int,
+    prompt: str = "prompt_id",
+    passed: str = "passed",
+) -> DataFrame:
+    """Unbiased pass@k per prompt (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code", eq. 1): given n sampled candidates
+    of which c passed,
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+               = 1 − Π_{i=0..k−1} (n−c−i) / (n−i)
+
+    — the probability that at least one of k drawn candidates passes.
+    The product form never materializes a binomial (no overflow at any
+    n) and each factor is one exact-integer ratio; the running product
+    is rounded to 9 dp per factor so the DuckDB oracle — which unrolls
+    the same k factors — matches bit-for-bit after the final 6 dp.
+    Prompts with n < k get NULL (the estimator is undefined; emitting a
+    number would silently overstate coverage).
+
+    ``passed`` is any column whose truthiness marks a passing candidate
+    (cast to boolean).  Scale shape: ONE map-side-combinable count
+    aggregation on the prompt key; the k-factor product is a row-local
+    expression over (n, c) — no joins, no windows, no iteration.
+
+    Returns (prompt, n_candidates, n_passed, pass_at_k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        outcomes.select(
+            F.col(prompt).alias("prompt_id"),
+            F.col(passed).cast("boolean").alias("ok"),
+        )
+        .groupBy("prompt_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("c"),
+        )
+    )
+    prod = F.lit(1.0)
+    for i in range(int(k)):
+        prod = F.round(
+            prod
+            * F.greatest(F.col("n") - F.col("c") - i, F.lit(0))
+            / (F.col("n") - i),
+            _ROUND,
+        )
+    return counts.select(
+        F.col("prompt_id").alias(prompt),
+        F.col("n").alias("n_candidates"),
+        F.col("c").alias("n_passed"),
+        F.when(F.col("n") >= int(k), F.round(1.0 - prod, 6)).alias(
+            "pass_at_k"
+        ),
+    )

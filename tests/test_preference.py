@@ -241,3 +241,62 @@ def test_whiten_groups_are_independent(spark):
     # both groups are symmetric pairs: z = ±1 regardless of scale/offset
     assert got[(1, 1)][0] == got[(2, 1)][0] == -1.0
     assert got[(1, 2)][0] == got[(2, 2)][0] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# pass_at_k
+# ---------------------------------------------------------------------------
+
+
+def _pak(spark, rows, k):
+    from node_feedparser_spark.operators.preference import pass_at_k
+
+    df = spark.createDataFrame(rows, "prompt_id long, passed boolean")
+    return {
+        r["prompt_id"]: (r["n_candidates"], r["n_passed"], r["pass_at_k"])
+        for r in pass_at_k(df, k=k).collect()
+    }
+
+
+def test_pak_hand_computed(spark):
+    # n=4, c=1, k=2: 1 - C(3,2)/C(4,2) = 1 - 3/6 = 0.5
+    rows = [(1, True), (1, False), (1, False), (1, False)]
+    assert _pak(spark, rows, 2)[1] == (4, 1, 0.5)
+
+
+def test_pak_all_pass_and_none_pass(spark):
+    rows = [(1, True), (1, True), (2, False), (2, False)]
+    got = _pak(spark, rows, 2)
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+
+
+def test_pak_k1_is_pass_rate(spark):
+    rows = [(1, True), (1, False), (1, False), (1, False)]
+    assert _pak(spark, rows, 1)[1][2] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_pak_undefined_below_k_candidates(spark):
+    got = _pak(spark, [(1, True), (2, True), (2, False)], 2)
+    assert got[1] == (1, 1, None)
+    assert got[2][2] == 1.0
+
+
+def test_pak_matches_closed_form(spark):
+    from math import comb
+
+    rows = []
+    for p, (n, c) in enumerate([(7, 3), (5, 5), (6, 0), (4, 2)]):
+        rows += [(p, i < c) for i in range(n)]
+    got = _pak(spark, rows, 3)
+    for p, (n, c) in enumerate([(7, 3), (5, 5), (6, 0), (4, 2)]):
+        want = 1.0 - comb(n - c, 3) / comb(n, 3)
+        assert got[p][2] == pytest.approx(want, abs=1e-6)
+
+
+def test_pak_validates_k(spark):
+    from node_feedparser_spark.operators.preference import pass_at_k
+
+    df = spark.createDataFrame([(1, True)], "prompt_id long, passed boolean")
+    with pytest.raises(ValueError):
+        pass_at_k(df, k=0)
