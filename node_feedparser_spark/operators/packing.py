@@ -79,6 +79,15 @@ def sequence_pack(
             F.lit(None).cast("long").alias("n_seqs_spanned"),
         )
     span = int(hi) - int(lo) + 1
+    if span > (1 << 63) - 1:
+        # (id - lo) must fit a long; ids spanning the full signed 64-bit
+        # space (e.g. raw xxhash64) would overflow under ANSI — fold such
+        # ids into [0, 2^63) first (shiftrightunsigned(h, 1), see
+        # plans/sft_export.py).
+        raise ValueError(
+            f"id range {lo}..{hi} spans {span} > 2^63-1; fold ids into "
+            "[0, 2^63) before packing"
+        )
     width = max(-(-span // n_buckets), 1)  # ceil
     bucketed = toks.withColumn(
         "_pk_bucket", ((F.col(id_col) - F.lit(int(lo))) / width).cast("long")
