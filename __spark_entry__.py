@@ -4179,6 +4179,22 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_profile(tr)
 
 
+def q_judge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LLM-judge scoring plumbing (round 4, operators/judge
+    .judge_scores): documents scored on two criteria through the Arrow
+    mapInPandas path with the deterministic offline fake (portable
+    60-bit md5 -> [0,1) at 6 dp) — the model-based-filtering stage with
+    the client stubbed, the multimodal-decode discipline; the oracle
+    replays the hash arithmetic, pinning batching/schema/rounding
+    end-to-end.  Embarrassingly parallel: zero shuffles."""
+    from node_feedparser_spark.operators.judge import judge_scores
+
+    return judge_scores(
+        _t(spark, sf_dir, "documents"),
+        criteria=("helpfulness", "factuality"),
+    )
+
+
 def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbiased pass@2 per prompt (round 4, operators/preference
     .pass_at_k; Chen et al. 2021 eq. 1): orders are prompts, line items
@@ -4542,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reward_whiten": q_reward_whiten,
         "conv_near_dup": q_conv_near_dup,
         "pass_at_k": q_pass_at_k,
+        "judge_scores": q_judge_scores,
     }
 
 
@@ -9293,5 +9310,17 @@ def _extra_oracles() -> dict[str, str]:
                CASE WHEN n >= 2 THEN ROUND(1.0 - {pak_prod}, 6) END
                    AS pass_at_k
         FROM counts
+    """
+    # judge fake: portable 60-bit md5 -> [0,1), the hashing.py discipline
+    d["judge_scores"] = """
+        SELECT doc_id, c.criterion,
+               ROUND(CAST(('0x' || substr(md5(c.criterion || ':' || text),
+                                          1, 15)) AS BIGINT)
+                     / 1152921504606846976.0, 6) AS score,
+               CAST(NULL AS VARCHAR) AS error
+        FROM documents
+        CROSS JOIN (SELECT 'helpfulness' AS criterion
+                    UNION ALL SELECT 'factuality') c
+        WHERE text IS NOT NULL
     """
     return d

@@ -63,6 +63,7 @@ PYTHON_ALLOWED = {
     "embedded_html_dispatch",  # F10 dispatch gating the F9 Arrow resolver
     "author_parse",
     "rrf_fusion",           # fuses embedding_topk + bm25 lanes
+    "judge_scores",         # batched LLM-judge client plumbing (offline fake)
 }
 
 PY_NODES = re.compile(
