@@ -4360,11 +4360,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver CORRECTNESS window (first 50 entries, rotated per round) ---
         # The external driver oracle-checks exactly the first 50 dict entries.
-        # Rounds 1-3 attested 62 distinct queries; this round the window holds
-        # 50 never-driver-checked, oracle-backed queries (SURVEY closers, KG
-        # core, sketches, graph/temporal analytics). Rotate again next round
-        # until the union covers all entries. Local replica
-        # (tests/test_queries_oracle.py) checks all entries every session.
+        # Rounds 1-4 attested 112 distinct queries; round 5 rotates in 50
+        # never-driver-checked entries: the full late-r4 preference/SFT/judge
+        # tail (9) plus 41 late-r3 additions.  mst/mis/coloring have no SQL
+        # oracle (iterative fixpoints) and get the driver's rows-only check.
+        # Local replica (tests/test_queries_oracle.py) checks ALL entries.
+        "dpo_pairs": q_dpo_pairs,
+        "bradley_terry": q_bradley_terry,
+        "conv_profile": q_conv_profile,
+        "sft_pairs": q_sft_pairs,
+        "predicate_align": q_predicate_align,
+        "reward_whiten": q_reward_whiten,
+        "conv_near_dup": q_conv_near_dup,
+        "pass_at_k": q_pass_at_k,
+        "judge_scores": q_judge_scores,
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
+        "snm_near_dup": q_snm_near_dup,
+        "mst": q_mst,
+        "mis": q_mis,
+        "coloring": q_coloring,
+        "unigram_lm": q_unigram_lm,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "mad_outliers": q_mad_outliers,
+        "psi_drift": q_psi_drift,
+        "kcore": q_kcore,
+        "rule_mining": q_rule_mining,
+        "hits": q_hits,
+        "modularity": q_modularity,
+        "incremental_cc": q_incremental_cc,
+        "topo_layers": q_topo_layers,
+        "allen_relations": q_allen_relations,
+        "burst_detect": q_burst_detect,
+        "fk_profile": q_fk_profile,
+        "column_profile": q_column_profile,
+        "pmi_pairs": q_pmi_pairs,
+        "fs_linkage": q_fs_linkage,
+        "sequence_pack": q_sequence_pack,
+        "chunk_documents": q_chunk_documents,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "als_factorize": q_als_factorize,
+        "naive_bayes_lang": q_naive_bayes_lang,
+        "markov_chain": q_markov_chain,
+        "k_anonymity": q_k_anonymity,
+        "freq_itemsets": q_freq_itemsets,
+        "assoc_rules": q_assoc_rules,
+        "interval_coverage": q_interval_coverage,
+        "exact_percentiles": q_exact_percentiles,
+        "sliding_counts": q_sliding_counts,
+        "annotator_kappa": q_annotator_kappa,
+        "rank_analytics": q_rank_analytics,
+        "ntriples_export": q_ntriples_export,
+        "ann_recall_eval": q_ann_recall_eval,
+        "edit_distance_join": q_edit_distance_join,
+        "interval_join": q_interval_join,
+        "linear_attribution": q_linear_attribution,
+        # --- never driver-checked: remaining rotation candidates (29) ---
+        "benford": q_benford,
+        "time_decay": q_time_decay,
+        "comention": q_comention,
+        "rule_apply": q_rule_apply,
+        "gini": q_gini,
+        "roc_auc": q_roc_auc,
+        "negative_sampling": q_negative_sampling,
+        "pred_stats": q_pred_stats,
+        "schema_graph": q_schema_graph,
+        "g2_colloc": q_g2_colloc,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "neighbor_agg": q_neighbor_agg,
+        "bloom_semi_join": q_bloom_semi_join,
+        "blocking_quality": q_blocking_quality,
+        "cluster_quality": q_cluster_quality,
+        "weighted_sample": q_weighted_sample,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "zorder_layout": q_zorder_layout,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "skew_profile": q_skew_profile,
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
+        "butterflies": q_butterflies,
+        "cube_pricing": q_cube_pricing,
+        "pivot_counts": q_pivot_counts,
+        "unpivot_measures": q_unpivot_measures,
+        # --- driver-attested rounds 1-4 (112 distinct, all green) ---
         "embedded_html_dispatch": q_embedded_html_dispatch,
         "xhtml_reserialize": q_xhtml_reserialize,
         "salted_group_stats": q_salted_group_stats,
@@ -4415,78 +4496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "entity_timelines": q_entity_timelines,
         "temporal_conflicts": q_temporal_conflicts,
-        # --- not yet driver-checked: next rotation candidates ---
-        "mst": q_mst,
-        "mis": q_mis,
-        "coloring": q_coloring,
-        "allen_relations": q_allen_relations,
-        "burst_detect": q_burst_detect,
-        "time_decay": q_time_decay,
-        "comention": q_comention,
-        "fk_profile": q_fk_profile,
-        "column_profile": q_column_profile,
-        "benford": q_benford,
-        "rule_apply": q_rule_apply,
-        "gini": q_gini,
-        "roc_auc": q_roc_auc,
-        "negative_sampling": q_negative_sampling,
-        "kcore": q_kcore,
-        "rule_mining": q_rule_mining,
-        "pred_stats": q_pred_stats,
-        "schema_graph": q_schema_graph,
-        "pmi_pairs": q_pmi_pairs,
-        "g2_colloc": q_g2_colloc,
-        "hits": q_hits,
-        "modularity": q_modularity,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "unigram_lm": q_unigram_lm,
-        "dsir_weights": q_dsir_weights,
-        "neighbor_agg": q_neighbor_agg,
-        "bloom_semi_join": q_bloom_semi_join,
-        "fs_linkage": q_fs_linkage,
-        "snm_near_dup": q_snm_near_dup,
-        "blocking_quality": q_blocking_quality,
-        "cluster_quality": q_cluster_quality,
-        "weighted_sample": q_weighted_sample,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "incremental_cc": q_incremental_cc,
-        "bm25_topk": q_bm25_topk,
-        "zorder_layout": q_zorder_layout,
-        "sequence_pack": q_sequence_pack,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "chunk_documents": q_chunk_documents,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "als_factorize": q_als_factorize,
-        "naive_bayes_lang": q_naive_bayes_lang,
-        "markov_chain": q_markov_chain,
-        "mad_outliers": q_mad_outliers,
-        "psi_drift": q_psi_drift,
-        "skew_profile": q_skew_profile,
-        "poisson_bootstrap": q_poisson_bootstrap,
-        "k_anonymity": q_k_anonymity,
-        "l_diversity": q_l_diversity,
-        "t_closeness": q_t_closeness,
-        "topo_layers": q_topo_layers,
-        "freq_itemsets": q_freq_itemsets,
-        "assoc_rules": q_assoc_rules,
-        "butterflies": q_butterflies,
-        "interval_coverage": q_interval_coverage,
-        "cube_pricing": q_cube_pricing,
-        "exact_percentiles": q_exact_percentiles,
-        "sliding_counts": q_sliding_counts,
-        "annotator_kappa": q_annotator_kappa,
-        "pivot_counts": q_pivot_counts,
-        "unpivot_measures": q_unpivot_measures,
-        "rank_analytics": q_rank_analytics,
-        "ntriples_export": q_ntriples_export,
-        "ann_recall_eval": q_ann_recall_eval,
-        "interval_join": q_interval_join,
-        "linear_attribution": q_linear_attribution,
-        "edit_distance_join": q_edit_distance_join,
-        # --- driver-attested in rounds 1-3 (CORRECTNESS_r01-r03 green) ---
         "agg_pricing_summary": q_agg_pricing_summary,
         "case_dispatch": q_case_dispatch,
         "broadcast_dim_join": q_broadcast_dim_join,
@@ -4549,16 +4558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "retro_resolve": q_retro_resolve,
         "html_uri_resolve": q_html_uri_resolve,
-        # --- round 4 additions (behind the window; local replica checks) ---
-        "dpo_pairs": q_dpo_pairs,
-        "bradley_terry": q_bradley_terry,
-        "conv_profile": q_conv_profile,
-        "sft_pairs": q_sft_pairs,
-        "predicate_align": q_predicate_align,
-        "reward_whiten": q_reward_whiten,
-        "conv_near_dup": q_conv_near_dup,
-        "pass_at_k": q_pass_at_k,
-        "judge_scores": q_judge_scores,
     }
 
 
@@ -9314,13 +9313,15 @@ def _extra_oracles() -> dict[str, str]:
     # judge fake: portable 60-bit md5 -> [0,1), the hashing.py discipline
     d["judge_scores"] = """
         SELECT doc_id, c.criterion,
-               ROUND(CAST(('0x' || substr(md5(c.criterion || ':' || text),
-                                          1, 15)) AS BIGINT)
-                     / 1152921504606846976.0, 6) AS score,
-               CAST(NULL AS VARCHAR) AS error
+               CASE WHEN text IS NOT NULL THEN
+                    ROUND(CAST(('0x' || substr(md5(c.criterion || ':' || text),
+                                               1, 15)) AS BIGINT)
+                          / 1152921504606846976.0, 6)
+               END AS score,
+               CASE WHEN text IS NULL THEN 'null text'
+                    ELSE CAST(NULL AS VARCHAR) END AS error
         FROM documents
         CROSS JOIN (SELECT 'helpfulness' AS criterion
                     UNION ALL SELECT 'factuality') c
-        WHERE text IS NOT NULL
     """
     return d

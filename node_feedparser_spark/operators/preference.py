@@ -74,9 +74,15 @@ def dpo_pairs(
     nothing and margin thresholds are the standard noise screen.
 
     ``score`` must be integer-valued (cents discipline) so margins and
-    tie decisions are exact in every engine.  Input rows are deduplicated
-    to distinct (prompt, cand, score); a candidate appearing twice is one
-    candidate.
+    tie decisions are exact in every engine, and must be FUNCTIONAL on
+    (prompt, cand): input rows are deduplicated to distinct
+    (prompt, cand, score), so an exact duplicate row is one candidate,
+    but the same candidate carrying two DIFFERENT scores survives as two
+    ranked rows — it can then rank as both chosen and rejected and the
+    ``chosen != rejected`` filter drops the whole prompt even when other
+    distinct candidates exist.  Callers with conflicting re-scores must
+    resolve them first (e.g. ``groupBy(prompt, cand).agg(max(score))``);
+    this operator does not pick a winner silently.
 
     Returns (prompt, chosen, rejected, chosen_score, rejected_score,
     margin, n_cands) with the caller's column names for prompt.
@@ -295,7 +301,15 @@ def elo_fold(
     semantics, so stream==batch parity is structural, not coincidental.
 
     ``rows``: (seq, winner, loser) tuples; processed in ascending seq with
-    (winner, loser) as the tie-break so duplicate seqs stay deterministic.
+    (winner, loser) as the tie-break so duplicate seqs inside ONE call stay
+    deterministic.  ``seq`` MUST be globally unique per pool — a strict
+    event id, not merely a tie-broken ordering key.  ``last_seq`` advances
+    to max(seq) over ALL rows seen (including skipped self-comparisons and
+    replays), and the replay guard drops anything at or below it; two rows
+    sharing a seq are therefore both applied when they arrive in the same
+    call but the second is silently dropped when a micro-batch boundary
+    splits them.  With unique seqs the fold is batch-split-invariant
+    (pinned by the streaming-parity tests); with duplicate seqs it is not.
     ``state``: optional {"ratings": {player: rating}, "games": {player: n},
     "wins": {player: n}, "last_seq": int} carried across calls (the
     streaming face's state-store payload).  Rows at or below last_seq are
