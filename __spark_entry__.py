@@ -900,6 +900,51 @@ def q_link_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reassemble_links(links)
 
 
+def q_meta_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 meta side — feed-level link dispatch + PubSubHubbub hub /
+    rssCloud `<cloud>` merge (ref lib/feedparser.js:498,550-552,584-586,
+    621-626; the intertwingly.atom fixture's `<link rel="hub">`): events
+    become feed-level elements (error rows are `<cloud>` elements with
+    rssCloud attributes — domain present on only every third so both
+    guard arms are live; purchase rows are hub links, click/view are
+    alternate/self, signup is an inert rel-less link), feeds get ~3
+    elements each.  First-alternate link, last-self xmlurl, first-hub
+    cloud blocked by a cloud element's href/domain, element replaces —
+    one hash agg, no windows; see operators/links.reassemble_meta_links."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    eid = F.col("event_id")
+    els = ev.select(
+        (F.col("user_id") * 20 + eid % 20).alias("meta_id"),
+        eid.alias("ord"),
+        F.when(et == "error", "cloud").otherwise("link").alias("kind"),
+        F.when(et == "click", "alternate")
+        .when(et == "view", "self")
+        .when(et == "purchase", "hub")
+        .alias("rel"),
+        F.when(
+            et != "error",
+            F.concat(
+                F.lit("https://example.com/"), et, F.lit("/"), eid.cast("string")
+            ),
+        ).alias("href"),
+        F.when(
+            (et == "error") & (eid % 3 == 0),
+            F.concat(F.lit("rpc"), (eid % 7).cast("string"), F.lit(".example.com")),
+        ).alias("domain"),
+        F.when(et == "error", (F.lit(80) + eid % 2).cast("string")).alias("port"),
+        F.when(et == "error", F.lit("/rpc")).alias("path"),
+        F.when(et == "error", F.lit("cloud.notify")).alias("register_procedure"),
+        F.when(
+            et == "error",
+            F.when(eid % 2 == 0, "xml-rpc").otherwise("http-post"),
+        ).alias("protocol"),
+    )
+    return reassemble_meta_links(els, order_cols=("ord",))
+
+
 def q_author_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 author address parse, full addressparser long tail (reference
     lib/feedparser.js:606-619): 6-way shape dispatch per customer — plain
@@ -4414,8 +4459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": q_ann_recall_eval,
         "edit_distance_join": q_edit_distance_join,
         "interval_join": q_interval_join,
+        "meta_cloud": q_meta_cloud,  # new this round (F17 meta side)
+        # --- never driver-checked: remaining rotation candidates (30) ---
         "linear_attribution": q_linear_attribution,
-        # --- never driver-checked: remaining rotation candidates (29) ---
         "benford": q_benford,
         "time_decay": q_time_decay,
         "comention": q_comention,
@@ -9309,6 +9355,75 @@ def _extra_oracles() -> dict[str, str]:
                CASE WHEN n >= 2 THEN ROUND(1.0 - {pak_prod}, 6) END
                    AS pass_at_k
         FROM counts
+    """
+    # F17 meta side: feed-level link dispatch + hub/<cloud> merge.  The
+    # first-cloud attributes are fetched by joining back on the min ord
+    # (NOT arg_min per attribute: arg_min skips NULL values, and the first
+    # cloud element's NULL domain must win over a later element's non-NULL
+    # one).  hub-after-cloud needs the cloud position -> second pass.
+    d["meta_cloud"] = """
+        WITH els AS (
+          SELECT user_id * 20 + event_id % 20 AS meta_id,
+                 event_id AS ord,
+                 CASE WHEN event_type = 'error' THEN 'cloud' ELSE 'link' END
+                     AS kind,
+                 CASE event_type WHEN 'click' THEN 'alternate'
+                      WHEN 'view' THEN 'self'
+                      WHEN 'purchase' THEN 'hub' END AS rel,
+                 CASE WHEN event_type <> 'error'
+                      THEN 'https://example.com/' || event_type || '/' ||
+                           CAST(event_id AS VARCHAR) END AS href,
+                 CASE WHEN event_type = 'error' AND event_id % 3 = 0
+                      THEN 'rpc' || CAST(event_id % 7 AS VARCHAR) ||
+                           '.example.com' END AS domain,
+                 CASE WHEN event_type = 'error'
+                      THEN CAST(80 + event_id % 2 AS VARCHAR) END AS port,
+                 CASE WHEN event_type = 'error' THEN '/rpc' END AS path,
+                 CASE WHEN event_type = 'error' THEN 'cloud.notify' END
+                     AS register_procedure,
+                 CASE WHEN event_type = 'error' THEN
+                      CASE WHEN event_id % 2 = 0 THEN 'xml-rpc'
+                           ELSE 'http-post' END END AS protocol
+          FROM events),
+        f AS (
+          SELECT meta_id,
+                 arg_min(href, ord)
+                     FILTER (WHERE kind = 'link' AND rel = 'alternate')
+                     AS link,
+                 arg_max(href, ord)
+                     FILTER (WHERE kind = 'link' AND rel = 'self') AS xmlurl,
+                 min(ord) FILTER (WHERE kind = 'cloud') AS cloud_ord,
+                 arg_min(href, ord)
+                     FILTER (WHERE kind = 'link' AND rel = 'hub') AS hub_first
+          FROM els GROUP BY 1),
+        c AS (
+          SELECT f.meta_id, e.href AS c_href, e.domain AS c_domain,
+                 e.port AS c_port, e.path AS c_path,
+                 e.register_procedure AS c_reg, e.protocol AS c_proto
+          FROM f JOIN els e
+            ON e.meta_id = f.meta_id AND e.ord = f.cloud_ord),
+        ha AS (
+          SELECT e.meta_id, arg_min(e.href, e.ord) AS hub_after
+          FROM els e JOIN f ON e.meta_id = f.meta_id
+          WHERE e.kind = 'link' AND e.rel = 'hub' AND e.ord > f.cloud_ord
+          GROUP BY 1),
+        sel AS (
+          SELECT f.meta_id, f.link, f.xmlurl,
+                 CASE WHEN f.cloud_ord IS NULL THEN f.hub_first
+                      WHEN c.c_href IS NULL AND c.c_domain IS NULL
+                      THEN ha.hub_after END AS hub_href,
+                 c.c_href, c.c_domain, c.c_port, c.c_path, c.c_reg, c.c_proto
+          FROM f
+          LEFT JOIN c ON c.meta_id = f.meta_id
+          LEFT JOIN ha ON ha.meta_id = f.meta_id)
+        SELECT meta_id, link, xmlurl,
+               CASE WHEN hub_href IS NOT NULL THEN 'hub' END AS cloud_type,
+               COALESCE(c_href, hub_href) AS cloud_href,
+               c_domain AS cloud_domain, c_port AS cloud_port,
+               c_path AS cloud_path,
+               c_reg AS cloud_register_procedure,
+               c_proto AS cloud_protocol
+        FROM sel
     """
     # judge fake: portable 60-bit md5 -> [0,1), the hashing.py discipline
     d["judge_scores"] = """

@@ -103,6 +103,117 @@ def reassemble_links(
     )
 
 
+def reassemble_meta_links(
+    elements: DataFrame,
+    meta_col: str = "meta_id",
+    kind_col: str = "kind",
+    rel_col: str = "rel",
+    href_col: str = "href",
+    attr_cols: Sequence[str] = (
+        "domain",
+        "port",
+        "path",
+        "register_procedure",
+        "protocol",
+    ),
+    order_cols: Sequence[str] = ("ts", "el_id"),
+) -> DataFrame:
+    """F17 meta side — feed-level link `rel` dispatch plus the
+    PubSubHubbub hub-link / rssCloud `<cloud>` element merge the item-side
+    ``reassemble_links`` doesn't cover (/root/reference/lib/feedparser.js
+    :498 ``meta.cloud = {}``, :550-552 & :584-586 ``rel=hub`` guarded by
+    ``!(meta.cloud.href || meta.cloud.domain)``, :621-626 the `<cloud>`
+    element resets ``meta.cloud`` and copies the FIRST element's
+    attributes — "rssCloud wins"; exercised by the reference's
+    intertwingly.atom fixture carrying ``<link rel="hub">``).
+
+    Input: one row per feed-level element, ``kind_col`` in
+    {'link', 'cloud'}; link rows carry ``rel``/``href``, cloud rows carry
+    the rssCloud attributes (``attr_cols``; ``href_col`` doubles as the
+    cloud element's own href attribute when present).  ``attr_cols`` must
+    include ``domain`` — it is half of the reference's hub guard.
+    ``order_cols`` define document order and must end in a unique column.
+
+    Document-order fold semantics (the reference's state machine):
+
+    - ``rel=alternate`` -> ``link``, FIRST wins (``if (!meta.link)`` —
+      the meta side is first-wins where the item side is last-wins);
+    - ``rel=self`` -> ``xmlurl``, LAST wins (unconditional assignment);
+    - ``rel=hub`` -> cloud {type: 'hub', href}, first hub wins, BLOCKED
+      once the cloud state carries an href or domain;
+    - the first `<cloud>` element REPLACES the cloud state with its
+      attributes at its document position (later cloud elements are
+      ignored — "there can be only one"); a hub link AFTER it merges
+      type/href on top only if the element carried neither href nor
+      domain.  A feed with neither hubs nor cloud elements gets an
+      all-null cloud (the reference's ``{}``).
+
+    Spark-first plan: ONE hash aggregation on the feed key (partial/final,
+    map-side combined) — first/last-wins scalars as conditional min/max
+    over ``struct(order..., href)``, the first cloud element as a
+    conditional min over ``struct(order..., attrs)``, and the hub
+    candidates as a sorted ``collect_list`` (bounded: hubs per feed)
+    resolved against the cloud position with JVM array ops in the
+    post-aggregation projection.  No windows, no second shuffle; at scale
+    the shuffle carries one partially-aggregated row per feed.
+    """
+    if "domain" not in attr_cols:
+        raise ValueError("attr_cols must include 'domain' (the hub guard)")
+    kind = F.col(kind_col)
+    rel = F.col(rel_col)
+    href = F.col(href_col)
+    is_link = kind == "link"
+    is_cloud = kind == "cloud"
+    ordc = [F.col(c) for c in order_cols]
+    attrs = F.struct(
+        href.alias("href"), *[F.col(c).alias(c) for c in attr_cols]
+    )
+
+    agg = elements.groupBy(F.col(meta_col)).agg(
+        F.min(F.when(is_link & (rel == "alternate"), _ordered(order_cols, href)))[
+            "v"
+        ].alias("link"),
+        F.max(F.when(is_link & (rel == "self"), _ordered(order_cols, href)))[
+            "v"
+        ].alias("xmlurl"),
+        F.min(F.when(is_cloud, F.struct(*ordc, attrs.alias("a")))).alias("c0"),
+        F.sort_array(
+            F.collect_list(
+                F.when(is_link & (rel == "hub"), F.struct(*ordc, href.alias("href")))
+            )
+        ).alias("hubs"),
+    )
+
+    c0 = F.col("c0")
+    base = c0["a"]
+    c0_pos = F.struct(*[c0[c].alias(c) for c in order_cols])
+
+    def _pos(h: Column) -> Column:
+        return F.struct(*[h[c].alias(c) for c in order_cols])
+
+    # try_element_at: ANSI mode (Spark 4 default) throws on index-past-end;
+    # an empty hub list must read as NULL, not error
+    first_hub = F.try_element_at(F.col("hubs"), F.lit(1))
+    hub_after_cloud = F.try_element_at(
+        F.filter(F.col("hubs"), lambda h: _pos(h) > c0_pos), F.lit(1)
+    )
+    # the reference's guard: a hub applies only while cloud has neither
+    # href nor domain; with no cloud element the first hub wins outright
+    hub = F.when(c0.isNull(), first_hub).when(
+        base["href"].isNull() & base["domain"].isNull(), hub_after_cloud
+    )
+    hub_href = hub["href"]
+
+    return agg.select(
+        F.col(meta_col),
+        F.col("link"),
+        F.col("xmlurl"),
+        F.when(hub_href.isNotNull(), F.lit("hub")).alias("cloud_type"),
+        F.coalesce(base["href"], hub_href).alias("cloud_href"),
+        *[base[c].alias(f"cloud_{c}") for c in attr_cols],
+    )
+
+
 def infer_link_from_guid(link: Column, guid: Column, guidlink: bool = True) -> Column:
     """F14 guid->link inference, gated by the reference's `guidlink` option
     (default true; /root/reference/lib/feedparser.js:80,1172;

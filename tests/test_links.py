@@ -162,6 +162,176 @@ def test_guidlink_toggle(spark):
     assert off == {1: None, 2: None, 3: "https://x.example/keep"}
 
 
+def _meta_els(spark, rows):
+    """rows: (meta_id, el_id, kind, rel, href, domain, port, path,
+    register_procedure, protocol) — ts derived from el_id so document
+    order == el_id order."""
+    data = [
+        (m, T0 + dt.timedelta(seconds=e), e, k, r, h, do, po, pa, rp, pr)
+        for (m, e, k, r, h, do, po, pa, rp, pr) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "meta_id long, ts timestamp, el_id long, kind string, rel string,"
+        " href string, domain string, port string, path string,"
+        " register_procedure string, protocol string",
+    )
+
+
+def _link_el(meta, eid, rel, href):
+    return (meta, eid, "link", rel, href, None, None, None, None, None)
+
+
+def _cloud_el(meta, eid, domain=None, href=None, port="80", path="/rpc",
+              reg="cloud.notify", proto="xml-rpc"):
+    return (meta, eid, "cloud", None, href, domain, port, path, reg, proto)
+
+
+def test_meta_hub_link_becomes_cloud(spark):
+    """The reference's intertwingly.atom shape: a single feed-level
+    <link rel='hub'> yields meta.cloud = {type:'hub', href}
+    (lib/feedparser.js:550-552)."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(
+                spark,
+                [
+                    _link_el(1, 0, "hub", "http://pubsubhubbub.appspot.com/"),
+                    _link_el(1, 1, "alternate", "https://a/"),
+                    _link_el(1, 2, "self", "https://a/feed.atom"),
+                ],
+            )
+        )
+    )
+    assert r.cloud_type == "hub"
+    assert r.cloud_href == "http://pubsubhubbub.appspot.com/"
+    assert r.cloud_domain is None
+    assert r.link == "https://a/"
+    assert r.xmlurl == "https://a/feed.atom"
+
+
+def test_meta_first_hub_wins_and_meta_link_is_first_wins(spark):
+    """Two hubs: the guard `!(meta.cloud.href || meta.cloud.domain)` blocks
+    the second (:550).  Meta link is FIRST-alternate-wins (`if (!meta.link)`,
+    :545) — opposite of the item side; self is last-wins (:546)."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(
+                spark,
+                [
+                    _link_el(1, 0, "alternate", "https://a/first"),
+                    _link_el(1, 1, "hub", "https://hub.one/"),
+                    _link_el(1, 2, "hub", "https://hub.two/"),
+                    _link_el(1, 3, "alternate", "https://a/second"),
+                    _link_el(1, 4, "self", "https://a/self1"),
+                    _link_el(1, 5, "self", "https://a/self2"),
+                ],
+            )
+        )
+    )
+    assert r.cloud_href == "https://hub.one/"
+    assert r.link == "https://a/first"
+    assert r.xmlurl == "https://a/self2"
+
+
+def test_meta_cloud_element_replaces_hub_rsscloud_wins(spark):
+    """'This will ensure that rssCloud wins here' (:617-626): the <cloud>
+    element resets meta.cloud and copies its attributes over an
+    earlier-established hub; the hub stays available via link elements
+    only.  A later hub is blocked by the element's domain."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(
+                spark,
+                [
+                    _link_el(1, 0, "hub", "https://hub.one/"),
+                    _cloud_el(1, 1, domain="rpc.example.com"),
+                    _link_el(1, 2, "hub", "https://hub.two/"),
+                ],
+            )
+        )
+    )
+    assert r.cloud_type is None
+    assert r.cloud_href is None
+    assert r.cloud_domain == "rpc.example.com"
+    assert r.cloud_port == "80"
+    assert r.cloud_path == "/rpc"
+    assert r.cloud_register_procedure == "cloud.notify"
+    assert r.cloud_protocol == "xml-rpc"
+
+
+def test_meta_domainless_cloud_element_merges_later_hub(spark):
+    """A <cloud> element carrying neither href nor domain does not trip the
+    hub guard, so a hub AFTER it merges type/href on top of its attributes
+    (the :550 guard evaluates falsy on the copied state)."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(
+                spark,
+                [
+                    _cloud_el(1, 0, domain=None, port="8080"),
+                    _link_el(1, 1, "hub", "https://hub.one/"),
+                ],
+            )
+        )
+    )
+    assert r.cloud_type == "hub"
+    assert r.cloud_href == "https://hub.one/"
+    assert r.cloud_port == "8080"
+    assert r.cloud_domain is None
+
+
+def test_meta_first_cloud_element_wins(spark):
+    """'there can be only one' (:619-621, el[0]): the FIRST <cloud> element
+    in document order is copied; later ones are ignored."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(
+                spark,
+                [
+                    _cloud_el(1, 0, domain="first.example.com", port="80"),
+                    _cloud_el(1, 1, domain="second.example.com", port="99"),
+                ],
+            )
+        )
+    )
+    assert r.cloud_domain == "first.example.com"
+    assert r.cloud_port == "80"
+
+
+def test_meta_no_cloud_sources_gives_all_null_cloud(spark):
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(spark, [_link_el(1, 0, "alternate", "https://a/")])
+        )
+    )
+    assert r.cloud_type is None and r.cloud_href is None
+    assert r.cloud_domain is None and r.cloud_protocol is None
+
+
+def test_meta_links_single_aggregation_no_window(spark):
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    df = reassemble_meta_links(
+        _meta_els(spark, [_link_el(1, 0, "alternate", "https://a/")])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
 def test_enclosure_dedup_keys_field_tuple_not_serialization(spark):
     """Round-3 regression (ADVICE r2): dedupe must key the (url, type)
     FIELD TUPLE — an href containing '|' must not alias a different pair,
