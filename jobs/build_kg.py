@@ -35,6 +35,11 @@ def main() -> None:
                     help="clamp turn text at this many UTF-8 bytes, emitting "
                          "an overflow error row to metrics (reference "
                          "MAX_BUFFER_LENGTH, default 16 MiB; 0 = unlimited)")
+    ap.add_argument("--strict-ingest", action="store_true",
+                    help="refuse (instead of warn) when an incoming conv_id "
+                         "is already committed under a different snapshot "
+                         "in the output dir — the stale-corpus collision "
+                         "validate_kg would otherwise catch post-hoc")
     ap.add_argument("--no-normalize", action="store_true",
                     help="raw mode: no canonical text repair on dirty rows "
                          "(reference normalize:false)")
@@ -82,6 +87,7 @@ def main() -> None:
         resume=not args.no_resume,
         fail_fast=args.strict,
         normalize=not args.no_normalize,
+        strict_ingest=args.strict_ingest,
         **cap_kw,
     )
     summary["wall_s"] = round(time.monotonic() - t0, 3)

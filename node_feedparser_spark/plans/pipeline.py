@@ -50,6 +50,7 @@ Scale design:
 from __future__ import annotations
 
 import os
+import sys
 import time
 import uuid
 
@@ -515,13 +516,18 @@ def build_kg(
     fail_fast: bool = False,
     normalize: bool = True,
     max_text_bytes: int | None = MAX_TEXT_BYTES,
+    strict_ingest: bool = False,
 ) -> dict:
     """Run the full pipeline.  Returns a summary dict (counts, snapshot).
 
     fail_fast / normalize are the reference's resume_saxerror:false and
     normalize:false option toggles, threaded to extract_triples;
     max_text_bytes is its MAX_BUFFER_LENGTH analog (16 MB default,
-    None = unlimited)."""
+    None = unlimited).  strict_ingest upgrades the ingest-time PK guard
+    (an incoming conv_id already committed under a DIFFERENT snapshot —
+    a changed-datagen corpus landing in an old output dir, which would
+    fail validate_kg's triples_pk_unique post-hoc) from a warning +
+    ``ingest_warning`` summary key to a refusal."""
     snap = snapshot_id(input_path)
     run_id = f"run-{uuid.uuid4().hex[:12]}"
     triples_path = os.path.join(output_dir, "triples")
@@ -565,6 +571,49 @@ def build_kg(
             )
         if skipped:
             raw = raw.filter(~F.col("bucket").isin(skipped))
+
+    # --- ingest-time PK guard (round 5): a conv_id arriving under THIS
+    # snapshot that is already committed under a DIFFERENT snapshot means
+    # the same conversations were re-generated with different content —
+    # the merged graph would carry duplicate (conv_id, turn_idx, s, p, o)
+    # keys and fail validate_kg's triples_pk_unique audit post-hoc.
+    # Catch it at ingest: one partition-pruned existence probe (prior
+    # triples scan reads only other snapshots' conv_id column; the input
+    # side is the already-pruned raw scan; left-semi + limit 1).  Legit
+    # split ingests (disjoint conv sets, test_graph_merge) pay the probe
+    # and pass silently.
+    ingest_warning = None
+    if os.path.isdir(metrics_path) and os.path.isdir(triples_path):
+        has_other = (
+            spark.read.parquet(metrics_path)
+            .filter(F.col("snapshot_id") != snap)
+            .limit(1)
+            .count()
+        )
+        if has_other:
+            prior_convs = (
+                spark.read.parquet(triples_path)
+                .filter(F.col("snap") != snap)
+                .select("conv_id")
+            )
+            overlap = (
+                raw.select("conv_id")
+                .join(prior_convs, "conv_id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if overlap:
+                ingest_warning = (
+                    f"incoming snapshot {snap} shares conv_ids with "
+                    f"previously committed snapshots in {output_dir}: the "
+                    f"same conversations were re-ingested with different "
+                    f"content, and the merged graph will fail the "
+                    f"triples_pk_unique audit. Expire or roll back the old "
+                    f"snapshot first, or use a fresh output dir."
+                )
+                if strict_ingest:
+                    raise ValueError(ingest_warning)
+                print(f"WARNING: {ingest_warning}", file=sys.stderr)
 
     # ONE corpus shuffle for dedupe + write (fuse_write_partitioning): the
     # (bucket, wsalt) exchange satisfies the prefixed dedupe window's
@@ -881,7 +930,7 @@ def build_kg(
     mapping.unpersist()
     triples.unpersist()
     metrics.unpersist()
-    return {
+    summary = {
         "run_id": run_id,
         "snapshot_id": snap,
         "n_triples": n_triples,
@@ -891,6 +940,9 @@ def build_kg(
         "output_dir": output_dir,
         "phases": phases,
     }
+    if ingest_warning:
+        summary["ingest_warning"] = ingest_warning
+    return summary
 
 
 def read_triples_snapshot(
