@@ -3962,6 +3962,33 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, value_col="value", n_bins=10)
 
 
+_PSI_WINDOW_EDGES = [2.0, 5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0, 400.0]
+
+
+def q_psi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PSI drift — the STREAMING face's exact code path
+    (streaming/drift_stream.stream_psi: single windowed agg of
+    conditional bin sums, +0.5 Laplace floor, natural-log terms) run on
+    batch input, where `withWatermark` is a no-op and `F.window` is the
+    same tumbling-window expression the micro-batch engine executes.
+    This gives the stream semantics a DuckDB oracle attestation the
+    streaming tests can't provide (VERDICT r4 item 7): 6-hour
+    epoch-aligned windows of event values vs a fixed uniform reference
+    over log-spread edges.  One shuffle (the windowed agg)."""
+    from node_feedparser_spark.streaming.drift_stream import stream_psi
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return stream_psi(
+        ev,
+        edges=_PSI_WINDOW_EDGES,
+        ref_p=[0.1] * 10,
+        window_duration="6 hours",
+        watermark="12 hours",
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier screen (round 3): Iglewicz-Hodges modified z-score
     per event_type — exact median + MAD (50%-breakdown, masking-proof)
@@ -4458,9 +4485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_export": q_ntriples_export,
         "ann_recall_eval": q_ann_recall_eval,
         "edit_distance_join": q_edit_distance_join,
-        "interval_join": q_interval_join,
+        "psi_window": q_psi_window,  # new this round (streaming-face twin)
         "meta_cloud": q_meta_cloud,  # new this round (F17 meta side)
-        # --- never driver-checked: remaining rotation candidates (30) ---
+        # --- never driver-checked: remaining rotation candidates (31) ---
+        "interval_join": q_interval_join,
         "linear_attribution": q_linear_attribution,
         "benford": q_benford,
         "time_decay": q_time_decay,
@@ -9355,6 +9383,34 @@ def _extra_oracles() -> dict[str, str]:
                CASE WHEN n >= 2 THEN ROUND(1.0 - {pak_prod}, 6) END
                    AS pass_at_k
         FROM counts
+    """
+    # streaming PSI twin: same binning/floor/term arithmetic as the
+    # stream_psi plan, tumbling 6 h epoch-aligned windows (DuckDB
+    # time_bucket's 2000-01-03 origin is a multiple of 6 h from the
+    # epoch, so buckets align with Spark's F.window)
+    _pw_bin = " + ".join(
+        f"(CASE WHEN value > {e} THEN 1 ELSE 0 END)"
+        for e in _PSI_WINDOW_EDGES
+    )
+    _pw_counts = ", ".join(
+        f"SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS n{i}" for i in range(10)
+    )
+    _pw_terms = " + ".join(
+        f"((n{i} + 0.5) / (n + 5.0) - 0.1)"
+        f" * LN(((n{i} + 0.5) / (n + 5.0)) / 0.1)"
+        for i in range(10)
+    )
+    d["psi_window"] = f"""
+        WITH b AS (
+          SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws,
+                 ({_pw_bin}) AS bin
+          FROM events),
+        a AS (SELECT ws, COUNT(*) AS n, {_pw_counts} FROM b GROUP BY 1)
+        SELECT ws AS window_start,
+               ws + INTERVAL 6 HOUR AS window_end,
+               CAST(n AS BIGINT) AS n,
+               ROUND({_pw_terms}, 6) AS psi
+        FROM a
     """
     # F17 meta side: feed-level link dispatch + hub/<cloud> merge.  The
     # first-cloud attributes are fetched by joining back on the min ord
