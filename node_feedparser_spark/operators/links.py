@@ -162,7 +162,12 @@ def reassemble_meta_links(
     kind = F.col(kind_col)
     rel = F.col(rel_col)
     href = F.col(href_col)
-    is_link = kind == "link"
+    # rel dispatch requires an href: the reference enters the rel branch
+    # only under `if (el['@']['href'])` (lib/feedparser.js:539,578) — a
+    # link element without one must not occupy a first/last-wins slot or
+    # block a later real hub (and the DuckDB oracle's arg_min/arg_max
+    # skip NULLs, so this is also what the oracle computes).
+    is_link = (kind == "link") & href.isNotNull()
     is_cloud = kind == "cloud"
     ordc = [F.col(c) for c in order_cols]
     attrs = F.struct(

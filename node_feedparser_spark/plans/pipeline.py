@@ -550,6 +550,10 @@ def build_kg(
     _recover_graph_commit(output_dir, vertices_path, edges_path)
 
     raw = _bucketed(read_transcripts(spark, input_path), n_buckets)
+    # the ingest guard below must probe the UNPRUNED scan: a crashed
+    # overlapping ingest that is rerun resumes past its committed buckets,
+    # and those buckets are exactly where the colliding conv_ids live
+    raw_unpruned = raw
 
     skipped: list[int] = []
     if resume and os.path.isdir(metrics_path):
@@ -597,7 +601,7 @@ def build_kg(
                 .select("conv_id")
             )
             overlap = (
-                raw.select("conv_id")
+                raw_unpruned.select("conv_id")
                 .join(prior_convs, "conv_id", "left_semi")
                 .limit(1)
                 .count()

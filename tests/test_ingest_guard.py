@@ -52,6 +52,23 @@ def test_overlapping_reingest_warns_and_strict_refuses(spark, corpora, capsys):
         build_kg(spark, p3, out, n_buckets=4, strict_ingest=True)
 
 
+def test_resumed_overlapping_ingest_still_guarded(spark, corpora):
+    """Round-5 review finding: the guard must probe the UNPRUNED input
+    scan.  After an overlapping ingest commits (crash-then-rerun model:
+    every committed bucket is resume-skipped), a strict rerun must still
+    refuse — the colliding conv_ids live exactly in the skipped buckets."""
+    out = str(corpora["base"] / "kg_resumed_overlap")
+    build_kg(spark, corpora["a"], out, n_buckets=4)
+    s2 = build_kg(spark, corpora["b"], out, n_buckets=4)
+    assert "ingest_warning" in s2
+
+    # rerun of b: pure resume (all buckets committed), still overlapping a
+    s3 = build_kg(spark, corpora["b"], out, n_buckets=4)
+    assert s3["n_triples"] == 0 and "ingest_warning" in s3
+    with pytest.raises(ValueError, match="shares conv_ids"):
+        build_kg(spark, corpora["b"], out, n_buckets=4, strict_ingest=True)
+
+
 def test_disjoint_merge_and_pure_resume_stay_silent(spark, corpora):
     out = str(corpora["base"] / "kg_disjoint")
     s1 = build_kg(spark, corpora["a_even"], out, n_buckets=4)

@@ -309,6 +309,31 @@ def test_meta_first_cloud_element_wins(spark):
     assert r.cloud_port == "80"
 
 
+def test_meta_null_href_links_do_not_dispatch(spark):
+    """The reference enters the rel branch only under `if (el['@']['href'])`
+    (lib/feedparser.js:539,578): a hub or alternate link WITHOUT an href
+    must not occupy a first-wins slot or block a later real hub (round-5
+    review finding: a null-href hub used to shadow the real one)."""
+    from node_feedparser_spark.operators.links import reassemble_meta_links
+
+    r = _one(
+        reassemble_meta_links(
+            _meta_els(
+                spark,
+                [
+                    _link_el(1, 0, "hub", None),          # no href: inert
+                    _link_el(1, 1, "alternate", None),    # no href: inert
+                    _link_el(1, 2, "hub", "https://hub.real/"),
+                    _link_el(1, 3, "alternate", "https://a/real"),
+                ],
+            )
+        )
+    )
+    assert r.cloud_type == "hub"
+    assert r.cloud_href == "https://hub.real/"
+    assert r.link == "https://a/real"
+
+
 def test_meta_no_cloud_sources_gives_all_null_cloud(spark):
     from node_feedparser_spark.operators.links import reassemble_meta_links
 
